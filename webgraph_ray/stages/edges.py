@@ -1,0 +1,189 @@
+"""Edge derivation: transcripts -> edge table.
+
+Rule registry (SURVEY.md §2.9 analog of the reference's config-gated
+feature families, /root/reference/code/features.yaml:15-19):
+
+- ``reply``      turn (conv, i-1) -> turn (conv, i).  Analog of the
+                 reference's redirect / call-stack chain edges
+                 (/root/reference/code/graph/request_edges.py:84-112,157-200).
+                 Because ``turn_idx`` is dense per conversation (input
+                 contract, FIXTURES.md §1), this is a pure per-row map —
+                 NO shuffle, no grouping: each turn with ``turn_idx >= 1``
+                 emits exactly one edge to itself from its predecessor.
+- ``tool_call``  turn -> tool vertex when ``tool`` is non-null.  Analog of
+                 the reference's storage edges
+                 (/root/reference/code/graph/storage_edges.py:160-253).
+                 Also per-row, no shuffle.
+- ``same_tool``  turn_i -> turn_j for i<j within one conversation sharing a
+                 tool.  Analog of the reference's set->get indirect edges
+                 (/root/reference/code/features/utils.py:417-426) — a
+                 per-partition self-join, expressed as
+                 ``groupby(conv_id).map_groups`` over the narrow
+                 (conv_id, turn_idx, tool, ts) projection.  This is the only
+                 rule that shuffles, and it shuffles a projection with NO
+                 text payload (SURVEY.md §7).
+
+Vertex keys (FIXTURES.md §2): turn ``"{conv_id}#{turn_idx}"``, tool
+``"tool:{name}"``.  ``weight`` is multiplicity after exact dedup by
+``(src, dst, edge_type)`` — the reference drops parallel edges last-wins
+(/root/reference/code/graph/graph_builder.py:66); we keep the count instead
+(the ``groupby(['src','dst']).apply(len)`` idiom,
+/root/reference/code/features/utils.py:424).  With the default rules every
+derived edge is already unique, so dedup is a no-op kept for custom rules.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from webgraph_ray.functions.hashing import hash_keys
+from webgraph_ray.schemas import EDGES
+
+DEFAULT_RULES = ("reply", "tool_call", "same_tool")
+
+
+def turn_keys(conv_id: pa.Array, turn_idx: pa.Array) -> pa.Array:
+    """Vectorized ``"{conv_id}#{turn_idx}"`` composite keys — the analog of
+    the reference's cookie composite key ``name|$$|domain``
+    (/root/reference/code/graph/utils.py:6-21)."""
+    return pc.binary_join_element_wise(
+        conv_id, pc.cast(turn_idx, pa.string()), "#"
+    )
+
+
+def _edges_table(
+    src_key: pa.Array,
+    dst_key: pa.Array,
+    edge_type: str,
+    conv_id: pa.Array,
+    ts: pa.Array,
+    weight: pa.Array | None = None,
+) -> pa.Table:
+    n = len(src_key)
+    if weight is None:
+        weight = pa.array(np.ones(n, dtype=np.int64))
+    src = pa.array(hash_keys(src_key.to_numpy(zero_copy_only=False)))
+    dst = pa.array(hash_keys(dst_key.to_numpy(zero_copy_only=False)))
+    return pa.table(
+        {
+            "src": src,
+            "dst": dst,
+            "src_key": src_key,
+            "dst_key": dst_key,
+            "edge_type": pa.array([edge_type] * n, pa.string()),
+            "weight": weight,
+            "conv_id": conv_id,
+            "ts": ts,
+        },
+        schema=EDGES,
+    )
+
+
+def reply_edges_batch(batch: pa.Table) -> pa.Table:
+    """Per-row: every turn with turn_idx >= 1 emits (prev turn -> this turn)."""
+    mask = pc.greater_equal(batch["turn_idx"], 1)
+    b = batch.filter(mask)
+    prev_idx = pc.subtract(b["turn_idx"], 1)
+    src_key = turn_keys(b["conv_id"], prev_idx)
+    dst_key = turn_keys(b["conv_id"], b["turn_idx"])
+    return _edges_table(src_key, dst_key, "reply", b["conv_id"], b["ts"])
+
+
+def tool_call_edges_batch(batch: pa.Table) -> pa.Table:
+    """Per-row: turn -> tool vertex for tool turns."""
+    b = batch.filter(pc.is_valid(batch["tool"]))
+    src_key = turn_keys(b["conv_id"], b["turn_idx"])
+    dst_key = pc.binary_join_element_wise("tool:", b["tool"], "")
+    return _edges_table(src_key, dst_key, "tool_call", b["conv_id"], b["ts"])
+
+
+def same_tool_edges_group(g: pd.DataFrame) -> pa.Table:
+    """Within one conversation: earlier tool turn -> later turn sharing the
+    same tool (per-group self-join, vectorized via merge)."""
+    t = g[g["tool"].notna()][["conv_id", "turn_idx", "tool", "ts"]]
+    if len(t) < 2:
+        return _EMPTY_EDGES
+    m = t.merge(t, on="tool", suffixes=("_a", "_b"))
+    m = m[m["turn_idx_a"] < m["turn_idx_b"]]
+    if len(m) == 0:
+        return _EMPTY_EDGES
+    conv = m["conv_id_a"].to_numpy(dtype=object)
+    src_key = np.array(
+        [f"{c}#{i}" for c, i in zip(conv, m["turn_idx_a"].tolist())], dtype=object
+    )
+    dst_key = np.array(
+        [f"{c}#{i}" for c, i in zip(conv, m["turn_idx_b"].tolist())], dtype=object
+    )
+    n = len(m)
+    return pa.table(
+        {
+            "src": pa.array(hash_keys(src_key)),
+            "dst": pa.array(hash_keys(dst_key)),
+            "src_key": pa.array(src_key, pa.string()),
+            "dst_key": pa.array(dst_key, pa.string()),
+            "edge_type": pa.array(["same_tool"] * n, pa.string()),
+            "weight": pa.array(np.ones(n, dtype=np.int64)),
+            "conv_id": pa.array(conv, pa.string()),
+            "ts": pa.Array.from_pandas(m["ts_b"]).cast(pa.timestamp("us")),
+        },
+        schema=EDGES,
+    )
+
+
+_EMPTY_EDGES = pa.table(
+    {f.name: pa.array([], f.type) for f in EDGES}, schema=EDGES
+)
+
+
+def derive_edges(
+    transcripts: ray.data.Dataset,
+    rules: Iterable[str] = DEFAULT_RULES,
+) -> ray.data.Dataset:
+    """transcripts Dataset -> edges Dataset (lazy; union of per-rule streams).
+
+    reply/tool_call are shuffle-free ``map_batches`` over zero-copy Arrow
+    batches.  same_tool groups the narrow projection by conv_id.
+    """
+    rules = tuple(rules)
+    unknown = set(rules) - set(DEFAULT_RULES) - set(EXTRA_RULES)
+    if unknown or not rules:
+        raise ValueError(
+            f"unknown edge rules {sorted(unknown)!r}; known: {DEFAULT_RULES}"
+        )
+    parts = []
+    if "reply" in rules:
+        parts.append(
+            transcripts.map_batches(
+                reply_edges_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if "tool_call" in rules:
+        parts.append(
+            transcripts.map_batches(
+                tool_call_edges_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if "same_tool" in rules:
+        narrow = transcripts.select_columns(["conv_id", "turn_idx", "tool", "ts"])
+        parts.append(
+            narrow.groupby("conv_id").map_groups(
+                same_tool_edges_group, batch_format="pandas"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+# Custom-rule extension point: a rule is (name, fn) where fn is either a
+# pyarrow batch map or a pandas group map; registered rules can be composed
+# by callers that need domain-specific edge semantics.
+EXTRA_RULES: dict[str, Callable] = {}
