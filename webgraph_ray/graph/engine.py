@@ -1,0 +1,806 @@
+"""Partitioned BSP graph engine: per-partition adjacency in actor workers.
+
+The scale design mandated by the north rule (BASELINE.json): each iteration
+is a sparse gather-scatter over per-partition adjacency blocks held in
+actor-pool workers, with message exchange expressed as
+groupby-aggregate-style combines keyed on destination-vertex ranges, and
+explicit skew handling for hub vertices via salted splits.
+
+How each requirement maps to this module:
+
+- **Partitioning.**  Vertex ``v`` is *owned* by partition ``v % P`` (ids are
+  uniform 64-bit hashes, so modulo is a uniform range partitioner).  Edges
+  live with their source's owner — except hub edges (below).  The build step
+  is plain Ray Data: narrow ``(src, dst, weight)`` projections written as
+  hive-partitioned Parquet (``part=K/``), so a failed build resumes by
+  partition directory and actors read only their slice.
+
+- **Gather-scatter.**  At init each actor sorts its edge block by ``dst``
+  and precomputes segment boundaries: the per-iteration combine is then a
+  single ``np.add.reduceat`` / ``np.minimum.reduceat`` over contiguous
+  segments — a local groupby-aggregate on the destination key.  Messages
+  leaving the actor are already combined *per destination vertex* (the
+  map-side combine of SURVEY.md §4), so a hub vertex receives at most P
+  partial values per iteration no matter its in-degree.
+
+- **Skew / salted splits.**  A vertex whose *out*-edges exceed
+  ``hub_threshold`` would concentrate its whole edge block on one
+  partition.  Hub edges are instead salted across partitions by
+  ``(src + dst) % P``, and the (small) per-iteration hub state is broadcast
+  to all partitions through the object store — each actor maps it into its
+  edge block via a searchsorted index precomputed at init.
+
+- **Exchange.**  ``scatter`` returns P object refs
+  (``num_returns=P``); the driver routes ref ``q`` of every actor to actor
+  ``q``'s ``apply`` without touching the data (object-store-mediated
+  all-to-all; on a multi-node cluster these transfers are the network
+  shuffle).
+
+- **Checkpoint / lineage.**  Every ``checkpoint_every`` iterations each
+  actor atomically writes its owned vertex state
+  (``ckpt/<algo>/iter=K/part=N.parquet``, temp-file + rename) and the
+  driver then writes ``manifest.json`` (iteration, counters, per-partition
+  files, build fingerprint) *last*.  Resume scans for the newest complete
+  manifest and reloads actor state mid-algorithm.
+
+The reference computes its per-vertex graph features one visit and one node
+at a time on transient networkx graphs
+(/root/reference/code/graph/graph_builder.py:66-68,
+/root/reference/code/features/feature_extraction.py:88-103); this engine
+replaces that with global BSP iteration, per SURVEY.md §2.6/§7.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+UNLABELED = np.int64(np.iinfo(np.int64).max)
+
+
+# ---------------------------------------------------------------------------
+# Build: Ray Data -> hive-partitioned parquet layout under work_dir
+# ---------------------------------------------------------------------------
+
+
+def _edge_partition_batch(num_parts: int, hub_ids: np.ndarray):
+    """Assign each edge to a partition: src-owner normally, salted for hubs."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (src % num_parts).astype(np.int32)
+        if len(hub_ids):
+            is_hub = np.isin(src, hub_ids)
+            part[is_hub] = ((src[is_hub] + dst[is_hub]) % num_parts).astype(
+                np.int32
+            )
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "weight": pc.cast(batch["weight"], pa.float64()),
+                "part": pa.array(part),
+            }
+        )
+
+    return fn
+
+
+def _vertex_partials_batch(num_parts: int):
+    """Emit per-batch-unique (vertex_id, part) rows for both endpoints."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        return pa.table(
+            {
+                "vertex_id": pa.array(ids),
+                "part": pa.array((ids % num_parts).astype(np.int32)),
+            }
+        )
+
+    return fn
+
+
+def _outdeg_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial weighted out-degree (map-side combine)."""
+    src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = batch["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(src, kind="stable")
+    s, wv = src[order], w[order]
+    uniq, starts = np.unique(s, return_index=True)
+    sums = np.add.reduceat(wv, starts)
+    return pa.table({"vertex_id": pa.array(uniq), "out_strength": pa.array(sums)})
+
+
+# ---------------------------------------------------------------------------
+# The per-partition actor
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class GraphPartition:
+    """Owns: vertex state for {v : v % P == part_id}, and the edge block
+    assigned to this partition (sorted by dst, reduceat-segmented)."""
+
+    def __init__(self, part_id: int, num_parts: int, work_dir: str):
+        self.pid = part_id
+        self.P = num_parts
+        self.work_dir = work_dir
+
+        edir = os.path.join(work_dir, "edges", f"part={part_id}")
+        vdir = os.path.join(work_dir, "verts", f"part={part_id}")
+        odir = os.path.join(work_dir, "outdeg", f"part={part_id}")
+
+        def read(d, cols):
+            if not os.path.isdir(d) or not os.listdir(d):
+                return {c: np.array([], dtype=np.int64 if c != "weight" and c != "out_strength" else np.float64) for c in cols}
+            t = pq.read_table(d, columns=cols)
+            return {c: t[c].to_numpy(zero_copy_only=False) for c in cols}
+
+        e = read(edir, ["src", "dst", "weight"])
+        esrc = e["src"].astype(np.int64)
+        edst = e["dst"].astype(np.int64)
+        ew = e["weight"].astype(np.float64)
+
+        v = read(vdir, ["vertex_id"])
+        self.owned = np.unique(v["vertex_id"].astype(np.int64))
+        n = len(self.owned)
+
+        # weighted out-degree for owned vertices (table partitioned by owner)
+        o = read(odir, ["vertex_id", "out_strength"])
+        self.out_strength = np.zeros(n, dtype=np.float64)
+        if len(o["vertex_id"]):
+            ovid = o["vertex_id"].astype(np.int64)
+            pos = np.searchsorted(self.owned, ovid)
+            # partial rows may repeat a vertex: accumulate
+            np.add.at(self.out_strength, pos, o["out_strength"].astype(np.float64))
+
+        # hub set (global, small)
+        hub_path = os.path.join(work_dir, "hubs.parquet")
+        if os.path.exists(hub_path):
+            self.hub_ids = pq.read_table(hub_path)["vertex_id"].to_numpy().astype(np.int64)
+        else:
+            self.hub_ids = np.array([], dtype=np.int64)
+
+        # Sort edge block by dst once; per-iteration combine is reduceat over
+        # static segments (the local groupby-aggregate on destination key).
+        order = np.argsort(edst, kind="stable")
+        edst = edst[order]
+        esrc = esrc[order]
+        self.ew = ew[order]
+        self.udst, self.seg_starts = np.unique(edst, return_index=True)
+
+        # Map each edge's src to local state or broadcast hub slot.
+        self.e_is_hub = (
+            np.isin(esrc, self.hub_ids) if len(self.hub_ids) else np.zeros(len(esrc), bool)
+        )
+        local_src = esrc[~self.e_is_hub]
+        self.src_pos = np.searchsorted(self.owned, local_src)
+        assert len(local_src) == 0 or (
+            (self.src_pos < n).all() and (self.owned[self.src_pos] == local_src).all()
+        ), "non-hub edge src not owned by its partition: partitioner bug"
+        self.hub_pos = np.searchsorted(self.hub_ids, esrc[self.e_is_hub])
+
+        # Destination routing: group unique dsts by destination partition.
+        dpart = (self.udst % self.P).astype(np.int64)
+        route = np.argsort(dpart, kind="stable")
+        self.route = route
+        bounds = np.searchsorted(dpart[route], np.arange(self.P + 1))
+        self.route_bounds = bounds
+        # static per-destination-partition id arrays (shipped once)
+        self.out_ids = [
+            self.udst[route[bounds[q] : bounds[q + 1]]] for q in range(self.P)
+        ]
+
+        # vertex state (filled by init_state / load_checkpoint)
+        self.state = np.zeros(n, dtype=np.float64)
+        self.frozen = np.zeros(n, dtype=bool)  # for seeded label propagation
+        self.edges_count = len(esrc)
+        self._inbox_maps: dict[int, np.ndarray] = {}
+
+    # ---- build-time topology info ----
+    def topology(self):
+        return {
+            "owned": int(len(self.owned)),
+            "edges": int(self.edges_count),
+            "dangling": int((self.out_strength == 0).sum()),
+        }
+
+    def outbox_ids(self):
+        """Static per-destination-partition dst-id arrays (exchange setup)."""
+        return self.out_ids
+
+    def register_inboxes(self, per_source_ids: dict):
+        """Precompute searchsorted maps from each source partition's static
+        dst-id array into the owned-state index."""
+        for p, ids in per_source_ids.items():
+            if len(ids) == 0:
+                self._inbox_maps[p] = np.array([], dtype=np.int64)
+                continue
+            pos = np.searchsorted(self.owned, ids)
+            assert (pos < len(self.owned)).all(), "routing bug: unowned vertex"
+            assert (self.owned[pos] == ids).all(), "routing bug: unowned vertex"
+            self._inbox_maps[p] = pos
+        return True
+
+    # ---- state init ----
+    def init_state(self, algo: str, seed_prefix_ids=None, init_value: float | None = None):
+        n = len(self.owned)
+        self.frozen = np.zeros(n, dtype=bool)
+        if algo == "pagerank":
+            # filled later once global N is known (set_uniform_state)
+            self.state = np.full(n, init_value if init_value is not None else 0.0)
+        elif algo in ("components", "labelprop"):
+            self.state = self.owned.astype(np.float64)  # placeholder, see below
+            # min-label algorithms keep int64 labels in a separate array
+            self.labels = self.owned.copy()
+            if algo == "labelprop":
+                self.labels = np.full(n, UNLABELED, dtype=np.int64)
+                if n and seed_prefix_ids is not None and len(seed_prefix_ids):
+                    seeds = np.asarray(seed_prefix_ids, dtype=np.int64)
+                    pos = np.searchsorted(self.owned, seeds)
+                    ok = (pos < n) & (
+                        np.take(self.owned, np.minimum(pos, n - 1)) == seeds
+                    )
+                    pos = pos[ok]
+                    self.labels[pos] = self.owned[pos]
+                    self.frozen[pos] = True
+        else:
+            raise ValueError(algo)
+        return int(n)
+
+    def set_uniform_state(self, value: float):
+        self.state[:] = value
+        return True
+
+    def local_stats(self):
+        dangling_mass = float(self.state[self.out_strength == 0].sum())
+        return dangling_mass, float(self.state.sum())
+
+    # ---- hub broadcast ----
+    def hub_values(self, algo: str):
+        """(hub_ids_owned, value) for hubs owned by this partition.
+        Values keep their native dtype: float64 contribs for pagerank,
+        int64 labels for min-label algorithms (no lossy casts)."""
+        n = len(self.owned)
+        empty_val = np.float64 if algo == "pagerank" else np.int64
+        if len(self.hub_ids) == 0 or n == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=empty_val)
+        mask_pos = np.searchsorted(self.owned, self.hub_ids)
+        ok = (mask_pos < n) & (
+            np.take(self.owned, np.minimum(mask_pos, n - 1)) == self.hub_ids
+        )
+        ids = self.hub_ids[ok]
+        pos = mask_pos[ok]
+        if algo == "pagerank":
+            outs = self.out_strength[pos]
+            vals = np.where(outs > 0, self.state[pos] / np.maximum(outs, 1e-300), 0.0)
+        else:
+            vals = self.labels[pos]
+        return ids, vals
+
+    # ---- iteration: scatter ----
+    def scatter(self, algo: str, hub_vals: np.ndarray | None = None):
+        """Compute per-unique-dst combined messages; return P slices
+        (num_returns=P set at call site)."""
+        if algo == "pagerank":
+            outs = self.out_strength
+            contrib = np.where(outs > 0, self.state / np.maximum(outs, 1e-300), 0.0)
+            edge_vals = np.empty(self.edges_count, dtype=np.float64)
+            edge_vals[~self.e_is_hub] = contrib[self.src_pos]
+            if self.e_is_hub.any():
+                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            edge_vals *= self.ew
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.float64)
+        else:  # min-label over int64
+            edge_vals = np.empty(self.edges_count, dtype=np.int64)
+            edge_vals[~self.e_is_hub] = self.labels[self.src_pos]
+            if self.e_is_hub.any():
+                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            if len(self.seg_starts):
+                msg = np.minimum.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
+        r, b = self.route, self.route_bounds
+        out = tuple(msg[r[b[q] : b[q + 1]]] for q in range(self.P))
+        if self.P == 1:
+            return out[0]
+        return out
+
+    # ---- iteration: apply ----
+    def apply_pagerank(self, alpha: float, one_over_n: float, dangling_mass: float, *incoming):
+        xlast = self.state
+        agg = np.zeros(len(self.owned), dtype=np.float64)
+        for p, vals in enumerate(incoming):
+            if vals is None or len(vals) == 0:
+                continue
+            # positions are unique within one source partition's message
+            # (messages are pre-combined per dst), so fancy indexing is safe
+            pos = self._inbox_maps[p]
+            agg[pos] += vals
+        x = alpha * (agg + dangling_mass * one_over_n) + (1.0 - alpha) * one_over_n
+        delta = float(np.abs(x - xlast).sum())
+        self.state = x
+        dangling_next = float(x[self.out_strength == 0].sum())
+        return delta, dangling_next
+
+    def apply_min(self, *incoming):
+        new = self.labels.copy()
+        for p, vals in enumerate(incoming):
+            if vals is None or len(vals) == 0:
+                continue
+            pos = self._inbox_maps[p]
+            new[pos] = np.minimum(new[pos], vals)
+        new[self.frozen] = self.labels[self.frozen]
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    # ---- checkpoint / results ----
+    def checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
+        d = os.path.join(ckpt_dir, algo, f"iter={iteration}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part={self.pid}.parquet")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        if algo == "pagerank":
+            t = pa.table(
+                {"vertex_id": pa.array(self.owned), "value": pa.array(self.state)}
+            )
+        else:
+            t = pa.table(
+                {
+                    "vertex_id": pa.array(self.owned),
+                    "value": pa.array(self.labels),
+                    "frozen": pa.array(self.frozen),
+                }
+            )
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic
+        return path
+
+    def load_checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
+        path = os.path.join(
+            ckpt_dir, algo, f"iter={iteration}", f"part={self.pid}.parquet"
+        )
+        t = pq.read_table(path)
+        vid = t["vertex_id"].to_numpy().astype(np.int64)
+        assert np.array_equal(vid, self.owned), "checkpoint/build vertex mismatch"
+        if algo == "pagerank":
+            self.state = t["value"].to_numpy().astype(np.float64).copy()
+        else:
+            self.labels = t["value"].to_numpy().astype(np.int64).copy()
+            self.frozen = t["frozen"].to_numpy().copy()
+        return True
+
+    def result_table(self, algo: str):
+        if algo == "pagerank":
+            return pa.table(
+                {"vertex_id": pa.array(self.owned), "score": pa.array(self.state)}
+            )
+        col = "component" if algo == "components" else "label"
+        return pa.table(
+            {"vertex_id": pa.array(self.owned), col: pa.array(self.labels)}
+        )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RunMetrics:
+    iterations: int = 0
+    converged: bool = False
+    edges_traversed: int = 0
+    wall_sec: float = 0.0
+    history: list = field(default_factory=list)
+
+
+class GraphEngine:
+    """Build once (Ray Data -> partitioned parquet), run many algorithms.
+
+    ``symmetrize=True`` adds the reverse of every edge (undirected view) —
+    required for components / label propagation / the reference's
+    eccentricity analog (/root/reference/code/features/structure.py:173-177).
+    """
+
+    def __init__(
+        self,
+        work_dir: str,
+        num_parts: int | None = None,
+        hub_threshold: int = 1 << 17,
+        actor_num_cpus: float = 1.0,
+    ):
+        """``actor_num_cpus``: CPU reservation per partition actor.  Must
+        satisfy ``num_parts * actor_num_cpus <= cluster CPUs`` or actor
+        creation deadlocks; ``start()`` enforces this by lowering the
+        reservation when oversubscribed (single-node testing convenience —
+        on a real cluster size P to the cluster instead)."""
+        self.work_dir = work_dir
+        if num_parts is None:
+            num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        self.P = int(num_parts)
+        self.actor_num_cpus = float(actor_num_cpus)
+        self.hub_threshold = int(hub_threshold)
+        self.actors: list | None = None
+        self.N = 0
+        self.total_edges = 0
+        self.metrics: dict[str, RunMetrics] = {}
+
+    # ---- build ----
+    def build(self, edges: ray.data.Dataset, symmetrize: bool = False) -> "GraphEngine":
+        """edges Dataset (columns src,dst,weight) -> partitioned layout.
+
+        Three Ray Data passes over the narrow projection, all with map-side
+        pre-combine; the only shuffle is the implicit partition_cols write.
+        """
+        os.makedirs(self.work_dir, exist_ok=True)
+        narrow = edges.select_columns(["src", "dst", "weight"])
+        if symmetrize:
+            def sym(b: pa.Table) -> pa.Table:
+                rev = pa.table(
+                    {"src": b["dst"], "dst": b["src"], "weight": b["weight"]}
+                )
+                return pa.concat_tables([b, rev])
+
+            narrow = narrow.map_batches(sym, batch_format="pyarrow")
+
+        # pass 0: persist the narrow projection to disk once, so the three
+        # passes below stream from parquet instead of re-deriving or pinning
+        # the edge set in the object store.
+        raw_dir = os.path.join(self.work_dir, "raw")
+        narrow.write_parquet(raw_dir)
+        narrow = ray.data.read_parquet(raw_dir)
+
+        # pass 1: weighted out-degree partials -> groupby -> hub detection +
+        # owner-partitioned out-strength table
+        outdeg = (
+            narrow.map_batches(
+                _outdeg_partials_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("vertex_id")
+            .aggregate(Sum("out_strength", alias_name="out_strength"))
+        )
+
+        def owner_part(t: pa.Table) -> pa.Table:
+            vid = t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                "part", pa.array((vid % self.P).astype(np.int32))
+            )
+
+        outdeg_dir = os.path.join(self.work_dir, "outdeg")
+        outdeg.map_batches(owner_part, batch_format="pyarrow").write_parquet(
+            outdeg_dir, partition_cols=["part"]
+        )
+
+        # hub set: re-scan the (disk-backed) out-degree table; result is tiny
+        # by definition (vertices above threshold)
+        hub_tables = ray.get(
+            ray.data.read_parquet(outdeg_dir, columns=["vertex_id", "out_strength"])
+            .filter(expr=f"out_strength > {float(self.hub_threshold)}")
+            .to_arrow_refs()
+        )
+        hub_ids = np.sort(
+            np.concatenate(
+                [t["vertex_id"].to_numpy(zero_copy_only=False) for t in hub_tables]
+                or [np.array([], dtype=np.int64)]
+            ).astype(np.int64)
+        )
+        pq.write_table(
+            pa.table({"vertex_id": pa.array(hub_ids)}),
+            os.path.join(self.work_dir, "hubs.parquet"),
+        )
+
+        # pass 2: edges with salted partition assignment
+        narrow.map_batches(
+            _edge_partition_batch(self.P, hub_ids),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(os.path.join(self.work_dir, "edges"), partition_cols=["part"])
+
+        # pass 3: vertex-universe partials (per-batch dedup; owner dedups rest)
+        narrow.map_batches(
+            _vertex_partials_batch(self.P),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(os.path.join(self.work_dir, "verts"), partition_cols=["part"])
+
+        fingerprint = {
+            "num_parts": self.P,
+            "hub_threshold": self.hub_threshold,
+            "symmetrize": bool(symmetrize),
+            "num_hubs": int(len(hub_ids)),
+        }
+        with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
+            json.dump(fingerprint, f)
+        return self
+
+    # ---- actors ----
+    def start(self) -> "GraphEngine":
+        if self.actors is not None:
+            return self
+        with open(os.path.join(self.work_dir, "build_manifest.json")) as f:
+            bm = json.load(f)
+        assert bm["num_parts"] == self.P, "num_parts mismatch with build"
+        avail = float(ray.cluster_resources().get("CPU", 1))
+        cpus = self.actor_num_cpus
+        # Leave at least one CPU unreserved: result consumption runs Ray Data
+        # tasks while actors are alive, and a fully-reserved node deadlocks.
+        if self.P * cpus >= avail:
+            cpus = 0
+        self.actors = [
+            GraphPartition.options(num_cpus=cpus).remote(p, self.P, self.work_dir)
+            for p in range(self.P)
+        ]
+        topo = ray.get([a.topology.remote() for a in self.actors])
+        self.N = sum(t["owned"] for t in topo)
+        self.total_edges = sum(t["edges"] for t in topo)
+        # exchange static outbox id arrays -> inbox maps
+        outboxes = ray.get([a.outbox_ids.remote() for a in self.actors])
+        for q, a in enumerate(self.actors):
+            ray.get(
+                a.register_inboxes.remote({p: outboxes[p][q] for p in range(self.P)})
+            )
+        return self
+
+    def shutdown(self):
+        if self.actors:
+            for a in self.actors:
+                ray.kill(a)
+            self.actors = None
+
+    # ---- common iteration driver ----
+    def _exchange(self, algo: str, hub_ref):
+        outs = []
+        for a in self.actors:
+            if self.P == 1:
+                outs.append([a.scatter.remote(algo, hub_ref)])
+            else:
+                outs.append(
+                    list(
+                        a.scatter.options(num_returns=self.P).remote(algo, hub_ref)
+                    )
+                )
+        return outs
+
+    def _hub_broadcast(self, algo: str):
+        vals = ray.get([a.hub_values.remote(algo) for a in self.actors])
+        ids = np.concatenate([v[0] for v in vals])
+        vv = np.concatenate([v[1] for v in vals])
+        order = np.argsort(ids)
+        # hub_pos in actors indexes into the globally sorted hub id array
+        return ray.put(vv[order]) if len(ids) else ray.put(np.array([]))
+
+    def _write_manifest(self, algo, iteration, counters, paths):
+        mdir = os.path.join(self.work_dir, "ckpt", algo, f"iter={iteration}")
+        os.makedirs(mdir, exist_ok=True)
+        manifest = {
+            "algo": algo,
+            "iteration": iteration,
+            "num_parts": self.P,
+            "counters": counters,
+            "parts": sorted(os.path.basename(p) for p in paths),
+            "complete": True,
+        }
+        tmp = os.path.join(mdir, f".manifest.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(mdir, "manifest.json"))
+
+    def latest_checkpoint(self, algo: str) -> tuple[int, dict] | None:
+        d = os.path.join(self.work_dir, "ckpt", algo)
+        if not os.path.isdir(d):
+            return None
+        best = None
+        for sub in os.listdir(d):
+            mp = os.path.join(d, sub, "manifest.json")
+            if sub.startswith("iter=") and os.path.exists(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                if m.get("complete") and (best is None or m["iteration"] > best[0]):
+                    best = (m["iteration"], m)
+        return best
+
+    def _checkpoint_round(self, algo, iteration, counters):
+        ckpt_dir = os.path.join(self.work_dir, "ckpt")
+        paths = ray.get(
+            [a.checkpoint.remote(algo, ckpt_dir, iteration) for a in self.actors]
+        )
+        self._write_manifest(algo, iteration, counters, paths)
+
+    # ---- PageRank ----
+    def pagerank(
+        self,
+        alpha: float = 0.85,
+        tol: float = 1e-6,
+        max_iter: int = 100,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ) -> ray.data.Dataset:
+        """Power iteration mirroring networkx.pagerank semantics exactly:
+        uniform init/personalization/dangling distribution, L1 convergence
+        err < N*tol (the criterion the oracle uses), alpha damping.
+        The reference's per-node closeness centrality
+        (/root/reference/code/features/structure.py:170) is the capability
+        this replaces at scale.
+        """
+        self.start()
+        algo = "pagerank"
+        t0 = time.time()
+        m = RunMetrics()
+        start_iter = 0
+        one_over_n = 1.0 / max(self.N, 1)
+        if resume and (ck := self.latest_checkpoint(algo)):
+            start_iter = ck[0]
+            ray.get(
+                [
+                    a.load_checkpoint.remote(
+                        algo, os.path.join(self.work_dir, "ckpt"), start_iter
+                    )
+                    for a in self.actors
+                ]
+            )
+            dangling_mass = ck[1]["counters"]["dangling_mass"]
+        else:
+            # fresh run: clear stale checkpoints so a later resume cannot mix
+            # state from a previous run of the same algorithm
+            shutil.rmtree(os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True)
+            ray.get([a.init_state.remote(algo) for a in self.actors])
+            ray.get([a.set_uniform_state.remote(one_over_n) for a in self.actors])
+            stats = ray.get([a.local_stats.remote() for a in self.actors])
+            dangling_mass = sum(s[0] for s in stats)
+
+        counters = {"err": None, "dangling_mass": dangling_mass, "edges_traversed": 0}
+        for it in range(start_iter, max_iter):
+            hub_ref = self._hub_broadcast(algo)
+            outs = self._exchange(algo, hub_ref)
+            rets = ray.get(
+                [
+                    self.actors[q].apply_pagerank.remote(
+                        alpha,
+                        one_over_n,
+                        dangling_mass,
+                        *[outs[p][q] for p in range(self.P)],
+                    )
+                    for q in range(self.P)
+                ]
+            )
+            err = sum(r[0] for r in rets)
+            dangling_mass = sum(r[1] for r in rets)
+            m.iterations = it + 1
+            m.edges_traversed += self.total_edges
+            m.history.append({"iter": it + 1, "err": err})
+            counters = {
+                "err": err,
+                "dangling_mass": dangling_mass,
+                "edges_traversed": m.edges_traversed,
+                "wall_sec": time.time() - t0,
+            }
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                self._checkpoint_round(algo, it + 1, counters)
+            if err < self.N * tol:
+                m.converged = True
+                break
+        m.wall_sec = time.time() - t0
+        self.metrics[algo] = m
+        if checkpoint_every:
+            self._checkpoint_round(algo, m.iterations, counters)
+        return self._results(algo)
+
+    # ---- min-label algorithms ----
+    def _min_label_run(
+        self,
+        algo: str,
+        seeds: np.ndarray | None,
+        max_iter: int,
+        checkpoint_every: int,
+        resume: bool,
+    ) -> ray.data.Dataset:
+        self.start()
+        t0 = time.time()
+        m = RunMetrics()
+        start_iter = 0
+        if resume and (ck := self.latest_checkpoint(algo)):
+            start_iter = ck[0]
+            ray.get(
+                [
+                    a.load_checkpoint.remote(
+                        algo, os.path.join(self.work_dir, "ckpt"), start_iter
+                    )
+                    for a in self.actors
+                ]
+            )
+        else:
+            shutil.rmtree(os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True)
+            ray.get(
+                [a.init_state.remote(algo, seed_prefix_ids=seeds) for a in self.actors]
+            )
+
+        counters = {}
+        for it in range(start_iter, max_iter):
+            hub_ref = self._hub_broadcast(algo)
+            outs = self._exchange(algo, hub_ref)
+            rets = ray.get(
+                [
+                    self.actors[q].apply_min.remote(
+                        *[outs[p][q] for p in range(self.P)]
+                    )
+                    for q in range(self.P)
+                ]
+            )
+            changed = sum(rets)
+            m.iterations = it + 1
+            m.edges_traversed += self.total_edges
+            m.history.append({"iter": it + 1, "changed": changed})
+            counters = {
+                "changed": changed,
+                "edges_traversed": m.edges_traversed,
+                "wall_sec": time.time() - t0,
+            }
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                self._checkpoint_round(algo, it + 1, counters)
+            if changed == 0:
+                m.converged = True
+                break
+        m.wall_sec = time.time() - t0
+        self.metrics[algo] = m
+        if checkpoint_every:
+            self._checkpoint_round(algo, m.iterations, counters)
+        return self._results(algo)
+
+    def components(
+        self, max_iter: int = 200, checkpoint_every: int = 0, resume: bool = False
+    ) -> ray.data.Dataset:
+        """Min-label propagation to fixpoint on the (symmetrized) build —
+        the scalable replacement for per-node reachability/eccentricity
+        (/root/reference/code/features/structure.py:129-131,173-177).
+        Component id = min vertex id in the component (exact, deterministic).
+        """
+        return self._min_label_run("components", None, max_iter, checkpoint_every, resume)
+
+    def labelprop(
+        self,
+        seeds: np.ndarray,
+        max_iter: int = 50,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ) -> ray.data.Dataset:
+        """Seeded synchronous label propagation, smallest-label tie-break:
+        seeds are frozen to their own vertex id; every other vertex
+        repeatedly adopts the minimum label among itself and its in-neighbors
+        (run on the symmetrized build for undirected semantics).  Deterministic
+        by construction; generalizes the reference's ancestor-class flags
+        (/root/reference/code/features/structure.py:137-163).
+        Unreached vertices keep the UNLABELED sentinel (documented).
+        """
+        seeds = np.sort(np.asarray(seeds, dtype=np.int64))
+        return self._min_label_run("labelprop", seeds, max_iter, checkpoint_every, resume)
+
+    # ---- results ----
+    def _results(self, algo: str) -> ray.data.Dataset:
+        tables = ray.get([a.result_table.remote(algo) for a in self.actors])
+        return ray.data.from_arrow(tables)
+
+    def cleanup(self):
+        self.shutdown()
+        shutil.rmtree(self.work_dir, ignore_errors=True)

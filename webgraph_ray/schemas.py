@@ -34,8 +34,8 @@ EDGE_TYPES = ("reply", "tool_call", "same_tool")
 
 EDGES = pa.schema(
     [
-        pa.field("src", pa.uint64()),
-        pa.field("dst", pa.uint64()),
+        pa.field("src", pa.int64()),
+        pa.field("dst", pa.int64()),
         pa.field("src_key", pa.string()),
         pa.field("dst_key", pa.string()),
         pa.field("edge_type", pa.string()),
@@ -49,8 +49,8 @@ EDGES = pa.schema(
 # SURVEY.md §7 "keep wide text payloads out of shuffle paths").
 EDGES_NARROW = pa.schema(
     [
-        pa.field("src", pa.uint64()),
-        pa.field("dst", pa.uint64()),
+        pa.field("src", pa.int64()),
+        pa.field("dst", pa.int64()),
         pa.field("weight", pa.int64()),
     ]
 )
@@ -63,7 +63,7 @@ VERTEX_TYPES = ("turn", "tool", "conv")
 
 VERTICES = pa.schema(
     [
-        pa.field("vertex_id", pa.uint64()),
+        pa.field("vertex_id", pa.int64()),
         pa.field("vertex_key", pa.string()),
         pa.field("vertex_type", pa.string()),
         pa.field("conv_id", pa.string()),  # nullable (null for tool vertices)
@@ -76,16 +76,16 @@ VERTICES = pa.schema(
 # Algorithm outputs
 # ---------------------------------------------------------------------------
 PAGERANK = pa.schema(
-    [pa.field("vertex_id", pa.uint64()), pa.field("score", pa.float64())]
+    [pa.field("vertex_id", pa.int64()), pa.field("score", pa.float64())]
 )
 COMPONENTS = pa.schema(
-    [pa.field("vertex_id", pa.uint64()), pa.field("component", pa.uint64())]
+    [pa.field("vertex_id", pa.int64()), pa.field("component", pa.int64())]
 )
 LABELS = pa.schema(
-    [pa.field("vertex_id", pa.uint64()), pa.field("label", pa.uint64())]
+    [pa.field("vertex_id", pa.int64()), pa.field("label", pa.int64())]
 )
 TRIANGLES = pa.schema(
-    [pa.field("vertex_id", pa.uint64()), pa.field("triangles", pa.int64())]
+    [pa.field("vertex_id", pa.int64()), pa.field("triangles", pa.int64())]
 )
 DEGREES = pa.schema(
     [
