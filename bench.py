@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data link-graph engine.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in a fresh local Ray session with
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "pagerank_edges_per_sec": ..., "pagerank_iters": ...}
+
+``--scaling`` runs the same suite twice in fresh subprocesses
+(num_cpus=8 then 32) and reports both PageRank throughputs plus the
+scaling efficiency (BASELINE.md records the results) — the sandbox
+evidence for the north rule's N vs 4N cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_suite() -> dict:
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import tempfile
+
+    from webgraph_ray.graph.engine import GraphEngine
+    from webgraph_ray.graph.triangles import triangle_counts
+    from webgraph_ray.sources.transcripts import transcripts_from_events
+    from webgraph_ray.stages.edges import derive_edges
+    from webgraph_ray.stages.vertices import degrees
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    # warm the OS page cache so the timed run measures compute + shuffle
+    with open(events_path, "rb") as f:
+        f.read()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    t_suite = time.time()
+
+    # 1. edge derivation (transcripts window + 3 rules, incl. one shuffle)
+    t0 = time.time()
+    edges = derive_edges(transcripts_from_events(events_path)).materialize()
+    n_edges = edges.count()
+    queries["derive_edges"] = round(time.time() - t0, 3)
+
+    # 2. degree aggregation (map-side combine + one groupby)
+    t0 = time.time()
+    degrees(edges).count()
+    queries["degrees"] = round(time.time() - t0, 3)
+
+    work = tempfile.mkdtemp(prefix="bench_graph_")
+    num_parts = max(1, ncpu // 2)
+
+    # 3. PageRank to 1e-6 (BSP engine; the north-rule headline)
+    t0 = time.time()
+    eng = GraphEngine(os.path.join(work, "pr"), num_parts=num_parts)
+    eng.build(edges)
+    eng.pagerank(tol=1e-6)
+    m = eng.metrics["pagerank"]
+    queries["pagerank"] = round(time.time() - t0, 3)
+    extras["pagerank_iters"] = m.iterations
+    # sustained iteration throughput: fixed 20 iterations (the converged run
+    # above can stop after very few on easy graphs, which under-measures)
+    eng.pagerank(tol=0.0, max_iter=20)
+    mf = eng.metrics["pagerank"]
+    eng.shutdown()
+    extras["pagerank_edges_per_sec"] = round(mf.edges_traversed / mf.wall_sec, 1)
+    extras["pagerank_iter_sec"] = round(mf.wall_sec / mf.iterations, 4)
+
+    # 4. connected components on the symmetrized build
+    t0 = time.time()
+    eng2 = GraphEngine(os.path.join(work, "cc"), num_parts=num_parts)
+    eng2.build(edges, symmetrize=True)
+    eng2.components()
+    mc = eng2.metrics["components"]
+    eng2.shutdown()
+    queries["components"] = round(time.time() - t0, 3)
+    extras["components_edges_per_sec"] = round(mc.edges_traversed / mc.wall_sec, 1)
+
+    # 5. triangle counting
+    t0 = time.time()
+    total, _ = triangle_counts(edges)
+    queries["triangles"] = round(time.time() - t0, 3)
+    extras["triangle_count"] = total
+
+    value = round(time.time() - t_suite, 3)
+    out = {
+        "metric": "graph_suite_e2e",
+        "value": value,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "n_edges": n_edges,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_pr_throughput() -> dict:
+    """Steady-state PageRank iteration throughput on a deterministic
+    synthetic graph (~12M edges from 100k Zipf conversations): build, one
+    warm-up run, then a timed fixed-20-iteration run.  Used by --scaling."""
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "100000"))
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import tempfile
+
+    from webgraph_ray.graph.engine import GraphEngine
+    from webgraph_ray.sources.transcripts import generate_transcripts
+    from webgraph_ray.stages.edges import derive_edges
+
+    edges = derive_edges(generate_transcripts(n_convs, seed=42)).materialize()
+    eng = GraphEngine(tempfile.mkdtemp(prefix="bench_scaling_"), num_parts=max(1, ncpu // 2))
+    eng.build(edges)
+    eng.pagerank(tol=0.0, max_iter=5)  # warm-up (code paths, plasma, actors)
+    eng.pagerank(tol=0.0, max_iter=20)
+    m = eng.metrics["pagerank"]
+    out = {
+        "metric": "pagerank_throughput",
+        "value": round(m.edges_traversed / m.wall_sec, 1),
+        "unit": "edges/sec",
+        "num_cpus": ncpu,
+        "n_edges": eng.total_edges,
+        "iter_sec": round(m.wall_sec / m.iterations, 4),
+    }
+    eng.shutdown()
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same PageRank job at 8 and 32 CPUs in fresh interpreters (the
+    sandbox evidence for the N vs 4N cluster criterion)."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="pr_throughput"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    eps8 = results[8]["value"]
+    eps32 = results[32]["value"]
+    eff = (eps32 / eps8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "pagerank_eps_8cpu": eps8,
+        "pagerank_eps_32cpu": eps32,
+        "speedup_8_to_32": round(eps32 / eps8, 2),
+        "n_edges": results[32]["n_edges"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif os.environ.get("GRAFT_BENCH_MODE") == "pr_throughput":
+        print(json.dumps(run_pr_throughput()))
+    else:
+        print(json.dumps(run_suite()))

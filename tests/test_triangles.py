@@ -48,6 +48,15 @@ def test_simple_known_graph():
     assert int(p.loc[3]) == 1 and int(p.loc[4]) == 1
 
 
+def test_bucketed_path_matches_broadcast(tri_fixture):
+    """Forcing broadcast_threshold=0 exercises the scale path (bucketed
+    joins); result must be identical."""
+    edges, pdf = tri_fixture
+    exp_total, _ = oracle.triangles_oracle(pdf)
+    got_total, _ = triangle_counts(edges, num_partitions=4, broadcast_threshold=0)
+    assert got_total == exp_total
+
+
 def test_directed_duplicates_collapse():
     # both directions + parallel edges count once
     edges = pd.DataFrame(

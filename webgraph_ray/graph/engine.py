@@ -128,6 +128,54 @@ def _outdeg_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"vertex_id": pa.array(uniq), "out_strength": pa.array(sums)})
 
 
+def _outdeg_partials_with_part(num_parts: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        t = _outdeg_partials_batch(batch)
+        vid = t["vertex_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((vid % num_parts).astype(np.int32)))
+
+    return fn
+
+
+@ray.remote
+def _assemble_hub_remote(positions, n_hubs, *vals_per_actor):
+    """Remote hub-broadcast assembly so chained iterations need no driver
+    round-trip: takes each actor's owned-hub values (refs) and produces the
+    next iteration's global hub array."""
+    dtype = next(
+        (v.dtype for v in vals_per_actor if len(v)), np.dtype(np.float64)
+    )
+    arr = np.zeros(n_hubs, dtype=dtype)
+    for pos, vals in zip(positions, vals_per_actor):
+        if len(vals):
+            arr[pos] = vals
+    return arr
+
+
+@ray.remote
+def _reduce_outdeg(partials_dir: str, out_dir: str, part: int, threshold: float):
+    """Final per-owner out-degree reduce: sum partials with numpy (replaces
+    a full sort-based groupby shuffle) and report this owner's hubs."""
+    d = os.path.join(partials_dir, f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return np.array([], dtype=np.int64)
+    t = pq.read_table(d, columns=["vertex_id", "out_strength"])
+    vid = t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["out_strength"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(vid, kind="stable")
+    vid, w = vid[order], w[order]
+    uniq, starts = np.unique(vid, return_index=True)
+    sums = np.add.reduceat(w, starts)
+    od = os.path.join(out_dir, f"part={part}")
+    os.makedirs(od, exist_ok=True)
+    tmp = os.path.join(od, f".tmp.{uuid.uuid4().hex[:8]}")
+    pq.write_table(
+        pa.table({"vertex_id": pa.array(uniq), "out_strength": pa.array(sums)}), tmp
+    )
+    os.replace(tmp, os.path.join(od, "data.parquet"))
+    return uniq[sums > threshold]
+
+
 # ---------------------------------------------------------------------------
 # The per-partition actor
 # ---------------------------------------------------------------------------
@@ -210,6 +258,7 @@ class GraphPartition:
 
         # vertex state (filled by init_state / load_checkpoint)
         self.state = np.zeros(n, dtype=np.float64)
+        self._hist: list = []
         self.frozen = np.zeros(n, dtype=bool)  # for seeded label propagation
         self.edges_count = len(esrc)
         self._inbox_maps: dict[int, np.ndarray] = {}
@@ -266,7 +315,8 @@ class GraphPartition:
         return int(n)
 
     def set_uniform_state(self, value: float):
-        self.state[:] = value
+        self.state = np.full(len(self.owned), value, dtype=np.float64)
+        self._hist = [self.state]
         return True
 
     def local_stats(self):
@@ -274,6 +324,17 @@ class GraphPartition:
         return dangling_mass, float(self.state.sum())
 
     # ---- hub broadcast ----
+    def hub_owned_ids(self):
+        """Hub ids owned by this partition (static; exchange setup)."""
+        n = len(self.owned)
+        if len(self.hub_ids) == 0 or n == 0:
+            return np.array([], dtype=np.int64)
+        pos = np.searchsorted(self.owned, self.hub_ids)
+        ok = (pos < n) & (
+            np.take(self.owned, np.minimum(pos, n - 1)) == self.hub_ids
+        )
+        return self.hub_ids[ok]
+
     def hub_values(self, algo: str):
         """(hub_ids_owned, value) for hubs owned by this partition.
         Values keep their native dtype: float64 contribs for pagerank,
@@ -296,9 +357,7 @@ class GraphPartition:
         return ids, vals
 
     # ---- iteration: scatter ----
-    def scatter(self, algo: str, hub_vals: np.ndarray | None = None):
-        """Compute per-unique-dst combined messages; return P slices
-        (num_returns=P set at call site)."""
+    def _compute_messages(self, algo: str, hub_vals: np.ndarray | None = None):
         if algo == "pagerank":
             outs = self.out_strength
             contrib = np.where(outs > 0, self.state / np.maximum(outs, 1e-300), 0.0)
@@ -320,17 +379,47 @@ class GraphPartition:
                 msg = np.minimum.reduceat(edge_vals, self.seg_starts)
             else:
                 msg = np.array([], dtype=np.int64)
+        return msg
+
+    def scatter(self, algo: str, hub_vals: np.ndarray | None = None):
+        """Compute per-unique-dst combined messages; return P slices
+        (num_returns=P set at call site)."""
+        msg = self._compute_messages(algo, hub_vals)
         r, b = self.route, self.route_bounds
         out = tuple(msg[r[b[q] : b[q + 1]]] for q in range(self.P))
         if self.P == 1:
             return out[0]
         return out
 
+    def scatter_fused(self, algo: str, hub_vals: np.ndarray | None = None):
+        """Like scatter, but returns ONE (bounds, routed_messages) object
+        instead of P slices.  Receivers slice their own segment — on a
+        single node the object lives in shared-memory plasma, so every
+        reader maps it zero-copy and the object count per iteration drops
+        from P^2 to P.  On a multi-node cluster prefer the sliced scatter
+        (each slice ships only to its destination)."""
+        msg = self._compute_messages(algo, hub_vals)
+        return self.route_bounds, msg[self.route]
+
     # ---- iteration: apply ----
-    def apply_pagerank(self, alpha: float, one_over_n: float, dangling_mass: float, *incoming):
+    def apply_pagerank(self, alpha: float, one_over_n: float, dangling_mass, *rest):
+        """One power-iteration apply.  ``dangling_mass`` is either a float
+        (first iteration of a chain) or None, in which case the first P
+        elements of ``rest`` are the previous applies' per-partition
+        dangling masses (object refs resolved by Ray) — this lets the driver
+        chain K iterations without a synchronization round between them.
+        Returns 3 values (``num_returns=3`` at the call site): L1 delta,
+        local dangling mass, and this owner's hub values for the next
+        iteration's broadcast."""
+        if dangling_mass is None:
+            dangling_mass = float(sum(rest[: self.P]))
+            incoming = rest[self.P :]
+        else:
+            incoming = rest
         xlast = self.state
         agg = np.zeros(len(self.owned), dtype=np.float64)
         for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
             if vals is None or len(vals) == 0:
                 continue
             # positions are unique within one source partition's message
@@ -340,12 +429,33 @@ class GraphPartition:
         x = alpha * (agg + dangling_mass * one_over_n) + (1.0 - alpha) * one_over_n
         delta = float(np.abs(x - xlast).sum())
         self.state = x
+        self._hist.append(x)
+        if len(self._hist) > 34:
+            del self._hist[0]
         dangling_next = float(x[self.out_strength == 0].sum())
-        return delta, dangling_next
+        # piggyback next-iteration hub values: saves a full RPC round
+        return delta, dangling_next, self.hub_values("pagerank")[1]
+
+    def rollback(self, steps: int):
+        """Discard the last ``steps`` applies (chained iterations that ran
+        past the convergence point must not affect the returned state)."""
+        for _ in range(steps):
+            self._hist.pop()
+        self.state = self._hist[-1]
+        return True
+
+    def _my_slice(self, item):
+        """Fused-exchange messages arrive as (bounds, routed_msg); pick this
+        partition's segment (a zero-copy view of the plasma buffer)."""
+        if isinstance(item, tuple):
+            bounds, msg = item
+            return msg[bounds[self.pid] : bounds[self.pid + 1]]
+        return item
 
     def apply_min(self, *incoming):
         new = self.labels.copy()
         for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
             if vals is None or len(vals) == 0:
                 continue
             pos = self._inbox_maps[p]
@@ -353,7 +463,7 @@ class GraphPartition:
         new[self.frozen] = self.labels[self.frozen]
         changed = int((new != self.labels).sum())
         self.labels = new
-        return changed
+        return changed, self.hub_values("min")[1]
 
     # ---- checkpoint / results ----
     def checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
@@ -386,6 +496,7 @@ class GraphPartition:
         assert np.array_equal(vid, self.owned), "checkpoint/build vertex mismatch"
         if algo == "pagerank":
             self.state = t["value"].to_numpy().astype(np.float64).copy()
+            self._hist = [self.state]
         else:
             self.labels = t["value"].to_numpy().astype(np.int64).copy()
             self.frozen = t["frozen"].to_numpy().copy()
@@ -430,6 +541,7 @@ class GraphEngine:
         num_parts: int | None = None,
         hub_threshold: int = 1 << 17,
         actor_num_cpus: float = 1.0,
+        fused_exchange: bool = True,
     ):
         """``actor_num_cpus``: CPU reservation per partition actor.  Must
         satisfy ``num_parts * actor_num_cpus <= cluster CPUs`` or actor
@@ -442,6 +554,7 @@ class GraphEngine:
         self.P = int(num_parts)
         self.actor_num_cpus = float(actor_num_cpus)
         self.hub_threshold = int(hub_threshold)
+        self.fused = bool(fused_exchange)
         self.actors: list | None = None
         self.N = 0
         self.total_edges = 0
@@ -466,46 +579,36 @@ class GraphEngine:
             narrow = narrow.map_batches(sym, batch_format="pyarrow")
 
         # pass 0: persist the narrow projection to disk once, so the three
-        # passes below stream from parquet instead of re-deriving or pinning
-        # the edge set in the object store.
-        raw_dir = os.path.join(self.work_dir, "raw")
-        narrow.write_parquet(raw_dir)
-        narrow = ray.data.read_parquet(raw_dir)
+        # passes below stream from parquet instead of re-deriving the whole
+        # upstream pipeline three times.  Skipped when the input is already
+        # materialized (re-running a projection over pinned blocks is free).
+        from ray.data.dataset import MaterializedDataset
 
-        # pass 1: weighted out-degree partials -> groupby -> hub detection +
-        # owner-partitioned out-strength table
-        outdeg = (
-            narrow.map_batches(
-                _outdeg_partials_batch, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .groupby("vertex_id")
-            .aggregate(Sum("out_strength", alias_name="out_strength"))
-        )
+        if not isinstance(edges, MaterializedDataset):
+            raw_dir = os.path.join(self.work_dir, "raw")
+            narrow.write_parquet(raw_dir)
+            narrow = ray.data.read_parquet(raw_dir)
 
-        def owner_part(t: pa.Table) -> pa.Table:
-            vid = t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.append_column(
-                "part", pa.array((vid % self.P).astype(np.int32))
-            )
-
+        # pass 1: weighted out-degree — per-batch partials written partitioned
+        # by owner, then P parallel numpy reduce tasks (NO sort shuffle; the
+        # map-side combine makes the partials small and the reduce local).
+        # Each reduce task also reports its owner's hubs (> threshold).
+        partials_dir = os.path.join(self.work_dir, "outdeg_partials")
+        narrow.map_batches(
+            _outdeg_partials_with_part(self.P),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).write_parquet(partials_dir, partition_cols=["part"])
         outdeg_dir = os.path.join(self.work_dir, "outdeg")
-        outdeg.map_batches(owner_part, batch_format="pyarrow").write_parquet(
-            outdeg_dir, partition_cols=["part"]
+        hub_lists = ray.get(
+            [
+                _reduce_outdeg.remote(
+                    partials_dir, outdeg_dir, p, float(self.hub_threshold)
+                )
+                for p in range(self.P)
+            ]
         )
-
-        # hub set: re-scan the (disk-backed) out-degree table; result is tiny
-        # by definition (vertices above threshold)
-        hub_tables = ray.get(
-            ray.data.read_parquet(outdeg_dir, columns=["vertex_id", "out_strength"])
-            .filter(expr=f"out_strength > {float(self.hub_threshold)}")
-            .to_arrow_refs()
-        )
-        hub_ids = np.sort(
-            np.concatenate(
-                [t["vertex_id"].to_numpy(zero_copy_only=False) for t in hub_tables]
-                or [np.array([], dtype=np.int64)]
-            ).astype(np.int64)
-        )
+        hub_ids = np.sort(np.concatenate(hub_lists).astype(np.int64))
         pq.write_table(
             pa.table({"vertex_id": pa.array(hub_ids)}),
             os.path.join(self.work_dir, "hubs.parquet"),
@@ -561,6 +664,20 @@ class GraphEngine:
             ray.get(
                 a.register_inboxes.remote({p: outboxes[p][q] for p in range(self.P)})
             )
+        # hub routing: per-actor positions into the global sorted hub array
+        hub_path = os.path.join(self.work_dir, "hubs.parquet")
+        self.hub_ids_global = (
+            pq.read_table(hub_path)["vertex_id"].to_numpy().astype(np.int64)
+            if os.path.exists(hub_path)
+            else np.array([], dtype=np.int64)
+        )
+        self.has_hubs = len(self.hub_ids_global) > 0
+        if self.has_hubs:
+            owned = ray.get([a.hub_owned_ids.remote() for a in self.actors])
+            self._hub_pos = [
+                np.searchsorted(self.hub_ids_global, ids) for ids in owned
+            ]
+            self._hub_pos_ref = ray.put(self._hub_pos)
         return self
 
     def shutdown(self):
@@ -571,10 +688,17 @@ class GraphEngine:
 
     # ---- common iteration driver ----
     def _exchange(self, algo: str, hub_ref):
+        """Submit one scatter per actor; returns outs[p][q] = ref of the
+        message block from p to q.  In fused mode (default; right for a
+        single node where plasma is shared memory) each actor emits ONE
+        routed object and receivers slice it — P objects per iteration.
+        With fused=False each slice is a separate return (P^2 objects) and
+        ships only to its destination — right for multi-node clusters."""
         outs = []
         for a in self.actors:
-            if self.P == 1:
-                outs.append([a.scatter.remote(algo, hub_ref)])
+            if self.fused or self.P == 1:
+                ref = a.scatter_fused.remote(algo, hub_ref) if self.P > 1 else a.scatter.remote(algo, hub_ref)
+                outs.append([ref] * self.P)
             else:
                 outs.append(
                     list(
@@ -583,13 +707,23 @@ class GraphEngine:
                 )
         return outs
 
-    def _hub_broadcast(self, algo: str):
+    def _assemble_hub_ref(self, vals_per_actor, dtype):
+        """Per-actor owned-hub values -> one broadcast array (ray.put once
+        per iteration; actors read it zero-copy from the object store)."""
+        arr = np.zeros(len(self.hub_ids_global), dtype=dtype)
+        for p, vals in enumerate(vals_per_actor):
+            if len(vals):
+                arr[self._hub_pos[p]] = vals
+        return ray.put(arr)
+
+    def _initial_hub_ref(self, algo: str):
+        if not self.has_hubs:
+            return None
         vals = ray.get([a.hub_values.remote(algo) for a in self.actors])
-        ids = np.concatenate([v[0] for v in vals])
-        vv = np.concatenate([v[1] for v in vals])
-        order = np.argsort(ids)
-        # hub_pos in actors indexes into the globally sorted hub id array
-        return ray.put(vv[order]) if len(ids) else ray.put(np.array([]))
+        return self._assemble_hub_ref(
+            [v[1] for v in vals],
+            np.float64 if algo == "pagerank" else np.int64,
+        )
 
     def _write_manifest(self, algo, iteration, counters, paths):
         mdir = os.path.join(self.work_dir, "ckpt", algo, f"iter={iteration}")
@@ -636,6 +770,7 @@ class GraphEngine:
         max_iter: int = 100,
         checkpoint_every: int = 0,
         resume: bool = False,
+        chain: int = 8,
     ) -> ray.data.Dataset:
         """Power iteration mirroring networkx.pagerank semantics exactly:
         uniform init/personalization/dangling distribution, L1 convergence
@@ -643,6 +778,13 @@ class GraphEngine:
         The reference's per-node closeness centrality
         (/root/reference/code/features/structure.py:170) is the capability
         this replaces at scale.
+
+        ``chain`` iterations are submitted as one dependency-chained task
+        graph with a single driver synchronization at the end (dangling
+        masses and hub broadcasts flow through object refs), amortizing the
+        per-iteration coordination cost.  If convergence lands inside a
+        chain the actors roll back the overshoot, so results are identical
+        to chain=1.  Checkpointing caps the chain at ``checkpoint_every``.
         """
         self.start()
         algo = "pagerank"
@@ -671,40 +813,71 @@ class GraphEngine:
             dangling_mass = sum(s[0] for s in stats)
 
         counters = {"err": None, "dangling_mass": dangling_mass, "edges_traversed": 0}
-        for it in range(start_iter, max_iter):
-            hub_ref = self._hub_broadcast(algo)
-            outs = self._exchange(algo, hub_ref)
-            rets = ray.get(
-                [
-                    self.actors[q].apply_pagerank.remote(
+        hub_ref = self._initial_hub_ref(algo)
+        if checkpoint_every:
+            chain = max(1, min(chain, checkpoint_every))
+        chain = max(1, min(chain, 32))  # actor history holds 34 states
+        it = start_iter
+        while it < max_iter and not m.converged:
+            k = min(chain, max_iter - it)
+            delta_refss = []
+            dangl_refss = []
+            dangling_arg: float | None = dangling_mass
+            dangl_refs: list = []
+            for _ in range(k):
+                outs = self._exchange(algo, hub_ref)
+                applies = [
+                    self.actors[q]
+                    .apply_pagerank.options(num_returns=3)
+                    .remote(
                         alpha,
                         one_over_n,
-                        dangling_mass,
+                        dangling_arg,
+                        *dangl_refs,
                         *[outs[p][q] for p in range(self.P)],
                     )
                     for q in range(self.P)
                 ]
+                delta_refss.append([a[0] for a in applies])
+                dangl_refs = [a[1] for a in applies]
+                dangl_refss.append(dangl_refs)
+                dangling_arg = None  # subsequent iterations sum the refs
+                if self.has_hubs:
+                    hub_ref = _assemble_hub_remote.remote(
+                        self._hub_pos_ref,
+                        len(self.hub_ids_global),
+                        *[a[2] for a in applies],
+                    )
+            # single synchronization for the whole chain
+            errs = [sum(ray.get(refs)) for refs in delta_refss]
+            done_j = None
+            for j, err in enumerate(errs):
+                it += 1
+                m.iterations = it
+                m.edges_traversed += self.total_edges
+                m.history.append({"iter": it, "err": err})
+                if err < self.N * tol:
+                    m.converged = True
+                    done_j = j
+                    break
+            overshoot = (k - 1 - done_j) if done_j is not None else 0
+            if overshoot:
+                ray.get([a.rollback.remote(overshoot) for a in self.actors])
+            dangling_mass = sum(
+                ray.get(dangl_refss[done_j if done_j is not None else k - 1])
             )
-            err = sum(r[0] for r in rets)
-            dangling_mass = sum(r[1] for r in rets)
-            m.iterations = it + 1
-            m.edges_traversed += self.total_edges
-            m.history.append({"iter": it + 1, "err": err})
             counters = {
-                "err": err,
+                "err": m.history[-1]["err"],
                 "dangling_mass": dangling_mass,
                 "edges_traversed": m.edges_traversed,
                 "wall_sec": time.time() - t0,
             }
-            if checkpoint_every and (it + 1) % checkpoint_every == 0:
-                self._checkpoint_round(algo, it + 1, counters)
-            if err < self.N * tol:
-                m.converged = True
-                break
+            if checkpoint_every and (
+                it % checkpoint_every == 0 or m.converged or it >= max_iter
+            ):
+                self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
         self.metrics[algo] = m
-        if checkpoint_every:
-            self._checkpoint_round(algo, m.iterations, counters)
         return self._results(algo)
 
     # ---- min-label algorithms ----
@@ -715,6 +888,7 @@ class GraphEngine:
         max_iter: int,
         checkpoint_every: int,
         resume: bool,
+        chain: int = 4,
     ) -> ray.data.Dataset:
         self.start()
         t0 = time.time()
@@ -737,35 +911,49 @@ class GraphEngine:
             )
 
         counters = {}
-        for it in range(start_iter, max_iter):
-            hub_ref = self._hub_broadcast(algo)
-            outs = self._exchange(algo, hub_ref)
-            rets = ray.get(
-                [
-                    self.actors[q].apply_min.remote(
-                        *[outs[p][q] for p in range(self.P)]
-                    )
+        hub_ref = self._initial_hub_ref(algo)
+        chain = max(1, min(chain, checkpoint_every) if checkpoint_every else chain)
+        it = start_iter
+        while it < max_iter and not m.converged:
+            k = min(chain, max_iter - it)
+            changed_refss = []
+            for _ in range(k):
+                outs = self._exchange(algo, hub_ref)
+                applies = [
+                    self.actors[q]
+                    .apply_min.options(num_returns=2)
+                    .remote(*[outs[p][q] for p in range(self.P)])
                     for q in range(self.P)
                 ]
-            )
-            changed = sum(rets)
-            m.iterations = it + 1
-            m.edges_traversed += self.total_edges
-            m.history.append({"iter": it + 1, "changed": changed})
+                changed_refss.append([a[0] for a in applies])
+                if self.has_hubs:
+                    hub_ref = _assemble_hub_remote.remote(
+                        self._hub_pos_ref,
+                        len(self.hub_ids_global),
+                        *[a[1] for a in applies],
+                    )
+            for refs in changed_refss:
+                changed = sum(ray.get(refs))
+                it += 1
+                m.iterations = it
+                m.edges_traversed += self.total_edges
+                m.history.append({"iter": it, "changed": changed})
+                if changed == 0:
+                    # min-label is monotone: iterations past the fixpoint are
+                    # no-ops, so overshoot inside the chain needs no rollback
+                    m.converged = True
+                    break
             counters = {
-                "changed": changed,
+                "changed": m.history[-1]["changed"],
                 "edges_traversed": m.edges_traversed,
                 "wall_sec": time.time() - t0,
             }
-            if checkpoint_every and (it + 1) % checkpoint_every == 0:
-                self._checkpoint_round(algo, it + 1, counters)
-            if changed == 0:
-                m.converged = True
-                break
+            if checkpoint_every and (
+                it % checkpoint_every == 0 or m.converged or it >= max_iter
+            ):
+                self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
         self.metrics[algo] = m
-        if checkpoint_every:
-            self._checkpoint_round(algo, m.iterations, counters)
         return self._results(algo)
 
     def components(

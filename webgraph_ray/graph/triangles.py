@@ -64,19 +64,34 @@ _EMPTY_WEDGES = pa.table(
 )
 
 
-def _wedges_group(g: pd.DataFrame) -> pa.Table:
-    """All rank-ordered pairs of out-neighbors of one oriented source."""
+def _wedges_bucket(g: pd.DataFrame) -> pa.Table:
+    """Rank-ordered out-neighbor pairs for every oriented source in one
+    hash bucket of sources.  Bucket-level grouping keeps the Ray per-group
+    overhead at O(num_buckets), not O(V); the inner per-source loop is
+    microseconds of numpy."""
     if len(g) < 2:
         return _EMPTY_WEDGES
-    g = g.sort_values(["deg_hi", "hi"], kind="mergesort")
+    g = g.sort_values(["lo", "deg_hi", "hi"], kind="mergesort")
+    lo = g["lo"].to_numpy(dtype=np.int64)
     hi = g["hi"].to_numpy(dtype=np.int64)
-    lo = int(g["lo"].iloc[0])
-    i, j = np.triu_indices(len(hi), k=1)
+    _, starts = np.unique(lo, return_index=True)
+    bounds = np.append(starts, len(lo))
+    xs, ys, ls = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        k = e - s
+        if k < 2:
+            continue
+        i, j = np.triu_indices(k, k=1)
+        xs.append(hi[s + i])
+        ys.append(hi[s + j])
+        ls.append(np.full(len(i), lo[s], dtype=np.int64))
+    if not xs:
+        return _EMPTY_WEDGES
     return pa.table(
         {
-            "x": pa.array(hi[i]),
-            "y": pa.array(hi[j]),
-            "lo": pa.array(np.full(len(i), lo, dtype=np.int64)),
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "lo": pa.array(np.concatenate(ls)),
         },
         schema=_WEDGE_SCHEMA,
     )
@@ -97,12 +112,21 @@ def _corner_partials(t: pa.Table) -> pa.Table:
 
 
 def triangle_counts(
-    edges: ray.data.Dataset, num_partitions: int | None = None
+    edges: ray.data.Dataset,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 20_000_000,
 ) -> tuple[int, ray.data.Dataset]:
     """Returns (total_triangles, per-vertex Dataset(vertex_id, triangles)).
 
     Per-vertex rows are emitted only for vertices in >=1 triangle (fill 0
     against the vertex table for the dense view).
+
+    When the deduped undirected edge set is below ``broadcast_threshold``
+    rows, degree attach and wedge closing use a broadcast small side
+    (``ray.put`` once, numpy/pandas probe per batch) instead of the
+    partitioned hash join — the classic small-side optimization.  Above the
+    threshold both steps fall back to ``bucketed_join`` (no broadcast, scales
+    past single-node memory).
     """
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
@@ -114,6 +138,7 @@ def triangle_counts(
         .select_columns(["a", "b"])
         .materialize()
     )
+    small = und.count() <= broadcast_threshold
 
     deg = (
         und.map_batches(_deg_partials, batch_format="pyarrow", zero_copy_batch=True)
@@ -121,25 +146,7 @@ def triangle_counts(
         .aggregate(Sum("deg", alias_name="deg"))
     )
 
-    def _renamed(ds, mapping):
-        return ds.map_batches(
-            lambda df: df.rename(columns=mapping), batch_format="pandas"
-        )
-
-    dega = _renamed(deg, {"vertex_id": "a", "deg": "deg_a"})
-    degb = _renamed(deg, {"vertex_id": "b", "deg": "deg_b"})
-    withdeg = bucketed_join(
-        bucketed_join(und, dega, keys=["a"], num_buckets=num_partitions),
-        degb,
-        keys=["b"],
-        num_buckets=num_partitions,
-    )
-
-    def orient(df: pd.DataFrame) -> pa.Table:
-        a = df["a"].to_numpy(dtype=np.int64)
-        b = df["b"].to_numpy(dtype=np.int64)
-        deg_a = df["deg_a"].to_numpy(dtype=np.int64)
-        deg_b = df["deg_b"].to_numpy(dtype=np.int64)
+    def _orient_arrays(a, b, deg_a, deg_b) -> pa.Table:
         a_first = (deg_a < deg_b) | ((deg_a == deg_b) & (a < b))
         lo = np.where(a_first, a, b)
         hi = np.where(a_first, b, a)
@@ -148,14 +155,100 @@ def triangle_counts(
             {"lo": pa.array(lo), "hi": pa.array(hi), "deg_hi": pa.array(deg_hi)}
         )
 
-    oriented = withdeg.map_batches(orient, batch_format="pandas").materialize()
+    if small:
+        # broadcast the degree table once; probe via searchsorted per batch
+        dpdf = deg.to_pandas()
+        dv = np.sort(dpdf["vertex_id"].to_numpy(dtype=np.int64))
+        dd = dpdf.set_index("vertex_id")["deg"].loc[dv].to_numpy(dtype=np.int64)
+        deg_ref = ray.put((dv, dd))
 
-    wedges = oriented.groupby("lo").map_groups(_wedges_group, batch_format="pandas")
+        def orient_bcast(t: pa.Table) -> pa.Table:
+            verts, degs = ray.get(deg_ref)
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            deg_a = degs[np.searchsorted(verts, a)]
+            deg_b = degs[np.searchsorted(verts, b)]
+            return _orient_arrays(a, b, deg_a, deg_b)
 
-    closing = _renamed(oriented.select_columns(["lo", "hi"]), {"lo": "x", "hi": "y"})
-    matched = bucketed_join(
-        wedges, closing, keys=["x", "y"], how="left_semi", num_buckets=num_partitions
-    ).materialize()
+        oriented = und.map_batches(
+            orient_bcast, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        def _renamed(ds, mapping):
+            return ds.map_batches(
+                lambda df: df.rename(columns=mapping), batch_format="pandas"
+            )
+
+        dega = _renamed(deg, {"vertex_id": "a", "deg": "deg_a"})
+        degb = _renamed(deg, {"vertex_id": "b", "deg": "deg_b"})
+        withdeg = bucketed_join(
+            bucketed_join(und, dega, keys=["a"], num_buckets=num_partitions),
+            degb,
+            keys=["b"],
+            num_buckets=num_partitions,
+        )
+
+        def orient(df: pd.DataFrame) -> pa.Table:
+            return _orient_arrays(
+                df["a"].to_numpy(dtype=np.int64),
+                df["b"].to_numpy(dtype=np.int64),
+                df["deg_a"].to_numpy(dtype=np.int64),
+                df["deg_b"].to_numpy(dtype=np.int64),
+            )
+
+        oriented = withdeg.map_batches(orient, batch_format="pandas").materialize()
+
+    def add_lo_bucket(t: pa.Table) -> pa.Table:
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "lo_bucket", pa.array((lo % num_partitions).astype(np.int32))
+        )
+
+    wedges = (
+        oriented.map_batches(add_lo_bucket, batch_format="pyarrow")
+        .groupby("lo_bucket")
+        .map_groups(_wedges_bucket, batch_format="pandas")
+    )
+
+    if small:
+        # Broadcast the oriented edge set as a sorted array of packed
+        # (lo_rank << 32 | hi_rank) keys: ranks come from the sorted vertex
+        # vocabulary, so membership is one vectorized searchsorted per batch.
+        opdf = oriented.to_pandas()
+        e_lo = opdf["lo"].to_numpy(dtype=np.int64)
+        e_hi = opdf["hi"].to_numpy(dtype=np.int64)
+        vocab = np.unique(np.concatenate([e_lo, e_hi]))
+        assert len(vocab) < (1 << 32), "rank packing needs < 2^32 vertices"
+        packed = np.sort(
+            (np.searchsorted(vocab, e_lo).astype(np.int64) << 32)
+            | np.searchsorted(vocab, e_hi).astype(np.int64)
+        )
+        edge_ref = ray.put((vocab, packed))
+
+        def probe(t: pa.Table) -> pa.Table:
+            voc, pk = ray.get(edge_ref)
+            x = t["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(x) == 0:
+                return t
+            q = (np.searchsorted(voc, x).astype(np.int64) << 32) | np.searchsorted(
+                voc, y
+            ).astype(np.int64)
+            idx = np.searchsorted(pk, q)
+            ok = (idx < len(pk)) & (pk[np.minimum(idx, len(pk) - 1)] == q)
+            return t.filter(pa.array(ok))
+
+        matched = wedges.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        closing = _renamed(
+            oriented.select_columns(["lo", "hi"]), {"lo": "x", "hi": "y"}
+        )
+        matched = bucketed_join(
+            wedges, closing, keys=["x", "y"], how="left_semi",
+            num_buckets=num_partitions,
+        ).materialize()
 
     total = matched.count()
     per_vertex = (
