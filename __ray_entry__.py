@@ -266,6 +266,96 @@ def q_labelprop(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_token_stats(sf_dir: str):
+    from webgraph_ray.stages.text import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def q_quality_scores(sf_dir: str):
+    from webgraph_ray.stages.text import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from webgraph_ray.stages.text import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def q_doc_hashes(sf_dir: str):
+    from webgraph_ray.stages.text import doc_hashes
+
+    return doc_hashes(_docs(sf_dir))
+
+
+def q_fingerprints(sf_dir: str):
+    from webgraph_ray.stages.text import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def q_exact_dedup(sf_dir: str):
+    from webgraph_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    from webgraph_ray.stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.5).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+def q_simhash(sf_dir: str):
+    from webgraph_ray.stages.dedup import simhash
+
+    return simhash(_docs(sf_dir))
+
+
+def q_cosine_dup_pairs(sf_dir: str):
+    from webgraph_ray.stages.embed import cosine_dup_pairs
+
+    return cosine_dup_pairs(_embs(sf_dir), threshold=0.4)
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_topk(sf_dir: str):
+    from webgraph_ray.stages.embed import ann_topk
+
+    return ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def q_lsh_ann_topk(sf_dir: str):
+    from webgraph_ray.stages.embed import lsh_ann_topk
+
+    return lsh_ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def q_media_meta(sf_dir: str):
+    from webgraph_ray.stages.media import media_meta
+
+    return media_meta(_docs(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return run_flagship("/root/testdata/sf0.001")
@@ -285,6 +375,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "components": q_components,
         "labelprop": q_labelprop,
+        # training-data operators
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_hashes": q_doc_hashes,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash": q_simhash,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_meta": q_media_meta,
     }
 
 
@@ -365,4 +468,104 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pagerank / components / labelprop: iterative & non-SQL-expressible;
         # verified against the networkx/numpy oracle in tests/ instead.
+        # fingerprints / minhash / simhash / lsh_ann: hash-family outputs
+        # with no SQL equivalent; python-oracle-verified in tests/.
+        **_TRAINING_ORACLES,
     }
+
+
+def _sql_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _lang_scores_sql() -> str:
+    from webgraph_ray.stages.text import STOPWORDS
+
+    cols = ",\n".join(
+        f"len(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+        f"x -> x IN {_sql_list(ws)})) AS s_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def _build_training_oracles() -> dict[str, str]:
+    from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
+
+    en = _sql_list(STOPWORDS["en"])
+    langs = list(STOPWORDS)
+    gmax = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    ties = " + ".join(f"CAST(s_{l} = m AS INT)" for l in langs)
+    pick = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    ann_ids = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
+    return {
+        "token_stats": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_unique_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        """,
+        "quality_scores": f"""
+        WITH t AS (
+            SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks, x -> length(x) >= {LONG_TOKEN_LEN})) AS BIGINT) AS n_long_tokens,
+               CAST(len(list_filter(toks, x -> x IN {en})) AS BIGINT) AS n_stop_tokens,
+               CAST(100 * len(list_filter(toks, x -> x IN {en}))
+                    // greatest(len(toks), 1) AS BIGINT) AS stop_pct,
+               CAST(length(text) < 100 AS BIGINT) AS is_short
+        FROM t
+        """,
+        "lang_id": f"""
+        WITH s AS ({_lang_scores_sql()}),
+        m AS (SELECT *, {gmax} AS m FROM s)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'unknown'
+                    WHEN {ties} > 1 THEN 'unknown'
+                    {pick}
+               END AS pred_lang
+        FROM m
+        """,
+        "doc_hashes": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "exact_dedup": """
+        SELECT md5(text) AS text_md5,
+               min(doc_id) AS canonical_doc_id,
+               CAST(count(*) AS BIGINT) AS dup_count
+        FROM documents GROUP BY 1
+        """,
+        "cosine_dup_pairs": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "ann_topk": f"""
+        WITH q AS (SELECT * FROM embeddings WHERE vec_id IN {ann_ids}),
+        s AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.embedding, e.embedding) AS sim
+            FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+        )
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+               neighbor_id
+        FROM s
+        QUALIFY rank <= 10
+        """,
+        "media_meta": """
+        SELECT doc_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
+               CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
+               CASE strlen(text) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'webp' ELSE 'gif' END AS format
+        FROM documents
+        """,
+    }
+
+
+_TRAINING_ORACLES = _build_training_oracles()

@@ -1,0 +1,90 @@
+"""Embedding similarity search + multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from webgraph_ray.stages import embed, media
+
+
+@pytest.fixture(scope="module")
+def emb_ds(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    return ids, M
+
+
+def brute_topk(ids, M, qid, k):
+    qi = np.where(ids == qid)[0][0]
+    sims = M @ M[qi]
+    order = sorted(
+        ((s, v) for s, v in zip(sims, ids) if v != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [v for _, v in order[:k]]
+
+
+def test_ann_topk_exact(emb_ds, emb_np):
+    ids, M = emb_np
+    qids = [0, 1, 2]
+    got = embed.ann_topk(emb_ds, qids, k=10)
+    for q in qids:
+        g = got[got["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        assert g == brute_topk(ids, M, q, 10), q
+
+
+def test_lsh_ann_recall(emb_ds, emb_np):
+    ids, M = emb_np
+    qids = list(range(10))
+    got = embed.lsh_ann_topk(emb_ds, qids, k=10)
+    hits = total = 0
+    for q in qids:
+        exact = set(brute_topk(ids, M, q, 10))
+        approx = set(got[got["query_id"] == q]["neighbor_id"].tolist())
+        hits += len(exact & approx)
+        total += 10
+    recall = hits / total
+    # multi-table LSH: near neighbors collide in >=1 of 8 tables with high
+    # probability; fixed seed makes this deterministic
+    assert recall > 0.4, recall
+
+
+def test_cosine_dup_pairs(emb_ds, emb_np):
+    ids, M = emb_np
+    S = M @ M.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.4:
+                exp.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = embed.cosine_dup_pairs(emb_ds, threshold=0.4).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs == exp
+    assert len(exp) > 0
+
+
+def test_media_pipeline(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    m = media.media_meta(docs).to_pandas().set_index("doc_id")
+    pdf = docs.to_pandas()
+    for r in pdf.head(20).itertuples():
+        nb = len(r.text.encode("utf-8"))
+        assert m.loc[r.doc_id, "n_bytes"] == nb
+        assert m.loc[r.doc_id, "width"] == 64 + nb % 512
+        assert m.loc[r.doc_id, "format"] in ("png", "jpeg", "webp", "gif")
+
+
+def test_media_binary_schema(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    t = ray.get(media.to_media(docs).to_arrow_refs()[0])
+    assert t.schema.field("payload").type == "binary"

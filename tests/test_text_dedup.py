@@ -1,0 +1,145 @@
+"""Text analysis + dedup families vs brute-force python oracles."""
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from webgraph_ray.stages import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs_ds(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(sf_dir):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+
+
+def test_token_stats(docs_ds, docs_pd):
+    got = text.token_stats(docs_ds).to_pandas().set_index("doc_id").sort_index()
+    for _, row in docs_pd.head(50).iterrows():
+        toks = re.findall(r"\S+", row["text"])
+        assert got.loc[row["doc_id"], "n_tokens"] == len(toks)
+        assert got.loc[row["doc_id"], "n_unique_tokens"] == len(set(toks))
+        assert got.loc[row["doc_id"], "n_chars"] == len(row["text"])
+
+
+def test_lang_id_runs(docs_ds):
+    got = text.lang_id(docs_ds).to_pandas()
+    assert set(got.columns) == {"doc_id", "pred_lang"}
+    assert got["pred_lang"].isin(["en", "es", "fr", "de", "unknown"]).all()
+
+
+def test_fingerprint_deterministic(docs_ds):
+    a = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    b = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    # order sensitivity: reversed text fingerprints differ
+    assert text.rolling_fingerprint("ab c") != text.rolling_fingerprint("c ab")
+
+
+# ---------------------------------------------------------------------------
+# dedup with planted duplicates
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted():
+    """120 random docs + planted exact and near duplicates."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(30, 80)))
+        for _ in range(120)
+    ]
+    # exact dups: 3 copies of doc 0, 2 of doc 1
+    texts += [texts[0], texts[0], texts[1]]
+    # near dups: doc 2 with small edits (drop last 3 tokens / swap 2)
+    t2 = texts[2].split()
+    texts.append(" ".join(t2[:-3]))
+    texts.append(" ".join(t2[:10] + ["zzz"] + t2[11:]))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    return df
+
+
+def test_exact_dedup(planted):
+    ds = ray.data.from_pandas(planted)
+    got = dedup.exact_dedup(ds).to_pandas()
+    md5 = planted["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    exp = (
+        planted.assign(text_md5=md5)
+        .groupby("text_md5")["doc_id"]
+        .agg(["min", "count"])
+    )
+    assert len(got) == len(exp)
+    g = got.set_index("text_md5")
+    for h, row in exp.iterrows():
+        assert g.loc[h, "canonical_doc_id"] == row["min"]
+        assert g.loc[h, "dup_count"] == row["count"]
+    # the planted dups collapse
+    assert (got["dup_count"] >= 3).sum() == 1
+    assert (got["dup_count"] == 2).sum() == 1
+
+
+def brute_jaccard_pairs(df, threshold, k=3):
+    sets = {
+        r.doc_id: set(
+            " ".join(r.text.split()[i : i + k])
+            for i in range(max(1, len(r.text.split()) - k + 1))
+        )
+        for r in df.itertuples()
+    }
+    out = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a] | sets[b]))
+            if j >= threshold:
+                out.append((a, b))
+    return set(out)
+
+
+def test_minhash_lsh_finds_planted_near_dups(planted):
+    ds = ray.data.from_pandas(planted)
+    got = dedup.minhash_lsh_dedup(ds, threshold=0.7).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    exp_pairs = brute_jaccard_pairs(planted, 0.7)
+    # verification makes precision exact; banding (16 bands of 4) makes
+    # recall at J>=0.7 ~1 - (1-0.24)^16 ~ 0.99 — with the fixed seed this
+    # specific fixture is fully recovered
+    assert exp_pairs == got_pairs
+    assert len(exp_pairs) >= 3  # exact copies + near dups found
+
+
+def test_simhash_pairs(planted):
+    ds = ray.data.from_pandas(planted)
+    sh = dedup.simhash(ds).to_pandas()
+    # independent scalar check on a few docs
+    for r in planted.head(5).itertuples():
+        assert (
+            sh.set_index("doc_id").loc[r.doc_id, "simhash"]
+            == dedup.simhash64(r.text)
+        )
+    pairs = dedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # brute-force oracle
+    h = {r.doc_id: dedup.simhash64(r.text) for r in planted.itertuples()}
+    exp = set()
+    ids = sorted(h)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = np.int64(h[a]) ^ np.int64(h[b])
+            if bin(int(np.uint64(x))).count("1") <= 3:
+                exp.add((a, b))
+    assert got == exp
+    # exact copies have identical simhash -> hamming 0 pairs present
+    assert any(pairs["hamming"] == 0)

@@ -42,16 +42,21 @@ def _key_bucket(df: pd.DataFrame, keys: Sequence[str], num_buckets: int) -> np.n
 
 
 def _schema_dtypes(sch) -> dict:
-    """Column -> pandas dtype, from either an Arrow or a pandas block schema."""
+    """Column -> castable pandas dtype, from an Arrow or pandas block
+    schema.  Columns whose type numpy can't interpret (nested arrays,
+    tensor extension types) are omitted — they pass through uncast."""
     out = {}
     for name, typ in zip(sch.names, sch.types):
         if isinstance(typ, pa.DataType):
             try:
-                out[str(name)] = typ.to_pandas_dtype()
+                typ = typ.to_pandas_dtype()
             except NotImplementedError:
                 continue
-        else:
-            out[str(name)] = typ
+        try:
+            np.dtype(typ)
+        except TypeError:
+            continue
+        out[str(name)] = typ
     return out
 
 
@@ -97,7 +102,10 @@ def bucketed_join(
     rdt = _schema_dtypes(rschema)
     union_dtypes = {}
     for col, dt in {**rdt, **ldt}.items():
-        nd = np.dtype(dt) if not isinstance(dt, str) else np.dtype(object)
+        try:
+            nd = np.dtype(dt) if not isinstance(dt, str) else np.dtype(object)
+        except TypeError:  # exotic block types (e.g. ndarray-of-ndarray cols)
+            continue
         if nd.kind == "i":
             union_dtypes[col] = f"Int{nd.itemsize * 8}"
         elif nd.kind == "u":

@@ -1,0 +1,220 @@
+"""Similarity search over the ``embeddings`` table (``list<float>``).
+
+- ``ann_topk``        brute-force cosine top-k: numpy matmul per batch
+                      against a broadcast query matrix (ray.put once),
+                      per-batch partial top-k, tiny driver-side merge.
+- ``lsh_ann_topk``    the scale path: seeded random-hyperplane buckets;
+                      only same-bucket candidates are scored (recall
+                      measured in tests against the brute-force oracle).
+- ``cosine_dup_pairs``embedding near-duplicate pairs (cosine >= t) via a
+                      broadcast normalized matrix at this scale; the LSH
+                      bucketing above is the >memory variant.
+
+Batches decode the Arrow ``list<float>`` column zero-copy
+(``ListArray.values`` reshape) — no per-row python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Zero-copy (chunk-wise) list<float> -> (n, dim) float64 matrix."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        chunks = arr.chunks
+    else:
+        chunks = [arr]
+    mats = []
+    for c in chunks:
+        flat = c.values.to_numpy(zero_copy_only=False)
+        mats.append(flat.reshape(len(c), -1))
+    return np.concatenate(mats).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+) -> pd.DataFrame:
+    """(query_id, rank, neighbor_id) — exact cosine top-k, self excluded.
+    Deterministic tie-break: higher similarity first, then smaller
+    neighbor_id."""
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["vec_id"], value_set=pa.array(list(query_ids), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    Q = _normalize(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+    q_ids = qtab["vec_id"].to_numpy(np.int64)
+    q_ref = ray.put((q_ids, Q))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        m = _normalize(_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ qm.T  # (batch, nq)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[:, qi]
+            mask = vids != qids[qi]
+            v, sv = vids[mask], s[mask]
+            top = min(k, len(v))
+            idx = np.argsort(-sv, kind="stable")[:top]
+            rows_q.append(np.full(top, qids[qi], dtype=np.int64))
+            rows_v.append(v[idx])
+            rows_s.append(sv[idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "neighbor_id": pa.array(np.concatenate(rows_v)),
+                "sim": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out_rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                }
+            )
+        )
+    return pd.concat(out_rows, ignore_index=True)
+
+
+def lsh_ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    seed: int = 11,
+) -> pd.DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH: a vector is
+    a candidate if it shares a sign-bucket with the query in ANY of the
+    ``num_tables`` independent tables.  Candidates touched per query ~
+    n * (1 - (1 - 2^-planes)^tables); recall vs brute force is asserted in
+    tests (~0.6+ for the defaults on random 64-dim data)."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, dim, num_planes))
+    qtab = embeddings.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["vec_id"], value_set=pa.array(list(query_ids), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    Q = _normalize(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+    q_ids = qtab["vec_id"].to_numpy(np.int64)
+    pw = 1 << np.arange(num_planes)
+    q_buckets = np.stack(
+        [((Q @ planes[t]) > 0) @ pw for t in range(num_tables)], axis=1
+    )  # (nq, tables)
+    ref = ray.put((q_ids, Q, q_buckets, planes))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qids, qm, qb, pl = ray.get(ref)
+        ntab = pl.shape[0]
+        m = _normalize(_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pw_ = 1 << np.arange(pl.shape[2])
+        buckets = np.stack(
+            [((m @ pl[ti]) > 0) @ pw_ for ti in range(ntab)], axis=1
+        )  # (n, tables)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(len(qids)):
+            mask = (buckets == qb[qi][None, :]).any(axis=1) & (vids != qids[qi])
+            if not mask.any():
+                continue
+            v = vids[mask]
+            s = m[mask] @ qm[qi]
+            top = min(k, len(v))
+            idx = np.argsort(-s, kind="stable")[:top]
+            rows_q.append(np.full(top, qids[qi], dtype=np.int64))
+            rows_v.append(v[idx])
+            rows_s.append(s[idx])
+        if not rows_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "neighbor_id": pa.array(np.concatenate(rows_v)),
+                "sim": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+    parts = embeddings.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out_rows = []
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        out_rows.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                    "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                }
+            )
+        )
+    if not out_rows:
+        return pd.DataFrame(
+            {"query_id": [], "rank": [], "neighbor_id": []}, dtype=np.int64
+        )
+    return pd.concat(out_rows, ignore_index=True)
+
+
+def cosine_dup_pairs(
+    embeddings: ray.data.Dataset, threshold: float = 0.4
+) -> ray.data.Dataset:
+    """(vec_a < vec_b) pairs with cosine >= threshold.  The full normalized
+    matrix is broadcast (ray.put once) and each batch computes its rows
+    against it — O(n*batch) flops, no shuffle.  Above single-node memory,
+    swap the broadcast for the LSH bucket groupby."""
+    full = embeddings.to_pandas()
+    M = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    ids = full["vec_id"].to_numpy(np.int64)
+    ref = ray.put((ids, M))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        aids, am = ray.get(ref)
+        m = _normalize(_matrix(t))
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ am.T
+        ii, jj = np.nonzero(sims >= threshold)
+        va, vb = vids[ii], aids[jj]
+        keep = va < vb
+        return pa.table(
+            {"vec_a": pa.array(va[keep]), "vec_b": pa.array(vb[keep])}
+        )
+
+    return embeddings.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
