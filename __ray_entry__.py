@@ -356,6 +356,45 @@ def q_media_meta(sf_dir: str):
     return media_meta(_docs(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Graph-feature operators (reference feature-family analogs)
+# ---------------------------------------------------------------------------
+
+
+def q_chain_depth(sf_dir: str):
+    from webgraph_ray.stages.features import chain_depth
+
+    return chain_depth(_edges(sf_dir))
+
+
+def q_rule_labels(sf_dir: str):
+    from webgraph_ray.stages.features import rule_labels
+
+    return rule_labels(_vertices(sf_dir))
+
+
+def q_remapped_edges(sf_dir: str):
+    from webgraph_ray.stages.features import remap_vertices, tool_obfuscation_mapping
+
+    edges = _edges(sf_dir)
+    mapping = tool_obfuscation_mapping(edges)
+    return remap_vertices(edges, mapping).select_columns(
+        ["src_key", "dst_key", "edge_type", "weight", "conv_id", "ts"]
+    )
+
+
+def q_degree_histogram(sf_dir: str):
+    from webgraph_ray.stages.features import degree_histogram
+
+    return degree_histogram(degrees(_edges(sf_dir)))
+
+
+def q_convs_missing_tool(sf_dir: str):
+    from webgraph_ray.stages.features import convs_missing_tool
+
+    return convs_missing_tool(_transcripts(sf_dir), tool="click", within_first=12)
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return run_flagship("/root/testdata/sf0.001")
@@ -375,6 +414,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "components": q_components,
         "labelprop": q_labelprop,
+        # graph-feature analogs
+        "chain_depth": q_chain_depth,
+        "rule_labels": q_rule_labels,
+        "remapped_edges": q_remapped_edges,
+        "degree_histogram": q_degree_histogram,
+        "convs_missing_tool": q_convs_missing_tool,
         # training-data operators
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
@@ -454,6 +499,72 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT dst_key, 'in', edge_type FROM edges
         ) GROUP BY vertex_key
+        """,
+        "chain_depth": "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + """)
+        SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS vertex_key,
+               CAST(turn_idx AS BIGINT) AS chain_depth
+        FROM transcripts
+        WHERE conv_id IN (
+            SELECT conv_id FROM transcripts GROUP BY 1 HAVING count(*) > 1
+        )
+        """,
+        "rule_labels": _CTE
+        + """
+        , verts AS (
+            SELECT DISTINCT vertex_key FROM (
+                SELECT src_key AS vertex_key FROM edges
+                UNION ALL SELECT dst_key FROM edges
+            )
+        )
+        SELECT vertex_key,
+               CASE WHEN vertex_key LIKE 'tool:%' THEN 'tool'
+                    WHEN regexp_matches(vertex_key, '#0$') THEN 'conv_root'
+                    WHEN regexp_matches(vertex_key, '#[1-9]$') THEN 'early_turn'
+                    WHEN regexp_matches(vertex_key, '#\\d{2,}$') THEN 'late_turn'
+                    ELSE 'unlabelled' END AS label
+        FROM verts
+        """,
+        "remapped_edges": _CTE
+        + """
+        , m AS (
+            SELECT old, 'tool:obf_' || CAST(row_number() OVER (ORDER BY old) - 1
+                   AS VARCHAR) AS new
+            FROM (SELECT DISTINCT dst_key AS old FROM edges
+                  WHERE dst_key LIKE 'tool:%')
+        )
+        SELECT coalesce(ms.new, e.src_key) AS src_key,
+               coalesce(md.new, e.dst_key) AS dst_key,
+               e.edge_type, e.weight, e.conv_id, e.ts
+        FROM edges e
+        LEFT JOIN m ms ON e.src_key = ms.old
+        LEFT JOIN m md ON e.dst_key = md.old
+        """,
+        "degree_histogram": _CTE
+        + """
+        , deg AS (
+            SELECT vertex_key,
+                   CAST(count(*) FILTER (WHERE side = 'in') AS BIGINT)  AS in_degree,
+                   CAST(count(*) FILTER (WHERE side = 'out') AS BIGINT) AS out_degree
+            FROM (
+                SELECT src_key AS vertex_key, 'out' AS side FROM edges
+                UNION ALL SELECT dst_key, 'in' FROM edges
+            ) GROUP BY vertex_key
+        )
+        SELECT out_degree,
+               CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(sum(in_degree) AS BIGINT) AS sum_in_degree
+        FROM deg GROUP BY 1
+        """,
+        "convs_missing_tool": "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + """)
+        SELECT DISTINCT conv_id FROM transcripts
+        WHERE conv_id NOT IN (
+            SELECT DISTINCT conv_id FROM transcripts
+            WHERE tool = 'click' AND turn_idx < 12
+        )
         """,
         "triangle_total": _UND_TRI_CTE
         + "SELECT CAST(count(*) AS BIGINT) AS total_triangles FROM tri",

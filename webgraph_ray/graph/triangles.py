@@ -131,19 +131,52 @@ def triangle_counts(
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
 
+    def _pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        # mix both endpoints; single low-cardinality int key shuffles much
+        # faster than a two-key groupby aggregate
+        mix = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+            np.uint64
+        )
+        bk = (mix % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("pair_bucket", pa.array(bk))
+
+    def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
     und = (
         edges.map_batches(_canonical_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
+        .map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(_dedup_bucket, batch_format="pandas")
         .materialize()
     )
     small = und.count() <= broadcast_threshold
 
+    def _deg_bucket(t: pa.Table) -> pa.Table:
+        p = _deg_partials(t)
+        vid = p["vertex_id"].to_numpy(zero_copy_only=False)
+        return p.append_column(
+            "vb", pa.array((vid % num_partitions).astype(np.int32))
+        )
+
+    def _deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vertex_id"].to_numpy(np.int64)
+        dv = g["deg"].to_numpy(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid, dv = vid[order], dv[order]
+        uniq, starts = np.unique(vid, return_index=True)
+        return pd.DataFrame(
+            {"vertex_id": uniq, "deg": np.add.reduceat(dv, starts)}
+        )
+
+    # per-batch partials + owner-bucket numpy reduce (one low-cardinality
+    # shuffle; Ray's high-cardinality groupby aggregate is far slower)
     deg = (
-        und.map_batches(_deg_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vertex_id")
-        .aggregate(Sum("deg", alias_name="deg"))
+        und.map_batches(_deg_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vb")
+        .map_groups(_deg_reduce, batch_format="pandas")
     )
 
     def _orient_arrays(a, b, deg_a, deg_b) -> pa.Table:

@@ -105,16 +105,19 @@ def tool_call_edges_batch(batch: pa.Table) -> pa.Table:
 
 
 def same_tool_edges_group(g: pd.DataFrame) -> pa.Table:
-    """Within one conversation: earlier tool turn -> later turn sharing the
-    same tool (per-group self-join, vectorized via merge)."""
+    """Earlier tool turn -> later turn sharing the same tool, within each
+    conversation.  Called per conversation-hash BUCKET (not per
+    conversation) so the Ray per-group overhead is O(num_buckets); the
+    in-bucket self-join groups on (conv_id, tool) in one vectorized
+    merge."""
     t = g[g["tool"].notna()][["conv_id", "turn_idx", "tool", "ts"]]
     if len(t) < 2:
         return _EMPTY_EDGES
-    m = t.merge(t, on="tool", suffixes=("_a", "_b"))
+    m = t.merge(t, on=["conv_id", "tool"], suffixes=("_a", "_b"))
     m = m[m["turn_idx_a"] < m["turn_idx_b"]]
     if len(m) == 0:
         return _EMPTY_EDGES
-    conv = m["conv_id_a"].to_numpy(dtype=object)
+    conv = m["conv_id"].to_numpy(dtype=object)
     src_key = np.array(
         [f"{c}#{i}" for c, i in zip(conv, m["turn_idx_a"].tolist())], dtype=object
     )
@@ -157,30 +160,48 @@ def derive_edges(
         raise ValueError(
             f"unknown edge rules {sorted(unknown)!r}; known: {DEFAULT_RULES}"
         )
+    # prune to the derivation columns before any work: the wide `text`
+    # payload never enters an edge (SURVEY.md §7).  Materialized once so
+    # the three rule branches don't re-execute the upstream transcript
+    # derivation (the narrow projection is small; the object store spills
+    # it if needed).
+    narrow = transcripts.select_columns(
+        ["conv_id", "turn_idx", "tool", "ts"]
+    ).materialize()
     parts = []
     if "reply" in rules:
         parts.append(
-            transcripts.map_batches(
+            narrow.map_batches(
                 reply_edges_batch, batch_format="pyarrow", zero_copy_batch=True
             )
         )
     if "tool_call" in rules:
         parts.append(
-            transcripts.map_batches(
+            narrow.map_batches(
                 tool_call_edges_batch, batch_format="pyarrow", zero_copy_batch=True
             )
         )
     if "same_tool" in rules:
-        narrow = transcripts.select_columns(["conv_id", "turn_idx", "tool", "ts"])
+        # bucket conversations so the grouped self-join runs per hash
+        # bucket, not per conversation (O(buckets) python-group overhead)
+        def add_bucket(t: pa.Table) -> pa.Table:
+            conv = t["conv_id"].to_numpy(zero_copy_only=False)
+            b = (hash_keys(conv) % 64).astype(np.int32)
+            return t.append_column("conv_bucket", pa.array(b))
+
         parts.append(
-            narrow.groupby("conv_id").map_groups(
-                same_tool_edges_group, batch_format="pandas"
-            )
+            narrow.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("conv_bucket")
+            .map_groups(same_tool_edges_group, batch_format="pandas")
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
-    return out
+    # The union of three rule streams yields many small blocks; downstream
+    # shuffles (groupby/sort) pay per-block overhead, so coalesce to a few
+    # blocks per CPU (metadata-only repartition, no row movement).
+    target = max(8, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    return out.repartition(target)
 
 
 # Custom-rule extension point: a rule is (name, fn) where fn is either a
