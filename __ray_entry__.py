@@ -395,6 +395,22 @@ def q_convs_missing_tool(sf_dir: str):
     return convs_missing_tool(_transcripts(sf_dir), tool="click", within_first=12)
 
 
+def q_conv_sample(sf_dir: str):
+    """Deterministic 1-in-10 conversation sample by key (the scalable
+    deterministic-split pattern; analog of the reference's seeded
+    visit-id CV sampling, /root/reference/code/classification/classify.py:341-357)."""
+    import pyarrow.compute as pc_
+
+    def keep(t: pa.Table) -> pa.Table:
+        num = pc_.cast(
+            pc_.replace_substring_regex(t["conv_id"], "^conv_", ""), pa.int64()
+        )
+        mod = pc_.subtract(num, pc_.multiply(pc_.divide(num, 10), 10))
+        return t.filter(pc_.equal(mod, 0))
+
+    return _transcripts(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001 (driver smoke check)."""
     return run_flagship("/root/testdata/sf0.001")
@@ -415,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q_components,
         "labelprop": q_labelprop,
         # graph-feature analogs
+        "conv_sample": q_conv_sample,
         "chain_depth": q_chain_depth,
         "rule_labels": q_rule_labels,
         "remapped_edges": q_remapped_edges,
@@ -499,6 +516,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT dst_key, 'in', edge_type FROM edges
         ) GROUP BY vertex_key
+        """,
+        "conv_sample": "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + """)
+        SELECT * FROM transcripts
+        WHERE CAST(replace(conv_id, 'conv_', '') AS BIGINT) % 10 = 0
         """,
         "chain_depth": "WITH transcripts AS ("
         + TRANSCRIPTS_FROM_EVENTS_SQL
