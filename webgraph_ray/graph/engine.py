@@ -963,7 +963,15 @@ class GraphEngine:
         the scalable replacement for per-node reachability/eccentricity
         (/root/reference/code/features/structure.py:129-131,173-177).
         Component id = min vertex id in the component (exact, deterministic).
+        Requires a build with ``symmetrize=True`` — on a directed build the
+        fixpoint would be forward-reachability min-labels, not components.
         """
+        with open(os.path.join(self.work_dir, "build_manifest.json")) as f:
+            if not json.load(f).get("symmetrize"):
+                raise ValueError(
+                    "components() needs an undirected graph: "
+                    "call build(edges, symmetrize=True)"
+                )
         return self._min_label_run("components", None, max_iter, checkpoint_every, resume)
 
     def labelprop(
