@@ -567,6 +567,17 @@ class GraphEngine:
         Three Ray Data passes over the narrow projection, all with map-side
         pre-combine; the only shuffle is the implicit partition_cols write.
         """
+        # idempotent: clear any previous build's layout first — parquet
+        # writers APPEND uuid-named files into existing directories, so a
+        # re-run into a stale work_dir would silently double every edge
+        # and out-degree.
+        for sub in ("raw", "outdeg_partials", "outdeg", "edges", "verts"):
+            shutil.rmtree(os.path.join(self.work_dir, sub), ignore_errors=True)
+        for f in ("hubs.parquet", "build_manifest.json"):
+            try:
+                os.remove(os.path.join(self.work_dir, f))
+            except FileNotFoundError:
+                pass
         os.makedirs(self.work_dir, exist_ok=True)
         narrow = edges.select_columns(["src", "dst", "weight"])
         if symmetrize:
@@ -628,11 +639,23 @@ class GraphEngine:
             zero_copy_batch=True,
         ).write_parquet(os.path.join(self.work_dir, "verts"), partition_cols=["part"])
 
+        edge_files = sorted(
+            os.path.relpath(os.path.join(r, f), self.work_dir)
+            for r, _, fs in os.walk(os.path.join(self.work_dir, "edges"))
+            for f in fs
+        )
         fingerprint = {
             "num_parts": self.P,
             "hub_threshold": self.hub_threshold,
             "symmetrize": bool(symmetrize),
             "num_hubs": int(len(hub_ids)),
+            "n_edge_files": len(edge_files),
+            "edge_bytes": int(
+                sum(
+                    os.path.getsize(os.path.join(self.work_dir, f))
+                    for f in edge_files
+                )
+            ),
         }
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)
@@ -725,6 +748,10 @@ class GraphEngine:
             np.float64 if algo == "pagerank" else np.int64,
         )
 
+    def _build_fingerprint(self) -> dict:
+        with open(os.path.join(self.work_dir, "build_manifest.json")) as f:
+            return json.load(f)
+
     def _write_manifest(self, algo, iteration, counters, paths):
         mdir = os.path.join(self.work_dir, "ckpt", algo, f"iter={iteration}")
         os.makedirs(mdir, exist_ok=True)
@@ -734,6 +761,7 @@ class GraphEngine:
             "num_parts": self.P,
             "counters": counters,
             "parts": sorted(os.path.basename(p) for p in paths),
+            "build": self._build_fingerprint(),  # lineage: which graph
             "complete": True,
         }
         tmp = os.path.join(mdir, f".manifest.tmp.{uuid.uuid4().hex[:8]}")
@@ -742,8 +770,15 @@ class GraphEngine:
         os.replace(tmp, os.path.join(mdir, "manifest.json"))
 
     def latest_checkpoint(self, algo: str) -> tuple[int, dict] | None:
+        """Newest complete checkpoint whose recorded build fingerprint
+        matches the CURRENT build — state from a different rebuilt graph is
+        never resumed silently."""
         d = os.path.join(self.work_dir, "ckpt", algo)
         if not os.path.isdir(d):
+            return None
+        try:
+            current = self._build_fingerprint()
+        except FileNotFoundError:
             return None
         best = None
         for sub in os.listdir(d):
@@ -751,7 +786,11 @@ class GraphEngine:
             if sub.startswith("iter=") and os.path.exists(mp):
                 with open(mp) as f:
                     m = json.load(f)
-                if m.get("complete") and (best is None or m["iteration"] > best[0]):
+                if not m.get("complete"):
+                    continue
+                if m.get("build") is not None and m["build"] != current:
+                    continue  # checkpoint belongs to a different build
+                if best is None or m["iteration"] > best[0]:
                     best = (m["iteration"], m)
         return best
 
@@ -784,7 +823,8 @@ class GraphEngine:
         masses and hub broadcasts flow through object refs), amortizing the
         per-iteration coordination cost.  If convergence lands inside a
         chain the actors roll back the overshoot, so results are identical
-        to chain=1.  Checkpointing caps the chain at ``checkpoint_every``.
+        to chain=1.  Chain segments end exactly at ``checkpoint_every``
+        boundaries, so the configured cadence is honored.
         """
         self.start()
         algo = "pagerank"
@@ -814,12 +854,15 @@ class GraphEngine:
 
         counters = {"err": None, "dangling_mass": dangling_mass, "edges_traversed": 0}
         hub_ref = self._initial_hub_ref(algo)
-        if checkpoint_every:
-            chain = max(1, min(chain, checkpoint_every))
         chain = max(1, min(chain, 32))  # actor history holds 34 states
         it = start_iter
         while it < max_iter and not m.converged:
             k = min(chain, max_iter - it)
+            if checkpoint_every:
+                # end the chain exactly at the next checkpoint boundary so
+                # the requested cadence is honored (not lcm(chain, every))
+                next_ckpt = (it // checkpoint_every + 1) * checkpoint_every
+                k = min(k, next_ckpt - it)
             delta_refss = []
             dangl_refss = []
             dangling_arg: float | None = dangling_mass
@@ -912,10 +955,13 @@ class GraphEngine:
 
         counters = {}
         hub_ref = self._initial_hub_ref(algo)
-        chain = max(1, min(chain, checkpoint_every) if checkpoint_every else chain)
+        chain = max(1, chain)
         it = start_iter
         while it < max_iter and not m.converged:
             k = min(chain, max_iter - it)
+            if checkpoint_every:
+                next_ckpt = (it // checkpoint_every + 1) * checkpoint_every
+                k = min(k, next_ckpt - it)
             changed_refss = []
             for _ in range(k):
                 outs = self._exchange(algo, hub_ref)

@@ -45,14 +45,28 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
-@ray.remote
-def _write_bucket(out_dir: str, bucket: int, table: pa.Table) -> tuple[int, int]:
-    d = os.path.join(out_dir, f"bucket={bucket}")
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex[:8]}")
-    pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(d, "data.parquet"))
-    return bucket, table.num_rows
+def _write_bucket_group(out_dir: str, todo: frozenset):
+    """map_groups fn: each call receives ONE complete bucket (map_groups
+    guarantees whole groups), writes it atomically in the worker, and
+    returns a single manifest row.  Data never passes through the driver,
+    and a bucket can never be written twice by one run."""
+    import pandas as pd
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(g["bucket"].iloc[0])
+        if bucket not in todo:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"), "rows": pd.Series(dtype="int64")})
+        table = pa.Table.from_pandas(
+            g.drop(columns=["bucket"]), preserve_index=False
+        )
+        d = os.path.join(out_dir, f"bucket={bucket}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex[:8]}")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        return pd.DataFrame({"bucket": [bucket], "rows": [table.num_rows]})
+
+    return fn
 
 
 def materialize_edges(
@@ -79,36 +93,26 @@ def materialize_edges(
         b = (hash_keys(conv) % num_buckets).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
-    # one grouped pass; each group becomes one atomic bucket file.  Sorting
-    # inside the bucket makes the file content deterministic regardless of
-    # block arrival order.
-    grouped = (
+    # one grouped pass; map_groups hands each bucket to exactly one call,
+    # which sorts it (deterministic file content regardless of block
+    # arrival order) and writes it atomically IN the worker.  Only tiny
+    # (bucket, rows) manifest rows reach the driver.
+    write_fn = _write_bucket_group(out_dir, frozenset(todo))
+    results = (
         edges.map_batches(bucketed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(
-            lambda g: g.sort_values(
-                ["edge_type", "src_key", "dst_key"], kind="mergesort"
+            lambda g: write_fn(
+                g.sort_values(
+                    ["edge_type", "src_key", "dst_key"], kind="mergesort"
+                )
             ),
             batch_format="pandas",
         )
+        .to_pandas()
     )
-
-    todo_set = set(todo)
-    writes = []
-    for ref in grouped.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0:
-            continue
-        for b in np.unique(t["bucket"].to_numpy(zero_copy_only=False)):
-            b = int(b)
-            if b not in todo_set:
-                continue  # resume: bucket already complete
-            sub = t.filter(pa.compute.equal(t["bucket"], b)).drop_columns(
-                ["bucket"]
-            )
-            writes.append(_write_bucket.remote(out_dir, b, sub))
-    for bucket, rows in ray.get(writes):
-        manifest["buckets"][str(bucket)] = {"rows": rows}
+    for r in results.itertuples():
+        manifest["buckets"][str(int(r.bucket))] = {"rows": int(r.rows)}
     _write_manifest(out_dir, manifest)
     return manifest
 

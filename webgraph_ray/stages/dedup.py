@@ -152,6 +152,15 @@ def minhash_lsh_dedup(
                 {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
             )
         if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash LSH bucket with %d docs truncated to %d; "
+                "pairs beyond the cap are lost — raise max_bucket or salt "
+                "the bucket",
+                len(ids),
+                max_bucket,
+            )
             ids = ids[:max_bucket]
         i, j = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})

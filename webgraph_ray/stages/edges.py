@@ -155,10 +155,13 @@ def derive_edges(
     batches.  same_tool groups the narrow projection by conv_id.
     """
     rules = tuple(rules)
+    if not rules:
+        raise ValueError("derive_edges needs at least one rule")
     unknown = set(rules) - set(DEFAULT_RULES) - set(EXTRA_RULES)
-    if unknown or not rules:
+    if unknown:
         raise ValueError(
-            f"unknown edge rules {sorted(unknown)!r}; known: {DEFAULT_RULES}"
+            f"unknown edge rules {sorted(unknown)!r}; known: "
+            f"{DEFAULT_RULES + tuple(EXTRA_RULES)}"
         )
     # prune to the derivation columns before any work: the wide `text`
     # payload never enters an edge (SURVEY.md §7).  Materialized once so
@@ -194,6 +197,11 @@ def derive_edges(
             .groupby("conv_bucket")
             .map_groups(same_tool_edges_group, batch_format="pandas")
         )
+    for name in rules:
+        if name in EXTRA_RULES:
+            # custom rule contract: fn(narrow_transcripts_ds) -> edges
+            # Dataset with the EDGES schema
+            parts.append(EXTRA_RULES[name](narrow))
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -204,7 +212,8 @@ def derive_edges(
     return out.repartition(target)
 
 
-# Custom-rule extension point: a rule is (name, fn) where fn is either a
-# pyarrow batch map or a pandas group map; registered rules can be composed
-# by callers that need domain-specific edge semantics.
+# Custom-rule extension point: EXTRA_RULES[name] = fn where
+# fn(narrow_transcripts: ray.data.Dataset) -> edges Dataset (EDGES schema);
+# the narrow input has columns (conv_id, turn_idx, tool, ts).  Registered
+# names become valid entries for derive_edges(rules=...).
 EXTRA_RULES: dict[str, Callable] = {}

@@ -10,8 +10,9 @@
                       broadcast normalized matrix at this scale; the LSH
                       bucketing above is the >memory variant.
 
-Batches decode the Arrow ``list<float>`` column zero-copy
-(``ListArray.values`` reshape) — no per-row python.
+Batches decode the Arrow ``list<float>`` column via ``flatten()`` +
+reshape — no per-row python, and correct under Ray's zero-copy batch
+slicing (see ``_matrix``).
 """
 
 from __future__ import annotations
@@ -25,7 +26,12 @@ import ray.data
 
 
 def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
-    """Zero-copy (chunk-wise) list<float> -> (n, dim) float64 matrix."""
+    """Chunk-wise list<float> -> (n, dim) float64 matrix.
+
+    Uses ``flatten()``, NOT ``.values``: Ray hands map_batches zero-copy
+    Table slices, and ``.values`` on a sliced ListArray returns the FULL
+    parent buffer (silently wrong rows); ``flatten()`` respects the slice
+    offset."""
     arr = t[col]
     if isinstance(arr, pa.ChunkedArray):
         chunks = arr.chunks
@@ -33,7 +39,7 @@ def _matrix(t: pa.Table, col: str = "embedding") -> np.ndarray:
         chunks = [arr]
     mats = []
     for c in chunks:
-        flat = c.values.to_numpy(zero_copy_only=False)
+        flat = c.flatten().to_numpy(zero_copy_only=False)
         mats.append(flat.reshape(len(c), -1))
     return np.concatenate(mats).astype(np.float64)
 
@@ -73,7 +79,9 @@ def ann_topk(
             mask = vids != qids[qi]
             v, sv = vids[mask], s[mask]
             top = min(k, len(v))
-            idx = np.argsort(-sv, kind="stable")[:top]
+            # tie-break identical sims by smaller neighbor_id even at the
+            # batch-truncation boundary (matches the SQL oracle ordering)
+            idx = np.lexsort((v, -sv))[:top]
             rows_q.append(np.full(top, qids[qi], dtype=np.int64))
             rows_v.append(v[idx])
             rows_s.append(sv[idx])
@@ -151,7 +159,7 @@ def lsh_ann_topk(
             v = vids[mask]
             s = m[mask] @ qm[qi]
             top = min(k, len(v))
-            idx = np.argsort(-s, kind="stable")[:top]
+            idx = np.lexsort((v, -s))[:top]
             rows_q.append(np.full(top, qids[qi], dtype=np.int64))
             rows_v.append(v[idx])
             rows_s.append(s[idx])
