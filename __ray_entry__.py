@@ -395,6 +395,73 @@ def q_convs_missing_tool(sf_dir: str):
     return convs_missing_tool(_transcripts(sf_dir), tool="click", within_first=12)
 
 
+def q_tool_usage_stats(sf_dir: str):
+    """Per-tool usage aggregates (count / distinct convs / first / last) —
+    the analog of the reference's per-endpoint weight and size aggregates
+    (/root/reference/code/features/dataflow.py:169-180,
+    /root/reference/code/features/additional.py:60-160)."""
+    t = _transcripts(sf_dir)
+    tools = t.map_batches(
+        lambda b: b.filter(pa.compute.is_valid(b["tool"])),
+        batch_format="pyarrow",
+    ).select_columns(["tool", "conv_id", "ts"])
+
+    def per_tool(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "tool": [g["tool"].iloc[0]],
+                "n_calls": np.int64(len(g)),
+                "n_convs": np.int64(g["conv_id"].nunique()),
+                "first_ts": [g["ts"].min()],
+                "last_ts": [g["ts"].max()],
+            }
+        )
+
+    return tools.groupby("tool").map_groups(per_tool, batch_format="pandas")
+
+
+def q_mutation_impact(sf_dir: str):
+    """Greedy-mutation-loop analog (rows-only): obfuscate the tool
+    vertices, re-derive + re-run PageRank, and report each tool's rank
+    before/after — the reference's mutate -> re-extract -> re-classify
+    cycle (/root/reference/robustness/structure_mutation/greedy_mutation.py:162-334)
+    collapsed to one round.  Scores are invariant (renaming is a
+    bijection), so the check is that matched ranks agree."""
+    import tempfile
+
+    from webgraph_ray.stages.features import remap_vertices, tool_obfuscation_mapping
+
+    edges = _edges(sf_dir)
+    mapping = tool_obfuscation_mapping(edges)
+    mutated = remap_vertices(edges, mapping).materialize()
+
+    work = tempfile.mkdtemp(prefix="webgraph_mut_")
+    eng = GraphEngine(os.path.join(work, "m"), num_parts=None)
+    eng.build(mutated)
+    try:
+        pr_m = eng.pagerank(tol=1e-6).to_pandas()
+    finally:
+        eng.shutdown()
+    pr_o = _engine_run(sf_dir, "pagerank")  # original, key-attached
+
+    from webgraph_ray.functions.hashing import hash_keys
+
+    rows = []
+    g_m = pr_m.set_index("vertex_id")["score"]
+    g_o = pr_o.set_index("vertex_key")["score"]
+    for old_key, new_key in sorted(mapping.items()):
+        new_id = hash_keys(np.array([new_key], dtype=object))[0]
+        rows.append(
+            {
+                "tool_key": old_key,
+                "obf_key": new_key,
+                "score_before": float(g_o.loc[old_key]),
+                "score_after": float(g_m.loc[new_id]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def q_conv_sample(sf_dir: str):
     """Deterministic 1-in-10 conversation sample by key (the scalable
     deterministic-split pattern; analog of the reference's seeded
@@ -431,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q_components,
         "labelprop": q_labelprop,
         # graph-feature analogs
+        "tool_usage_stats": q_tool_usage_stats,
+        "mutation_impact": q_mutation_impact,
         "conv_sample": q_conv_sample,
         "chain_depth": q_chain_depth,
         "rule_labels": q_rule_labels,
@@ -517,6 +586,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT dst_key, 'in', edge_type FROM edges
         ) GROUP BY vertex_key
         """,
+        "tool_usage_stats": "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + """)
+        SELECT tool,
+               CAST(count(*) AS BIGINT) AS n_calls,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        # mutation_impact: float scores from an iterative algorithm;
+        # rows-only for the driver, invariance asserted in tests.
         "conv_sample": "WITH transcripts AS ("
         + TRANSCRIPTS_FROM_EVENTS_SQL
         + """)

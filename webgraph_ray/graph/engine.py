@@ -15,8 +15,10 @@ How each requirement maps to this module:
   hive-partitioned Parquet (``part=K/``), so a failed build resumes by
   partition directory and actors read only their slice.
 
-- **Gather-scatter.**  At init each actor sorts its edge block by ``dst``
-  and precomputes segment boundaries: the per-iteration combine is then a
+- **Gather-scatter.**  At init each actor builds a compressed sparse
+  adjacency block: the edge list sorted by ``dst`` with precomputed
+  segment boundaries (the CSC/CSR-style indptr over destinations) and a
+  searchsorted source-index array.  The per-iteration combine is then a
   single ``np.add.reduceat`` / ``np.minimum.reduceat`` over contiguous
   segments — a local groupby-aggregate on the destination key.  Messages
   leaving the actor are already combined *per destination vertex* (the
