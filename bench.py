@@ -164,21 +164,29 @@ def run_pr_throughput() -> dict:
 
 def run_scaling() -> dict:
     """Same PageRank job at 8 and 32 CPUs in fresh interpreters (the
-    sandbox evidence for the N vs 4N cluster criterion)."""
-    results = {}
+    sandbox evidence for the N vs 4N cluster criterion).  Each level runs
+    ``GRAFT_SCALING_REPS`` times (default 3) and reports the best — the
+    shared sandbox shows up to 2x run-to-run noise in the 8-CPU leg."""
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    results: dict[int, dict] = {}
+    all_eps: dict[int, list] = {8: [], 32: []}
     for ncpu in (8, 32):
-        env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="pr_throughput"
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        for _ in range(reps):
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="pr_throughput"
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            all_eps[ncpu].append(r["value"])
+            if ncpu not in results or r["value"] > results[ncpu]["value"]:
+                results[ncpu] = r
     eps8 = results[8]["value"]
     eps32 = results[32]["value"]
     eff = (eps32 / eps8) / (32 / 8)
@@ -188,6 +196,8 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "pagerank_eps_8cpu": eps8,
         "pagerank_eps_32cpu": eps32,
+        "eps_8cpu_runs": all_eps[8],
+        "eps_32cpu_runs": all_eps[32],
         "speedup_8_to_32": round(eps32 / eps8, 2),
         "n_edges": results[32]["n_edges"],
     }
