@@ -247,6 +247,9 @@ def _engine_run(sf_dir: str, algo: str):
         return out.to_pandas()
     finally:
         eng.shutdown()
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_pagerank(sf_dir: str):
@@ -437,11 +440,14 @@ def q_mutation_impact(sf_dir: str):
 
     work = tempfile.mkdtemp(prefix="webgraph_mut_")
     eng = GraphEngine(os.path.join(work, "m"), num_parts=None)
-    eng.build(mutated)
     try:
+        eng.build(mutated)
         pr_m = eng.pagerank(tol=1e-6).to_pandas()
     finally:
         eng.shutdown()
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
     pr_o = _engine_run(sf_dir, "pagerank")  # original, key-attached
 
     from webgraph_ray.functions.hashing import hash_keys

@@ -641,23 +641,27 @@ class GraphEngine:
             zero_copy_batch=True,
         ).write_parquet(os.path.join(self.work_dir, "verts"), partition_cols=["part"])
 
-        edge_files = sorted(
-            os.path.relpath(os.path.join(r, f), self.work_dir)
-            for r, _, fs in os.walk(os.path.join(self.work_dir, "edges"))
-            for f in fs
-        )
+        # logical (content-derived) fingerprint: the same graph rebuilt with
+        # different Ray block splits must fingerprint identically, so a
+        # valid checkpoint survives a natural build-then-resume restart.
+        n_edges = 0
+        total_weight = 0.0
+        for p in range(self.P):
+            d = os.path.join(self.work_dir, "edges", f"part={p}")
+            if not os.path.isdir(d):
+                continue
+            t = pq.read_table(d, columns=["weight"])
+            n_edges += t.num_rows
+            total_weight += float(
+                pa.compute.sum(t["weight"]).as_py() or 0.0
+            )
         fingerprint = {
             "num_parts": self.P,
             "hub_threshold": self.hub_threshold,
             "symmetrize": bool(symmetrize),
             "num_hubs": int(len(hub_ids)),
-            "n_edge_files": len(edge_files),
-            "edge_bytes": int(
-                sum(
-                    os.path.getsize(os.path.join(self.work_dir, f))
-                    for f in edge_files
-                )
-            ),
+            "n_edges": int(n_edges),
+            "total_weight": round(total_weight, 6),
         }
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)
@@ -1014,12 +1018,18 @@ class GraphEngine:
         Requires a build with ``symmetrize=True`` — on a directed build the
         fixpoint would be forward-reachability min-labels, not components.
         """
-        with open(os.path.join(self.work_dir, "build_manifest.json")) as f:
-            if not json.load(f).get("symmetrize"):
-                raise ValueError(
-                    "components() needs an undirected graph: "
-                    "call build(edges, symmetrize=True)"
-                )
+        try:
+            symmetrized = self._build_fingerprint().get("symmetrize")
+        except FileNotFoundError:
+            raise ValueError(
+                "no build found in this work_dir: call build(edges, "
+                "symmetrize=True) first"
+            ) from None
+        if not symmetrized:
+            raise ValueError(
+                "components() needs an undirected graph: "
+                "call build(edges, symmetrize=True)"
+            )
         return self._min_label_run("components", None, max_iter, checkpoint_every, resume)
 
     def labelprop(

@@ -157,6 +157,13 @@ def derive_edges(
     rules = tuple(rules)
     if not rules:
         raise ValueError("derive_edges needs at least one rule")
+    if len(set(rules)) != len(rules):
+        raise ValueError(f"duplicate rule names in {rules!r}")
+    shadowed = set(EXTRA_RULES) & set(DEFAULT_RULES)
+    if shadowed:
+        raise ValueError(
+            f"EXTRA_RULES must not shadow built-in rules: {sorted(shadowed)!r}"
+        )
     unknown = set(rules) - set(DEFAULT_RULES) - set(EXTRA_RULES)
     if unknown:
         raise ValueError(

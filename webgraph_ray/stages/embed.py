@@ -70,6 +70,12 @@ def ann_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
+        if len(t) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = m @ qm.T  # (batch, nq)
@@ -144,6 +150,12 @@ def lsh_ann_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         qids, qm, qb, pl = ray.get(ref)
+        if len(t) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
         ntab = pl.shape[0]
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -215,6 +227,10 @@ def cosine_dup_pairs(
 
     def pairs(t: pa.Table) -> pa.Table:
         aids, am = ray.get(ref)
+        if len(t) == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = m @ am.T
