@@ -68,7 +68,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 UNLABELED = np.int64(np.iinfo(np.int64).max)
 

@@ -27,7 +27,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from webgraph_ray.functions.joins import bucketed_join
 

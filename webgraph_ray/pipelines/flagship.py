@@ -14,7 +14,6 @@ import tempfile
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray.data
 

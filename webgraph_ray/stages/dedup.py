@@ -17,7 +17,6 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Count, Min

@@ -13,7 +13,6 @@ exercised by tests and queries.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data

@@ -18,7 +18,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 import ray.data
 
