@@ -104,6 +104,22 @@ def run_suite() -> dict:
     queries["triangles"] = round(time.time() - t0, 3)
     extras["triangle_count"] = total
 
+    # 6. training-data ops over documents/embeddings (dedup + text + ANN)
+    import ray.data as rd
+
+    from webgraph_ray.stages.dedup import exact_dedup, simhash
+    from webgraph_ray.stages.embed import ann_topk
+    from webgraph_ray.stages.text import token_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    embs = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t0 = time.time()
+    exact_dedup(docs).count()
+    token_stats(docs).count()
+    simhash(docs).count()
+    ann_topk(embs, [0, 1, 2, 3, 4], k=10)
+    queries["training_ops"] = round(time.time() - t0, 3)
+
     value = round(time.time() - t_suite, 3)
     out = {
         "metric": "graph_suite_e2e",
