@@ -33,6 +33,7 @@ from webgraph_ray.stages.vertices import derive_vertices, degrees
 from webgraph_ray.graph.triangles import triangle_counts
 from webgraph_ray.graph.engine import GraphEngine
 from webgraph_ray.functions.joins import bucketed_join
+from webgraph_ray.functions import oracles as _graph_oracles
 from webgraph_ray.pipelines.flagship import attach_keys, run_flagship
 
 
@@ -60,6 +61,14 @@ _EDGES_SQL = """
 _CTE = (
     "WITH transcripts AS (" + TRANSCRIPTS_FROM_EVENTS_SQL + "),\n"
     "edges AS (" + _EDGES_SQL + ")\n"
+)
+
+# Materialized variant for the iterative graph oracles: their unrolled CTE
+# chains reference ``edges`` dozens of times, and DuckDB would otherwise
+# inline (re-derive) the whole transcript+edge pipeline per reference.
+_CTE_MAT = (
+    "WITH transcripts AS MATERIALIZED (" + TRANSCRIPTS_FROM_EVENTS_SQL + "),\n"
+    "edges AS MATERIALIZED (" + _EDGES_SQL + ")\n"
 )
 
 _UND_TRI_CTE = (
@@ -217,8 +226,29 @@ def q_triangles_per_vertex(sf_dir: str):
     return joined.select_columns(["vertex_key", "triangles"])
 
 
+def _tool_seed_frame(vertices) -> pd.DataFrame:
+    """Small side: tool vertices with rank-by-key labels (0..S-1).  Rank
+    labels make the labelprop fixpoint oracle-expressible (see
+    webgraph_ray/functions/oracles.py)."""
+    tools = (
+        vertices.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["vertex_type"], "tool")),
+            batch_format="pyarrow",
+        )
+        .select_columns(["vertex_id", "vertex_key"])
+        .to_pandas()
+        .sort_values("vertex_key")
+        .reset_index(drop=True)
+    )
+    tools["rank"] = np.arange(len(tools), dtype=np.int64)
+    return tools
+
+
 def _engine_run(sf_dir: str, algo: str):
     import tempfile
+
+    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+    from webgraph_ray.graph.engine import UNLABELED
 
     edges = _edges(sf_dir)
     vertices = _vertices(sf_dir)
@@ -226,24 +256,43 @@ def _engine_run(sf_dir: str, algo: str):
     eng = GraphEngine(os.path.join(work, algo), num_parts=None)
     try:
         if algo == "pagerank":
+            # fixed-point int64 PageRank: bit-exact => DuckDB-oracle-checkable
             eng.build(edges, symmetrize=False)
-            res = eng.pagerank(tol=1e-6)
-            out = attach_keys(res, vertices).select_columns(["vertex_key", "score"])
+            res = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE)
+            out = attach_keys(res, vertices).select_columns(
+                ["vertex_key", "score_fp"]
+            )
         elif algo == "components":
             eng.build(edges, symmetrize=True)
             res = eng.components()
-            out = attach_keys(res, vertices).select_columns(
-                ["vertex_key", "component"]
+            keyed = attach_keys(res, vertices)
+            # canonical per-component label = min vertex_key (string), so the
+            # oracle needs no hash ids
+            canon = keyed.groupby("component").aggregate(
+                Min("vertex_key", alias_name="component_key")
             )
-        else:  # labelprop seeded on tool vertices
+            out = bucketed_join(
+                keyed.select_columns(["vertex_key", "component"]),
+                canon,
+                keys=["component"],
+            ).select_columns(["vertex_key", "component_key"])
+        else:  # labelprop seeded on tool vertices, rank-by-key labels
             eng.build(edges, symmetrize=True)
-            seeds = (
-                vertices.to_pandas()
-                .query("vertex_type == 'tool'")["vertex_id"]
-                .to_numpy()
+            tools = _tool_seed_frame(vertices)
+            res = eng.labelprop(
+                seeds=tools["vertex_id"].to_numpy(),
+                seed_labels=tools["rank"].to_numpy(),
             )
-            res = eng.labelprop(seeds=seeds)
-            out = attach_keys(res, vertices).select_columns(["vertex_key", "label"])
+
+            def unlabeled_to_minus1(df: pd.DataFrame) -> pd.DataFrame:
+                df["label"] = df["label"].where(df["label"] != UNLABELED, -1)
+                return df
+
+            out = (
+                attach_keys(res, vertices)
+                .select_columns(["vertex_key", "label"])
+                .map_batches(unlabeled_to_minus1, batch_format="pandas")
+            )
         return out.to_pandas()
     finally:
         eng.shutdown()
@@ -424,14 +473,17 @@ def q_tool_usage_stats(sf_dir: str):
 
 
 def q_mutation_impact(sf_dir: str):
-    """Greedy-mutation-loop analog (rows-only): obfuscate the tool
-    vertices, re-derive + re-run PageRank, and report each tool's rank
-    before/after — the reference's mutate -> re-extract -> re-classify
-    cycle (/root/reference/robustness/structure_mutation/greedy_mutation.py:162-334)
-    collapsed to one round.  Scores are invariant (renaming is a
-    bijection), so the check is that matched ranks agree."""
+    """Robustness-analysis check: obfuscate the tool vertices, re-derive +
+    re-run PageRank, and report each tool's score before/after — the
+    reference's mutate -> re-extract -> re-classify cycle
+    (/root/reference/robustness/structure_mutation/greedy_mutation.py:162-334)
+    for one rename round.  Fixed-point PageRank is bit-exact under a
+    bijective rename, so the oracle can assert score_after ==
+    score_before; the Ray side really computes both (mutated rebuild and
+    all), making this a driver-verifiable end-to-end invariance test."""
     import tempfile
 
+    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
     from webgraph_ray.stages.features import remap_vertices, tool_obfuscation_mapping
 
     edges = _edges(sf_dir)
@@ -442,7 +494,7 @@ def q_mutation_impact(sf_dir: str):
     eng = GraphEngine(os.path.join(work, "m"), num_parts=None)
     try:
         eng.build(mutated)
-        pr_m = eng.pagerank(tol=1e-6).to_pandas()
+        pr_m = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE).to_pandas()
     finally:
         eng.shutdown()
         import shutil
@@ -453,16 +505,16 @@ def q_mutation_impact(sf_dir: str):
     from webgraph_ray.functions.hashing import hash_keys
 
     rows = []
-    g_m = pr_m.set_index("vertex_id")["score"]
-    g_o = pr_o.set_index("vertex_key")["score"]
+    g_m = pr_m.set_index("vertex_id")["score_fp"]
+    g_o = pr_o.set_index("vertex_key")["score_fp"]
     for old_key, new_key in sorted(mapping.items()):
         new_id = hash_keys(np.array([new_key], dtype=object))[0]
         rows.append(
             {
                 "tool_key": old_key,
                 "obf_key": new_key,
-                "score_before": float(g_o.loc[old_key]),
-                "score_after": float(g_m.loc[new_id]),
+                "score_before_fp": np.int64(g_o.loc[old_key]),
+                "score_after_fp": np.int64(g_m.loc[new_id]),
             }
         )
     return pd.DataFrame(rows)
@@ -602,8 +654,6 @@ def oracle_sql() -> dict[str, str]:
                max(ts) AS last_ts
         FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
         """,
-        # mutation_impact: float scores from an iterative algorithm;
-        # rows-only for the driver, invariance asserted in tests.
         "conv_sample": "WITH transcripts AS ("
         + TRANSCRIPTS_FROM_EVENTS_SQL
         + """)
@@ -687,10 +737,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT z FROM tri
         ) GROUP BY vertex_key
         """,
-        # pagerank / components / labelprop: iterative & non-SQL-expressible;
-        # verified against the networkx/numpy oracle in tests/ instead.
-        # fingerprints / minhash / simhash / lsh_ann: hash-family outputs
-        # with no SQL equivalent; python-oracle-verified in tests/.
+        # iterative graph algorithms: oracle-checkable by construction —
+        # fixed-point int64 PageRank (bit-exact, unrolled BIGINT CTEs) and
+        # pointer-doubling min-label propagation (see functions/oracles.py)
+        "pagerank": _graph_oracles.pagerank_fp_sql(_CTE_MAT),
+        "components": _graph_oracles.components_sql(_CTE_MAT),
+        "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
+        "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),
         **_TRAINING_ORACLES,
     }
 

@@ -290,12 +290,27 @@ class GraphPartition:
         return True
 
     # ---- state init ----
-    def init_state(self, algo: str, seed_prefix_ids=None, init_value: float | None = None):
+    def init_state(
+        self,
+        algo: str,
+        seed_prefix_ids=None,
+        init_value: float | None = None,
+        seed_labels=None,
+    ):
         n = len(self.owned)
         self.frozen = np.zeros(n, dtype=bool)
         if algo == "pagerank":
             # filled later once global N is known (set_uniform_state)
             self.state = np.full(n, init_value if init_value is not None else 0.0)
+        elif algo == "pagerank_fp":
+            # fixed-point PageRank: int64 mass units carried in self.labels.
+            # Requires integer edge weights (asserted here, once).
+            assert np.array_equal(self.ew, np.floor(self.ew)), (
+                "fixed-point pagerank requires integer edge weights"
+            )
+            self.ew_int = self.ew.astype(np.int64)
+            self.out_int = np.maximum(self.out_strength.astype(np.int64), 1)
+            self.labels = np.zeros(n, dtype=np.int64)
         elif algo in ("components", "labelprop"):
             self.state = self.owned.astype(np.float64)  # placeholder, see below
             # min-label algorithms keep int64 labels in a separate array
@@ -308,16 +323,29 @@ class GraphPartition:
                     ok = (pos < n) & (
                         np.take(self.owned, np.minimum(pos, n - 1)) == seeds
                     )
+                    if seed_labels is None:
+                        lab = self.owned[pos[ok]]
+                    else:
+                        lab = np.asarray(seed_labels, dtype=np.int64)[ok]
                     pos = pos[ok]
-                    self.labels[pos] = self.owned[pos]
+                    self.labels[pos] = lab
                     self.frozen[pos] = True
         else:
             raise ValueError(algo)
         return int(n)
 
-    def set_uniform_state(self, value: float):
+    def set_uniform_fp(self, value_int: int):
+        """Uniform fixed-point init (``scale // N`` units per vertex);
+        returns this partition's dangling mass (int units)."""
+        self.labels = np.full(len(self.owned), int(value_int), dtype=np.int64)
+        return int(self.labels[self.out_strength == 0].sum())
+
+    def set_uniform_state(self, value: float, hist_cap: int | None = None):
         self.state = np.full(len(self.owned), value, dtype=np.float64)
         self._hist = [self.state]
+        if hist_cap is not None:
+            # rollback buffer only needs the current chain's states (+1)
+            self.hist_cap = int(hist_cap)
         return True
 
     def local_stats(self):
@@ -353,6 +381,9 @@ class GraphPartition:
         if algo == "pagerank":
             outs = self.out_strength[pos]
             vals = np.where(outs > 0, self.state[pos] / np.maximum(outs, 1e-300), 0.0)
+        elif algo == "pagerank_fp":
+            # broadcast the integer per-unit-weight share s // out
+            vals = self.labels[pos] // self.out_int[pos]
         else:
             vals = self.labels[pos]
         return ids, vals
@@ -371,6 +402,19 @@ class GraphPartition:
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:
                 msg = np.array([], dtype=np.float64)
+        elif algo == "pagerank_fp":
+            # exact int64 arithmetic: contrib = ((s // out) * w * 17) // 20.
+            # Bounds: share*w <= s <= scale (mass conservation), *17 < 2^63.
+            share = self.labels // self.out_int
+            edge_vals = np.empty(self.edges_count, dtype=np.int64)
+            edge_vals[~self.e_is_hub] = share[self.src_pos]
+            if self.e_is_hub.any():
+                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            edge_vals = (edge_vals * self.ew_int * 17) // 20
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
         else:  # min-label over int64
             edge_vals = np.empty(self.edges_count, dtype=np.int64)
             edge_vals[~self.e_is_hub] = self.labels[self.src_pos]
@@ -431,11 +475,34 @@ class GraphPartition:
         delta = float(np.abs(x - xlast).sum())
         self.state = x
         self._hist.append(x)
-        if len(self._hist) > 34:
+        if len(self._hist) > getattr(self, "hist_cap", 34):
             del self._hist[0]
         dangling_next = float(x[self.out_strength == 0].sum())
         # piggyback next-iteration hub values: saves a full RPC round
         return delta, dangling_next, self.hub_values("pagerank")[1]
+
+    def apply_pagerank_fp(self, base_int: int, n_global: int, dangling_mass, *rest):
+        """Fixed-point apply: x = base + agg + (17*dangling) // (20*N), all
+        exact int64 — the result is independent of summation order and
+        partitioning, so a DuckDB BIGINT oracle reproduces it bit-exactly.
+        Chaining protocol mirrors apply_pagerank (dangling refs in rest)."""
+        if dangling_mass is None:
+            dangling_mass = int(sum(rest[: self.P]))
+            incoming = rest[self.P :]
+        else:
+            incoming = rest
+        agg = np.zeros(len(self.owned), dtype=np.int64)
+        for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
+            if vals is None or len(vals) == 0:
+                continue
+            pos = self._inbox_maps[p]
+            agg[pos] += vals
+        x = base_int + agg + (17 * int(dangling_mass)) // (20 * n_global)
+        changed = int((x != self.labels).sum())
+        self.labels = x
+        dangling_next = int(x[self.out_strength == 0].sum())
+        return changed, dangling_next, self.hub_values("pagerank_fp")[1]
 
     def rollback(self, steps: int):
         """Discard the last ``steps`` applies (chained iterations that ran
@@ -507,6 +574,13 @@ class GraphPartition:
         if algo == "pagerank":
             return pa.table(
                 {"vertex_id": pa.array(self.owned), "score": pa.array(self.state)}
+            )
+        if algo == "pagerank_fp":
+            return pa.table(
+                {
+                    "vertex_id": pa.array(self.owned),
+                    "score_fp": pa.array(self.labels),
+                }
             )
         col = "component" if algo == "components" else "label"
         return pa.table(
@@ -592,11 +666,13 @@ class GraphEngine:
 
         # pass 0: persist the narrow projection to disk once, so the three
         # passes below stream from parquet instead of re-deriving the whole
-        # upstream pipeline three times.  Skipped when the input is already
-        # materialized (re-running a projection over pinned blocks is free).
+        # upstream pipeline three times.  Skipped only when the input is
+        # already materialized AND carries no further transforms: with
+        # symmetrize=True the reverse-edge map would otherwise re-execute
+        # in every pass even over a materialized input.
         from ray.data.dataset import MaterializedDataset
 
-        if not isinstance(edges, MaterializedDataset):
+        if symmetrize or not isinstance(edges, MaterializedDataset):
             raw_dir = os.path.join(self.work_dir, "raw")
             narrow.write_parquet(raw_dir)
             narrow = ray.data.read_parquet(raw_dir)
@@ -645,15 +721,39 @@ class GraphEngine:
         # valid checkpoint survives a natural build-then-resume restart.
         n_edges = 0
         total_weight = 0.0
+        content_hash = np.uint64(0)
         for p in range(self.P):
             d = os.path.join(self.work_dir, "edges", f"part={p}")
             if not os.path.isdir(d):
                 continue
-            t = pq.read_table(d, columns=["weight"])
+            t = pq.read_table(d, columns=["src", "dst", "weight"])
             n_edges += t.num_rows
             total_weight += float(
                 pa.compute.sum(t["weight"]).as_py() or 0.0
             )
+            if t.num_rows:
+                # order-insensitive content hash of the edge triples: two
+                # different edge sets with equal count+weight must not
+                # collide, or resume could load a stale checkpoint from a
+                # rewired graph (monotone min-label algorithms would then
+                # converge to wrong labels).
+                src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                w = (
+                    t["weight"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                    .view(np.uint64)
+                )
+                with np.errstate(over="ignore"):
+                    mix = src * np.uint64(0x9E3779B97F4A7C15)
+                    mix ^= dst * np.uint64(0xC2B2AE3D27D4EB4F)
+                    mix ^= w * np.uint64(0x165667B19E3779F9)
+                    mix ^= mix >> np.uint64(29)
+                    mix *= np.uint64(0xBF58476D1CE4E5B9)
+                    content_hash += np.bitwise_xor.reduce(mix) + np.uint64(
+                        np.sum(mix, dtype=np.uint64)
+                    )
         fingerprint = {
             "num_parts": self.P,
             "hub_threshold": self.hub_threshold,
@@ -661,6 +761,7 @@ class GraphEngine:
             "num_hubs": int(len(hub_ids)),
             "n_edges": int(n_edges),
             "total_weight": round(total_weight, 6),
+            "content_hash": int(content_hash),
         }
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)
@@ -837,6 +938,7 @@ class GraphEngine:
         m = RunMetrics()
         start_iter = 0
         one_over_n = 1.0 / max(self.N, 1)
+        chain = max(1, min(chain, 32))
         if resume and (ck := self.latest_checkpoint(algo)):
             start_iter = ck[0]
             ray.get(
@@ -853,13 +955,17 @@ class GraphEngine:
             # state from a previous run of the same algorithm
             shutil.rmtree(os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True)
             ray.get([a.init_state.remote(algo) for a in self.actors])
-            ray.get([a.set_uniform_state.remote(one_over_n) for a in self.actors])
+            ray.get(
+                [
+                    a.set_uniform_state.remote(one_over_n, hist_cap=chain + 2)
+                    for a in self.actors
+                ]
+            )
             stats = ray.get([a.local_stats.remote() for a in self.actors])
             dangling_mass = sum(s[0] for s in stats)
 
         counters = {"err": None, "dangling_mass": dangling_mass, "edges_traversed": 0}
         hub_ref = self._initial_hub_ref(algo)
-        chain = max(1, min(chain, 32))  # actor history holds 34 states
         it = start_iter
         while it < max_iter and not m.converged:
             k = min(chain, max_iter - it)
@@ -928,6 +1034,116 @@ class GraphEngine:
         self.metrics[algo] = m
         return self._results(algo)
 
+    # ---- fixed-point PageRank (oracle-exact mode) ----
+    def pagerank_fixed(
+        self,
+        iters: int = 25,
+        scale: int = 10**12,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        chain: int = 8,
+    ) -> ray.data.Dataset:
+        """PageRank in exact int64 fixed-point arithmetic (alpha = 17/20,
+        mass carried in units of ``1/scale``).  Every operation is integer
+        (share = s // out_strength, contrib = (share*w*17)//20, teleport
+        base = 3*scale // (20*N), dangling share = 17*d // (20*N)), so the
+        result after a fixed number of iterations is bit-exact regardless
+        of summation order, partition count, or vertex relabeling — which
+        makes it (a) DuckDB-oracle-checkable via an unrolled BIGINT CTE and
+        (b) provably invariant under graph mutations that are bijective
+        renames (the robustness-analysis check).  The float path
+        (``pagerank``) remains the production algorithm; this mode shares
+        all of its scatter/exchange/hub/checkpoint machinery.
+
+        Runs exactly ``iters`` iterations (no convergence cut) so the SQL
+        oracle can mirror the iteration count."""
+        self.start()
+        algo = "pagerank_fp"
+        t0 = time.time()
+        m = RunMetrics()
+        start_iter = 0
+        base = (3 * scale) // (20 * max(self.N, 1))
+        if resume and (ck := self.latest_checkpoint(algo)):
+            start_iter = ck[0]
+            # init first (builds ew_int/out_int), then restore labels
+            ray.get([a.init_state.remote(algo) for a in self.actors])
+            ray.get(
+                [
+                    a.load_checkpoint.remote(
+                        algo, os.path.join(self.work_dir, "ckpt"), start_iter
+                    )
+                    for a in self.actors
+                ]
+            )
+            dangling_mass = int(ck[1]["counters"]["dangling_mass"])
+        else:
+            shutil.rmtree(
+                os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True
+            )
+            ray.get([a.init_state.remote(algo) for a in self.actors])
+            dangling_parts = ray.get(
+                [
+                    a.set_uniform_fp.remote(scale // max(self.N, 1))
+                    for a in self.actors
+                ]
+            )
+            dangling_mass = int(sum(dangling_parts))
+
+        hub_ref = self._initial_hub_ref(algo)
+        it = start_iter
+        while it < iters:
+            k = min(max(1, chain), iters - it)
+            if checkpoint_every:
+                next_ckpt = (it // checkpoint_every + 1) * checkpoint_every
+                k = min(k, next_ckpt - it)
+            changed_refss = []
+            dangl_refss = []
+            dangling_arg: int | None = dangling_mass
+            dangl_refs: list = []
+            for _ in range(k):
+                outs = self._exchange(algo, hub_ref)
+                applies = [
+                    self.actors[q]
+                    .apply_pagerank_fp.options(num_returns=3)
+                    .remote(
+                        base,
+                        self.N,
+                        dangling_arg,
+                        *dangl_refs,
+                        *[outs[p][q] for p in range(self.P)],
+                    )
+                    for q in range(self.P)
+                ]
+                changed_refss.append([a[0] for a in applies])
+                dangl_refs = [a[1] for a in applies]
+                dangl_refss.append(dangl_refs)
+                dangling_arg = None
+                if self.has_hubs:
+                    hub_ref = _assemble_hub_remote.remote(
+                        self._hub_pos_ref,
+                        len(self.hub_ids_global),
+                        *[a[2] for a in applies],
+                    )
+            for refs in changed_refss:
+                changed = sum(ray.get(refs))
+                it += 1
+                m.iterations = it
+                m.edges_traversed += self.total_edges
+                m.history.append({"iter": it, "changed": changed})
+            dangling_mass = int(sum(ray.get(dangl_refss[k - 1])))
+            counters = {
+                "changed": m.history[-1]["changed"],
+                "dangling_mass": dangling_mass,
+                "edges_traversed": m.edges_traversed,
+                "wall_sec": time.time() - t0,
+            }
+            if checkpoint_every and (it % checkpoint_every == 0 or it >= iters):
+                self._checkpoint_round(algo, it, counters)
+        m.converged = True  # fixed iteration count: defined as complete
+        m.wall_sec = time.time() - t0
+        self.metrics[algo] = m
+        return self._results(algo)
+
     # ---- min-label algorithms ----
     def _min_label_run(
         self,
@@ -937,6 +1153,7 @@ class GraphEngine:
         checkpoint_every: int,
         resume: bool,
         chain: int = 4,
+        seed_labels: np.ndarray | None = None,
     ) -> ray.data.Dataset:
         self.start()
         t0 = time.time()
@@ -955,7 +1172,12 @@ class GraphEngine:
         else:
             shutil.rmtree(os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True)
             ray.get(
-                [a.init_state.remote(algo, seed_prefix_ids=seeds) for a in self.actors]
+                [
+                    a.init_state.remote(
+                        algo, seed_prefix_ids=seeds, seed_labels=seed_labels
+                    )
+                    for a in self.actors
+                ]
             )
 
         counters = {}
@@ -1037,17 +1259,36 @@ class GraphEngine:
         max_iter: int = 50,
         checkpoint_every: int = 0,
         resume: bool = False,
+        seed_labels: np.ndarray | None = None,
     ) -> ray.data.Dataset:
         """Seeded synchronous label propagation, smallest-label tie-break:
-        seeds are frozen to their own vertex id; every other vertex
-        repeatedly adopts the minimum label among itself and its in-neighbors
-        (run on the symmetrized build for undirected semantics).  Deterministic
-        by construction; generalizes the reference's ancestor-class flags
+        seeds are frozen to their own label; every other vertex repeatedly
+        adopts the minimum label among itself and its in-neighbors (run on
+        the symmetrized build for undirected semantics).  Deterministic by
+        construction; generalizes the reference's ancestor-class flags
         (/root/reference/code/features/structure.py:137-163).
         Unreached vertices keep the UNLABELED sentinel (documented).
+
+        ``seed_labels`` (optional, aligned with ``seeds``) assigns explicit
+        int64 labels; default is each seed's own vertex id.  Explicit labels
+        make the fixpoint oracle-expressible: with rank-by-key labels, a
+        non-seed vertex converges to the minimum label among seeds adjacent
+        to its component of the seed-removed subgraph (seeds are frozen, so
+        labels never relay *through* a seed).
         """
-        seeds = np.sort(np.asarray(seeds, dtype=np.int64))
-        return self._min_label_run("labelprop", seeds, max_iter, checkpoint_every, resume)
+        seeds = np.asarray(seeds, dtype=np.int64)
+        order = np.argsort(seeds)
+        seeds = seeds[order]
+        if seed_labels is not None:
+            seed_labels = np.asarray(seed_labels, dtype=np.int64)[order]
+        return self._min_label_run(
+            "labelprop",
+            seeds,
+            max_iter,
+            checkpoint_every,
+            resume,
+            seed_labels=seed_labels,
+        )
 
     # ---- results ----
     def _results(self, algo: str) -> ray.data.Dataset:
