@@ -370,9 +370,9 @@ def q_exact_dedup(sf_dir: str):
 def q_minhash_dup_pairs(sf_dir: str):
     from webgraph_ray.stages.dedup import minhash_lsh_dedup
 
-    return minhash_lsh_dedup(_docs(sf_dir), threshold=0.5).select_columns(
-        ["doc_a", "doc_b"]
-    )
+    return minhash_lsh_dedup(
+        _docs(sf_dir), threshold=MINHASH_THRESHOLD
+    ).select_columns(["doc_a", "doc_b"])
 
 
 def q_simhash(sf_dir: str):
@@ -763,7 +763,11 @@ def _lang_scores_sql() -> str:
     return f"SELECT doc_id, {cols} FROM documents"
 
 
+MINHASH_THRESHOLD = 0.5
+
+
 def _build_training_oracles() -> dict[str, str]:
+    from webgraph_ray.functions import texthash as _th
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
 
     en = _sql_list(STOPWORDS["en"])
@@ -805,6 +809,11 @@ def _build_training_oracles() -> dict[str, str]:
         FROM m
         """,
         "doc_hashes": "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        # exact-arithmetic hash families (definitions shared with
+        # webgraph_ray/functions/texthash.py)
+        "fingerprints": _th.fingerprints_sql(),
+        "simhash": _th.simhash_sql(),
+        "minhash_dup_pairs": _th.minhash_pairs_sql(MINHASH_THRESHOLD),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

@@ -39,11 +39,32 @@ def test_lang_id_runs(docs_ds):
 
 
 def test_fingerprint_deterministic(docs_ds):
-    a = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
-    b = text.fingerprints(docs_ds).to_pandas().sort_values("doc_id")
+    key = ["doc_id", "fingerprint"]
+    a = text.fingerprints(docs_ds).to_pandas().sort_values(key)
+    b = text.fingerprints(docs_ds).to_pandas().sort_values(key)
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
-    # order sensitivity: reversed text fingerprints differ
-    assert text.rolling_fingerprint("ab c") != text.rolling_fingerprint("c ab")
+
+
+def test_fingerprint_vs_naive_winnowing():
+    """Vectorized gram-hash + winnow vs a transparent per-char oracle."""
+    from webgraph_ray.functions import texthash as th
+
+    text_s = "the quick brown fox jumps over the lazy dog"
+    k, w, M = th.K_GRAM, th.WINNOW_W, th.M
+    cps = [ord(c) for c in text_s]
+    grams = []
+    for i in range(len(cps) - k + 1):
+        h = sum((cps[i + j] * int(th.POWERS[k - 1 - j])) % M for j in range(k)) % M
+        grams.append(h)
+    np.testing.assert_array_equal(th.gram_hashes(text_s), grams)
+    naive = set()
+    for p in range(min(w, len(grams)) - 1, len(grams)):
+        naive.add(min(grams[max(0, p - w + 1) : p + 1]))
+    assert set(th.fingerprint_set(text_s).tolist()) == naive
+    # order sensitivity: permuted text fingerprints differ
+    assert set(th.fingerprint_set("abcdefgh ijklmnop").tolist()) != set(
+        th.fingerprint_set("ijklmnop abcdefgh").tolist()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -89,21 +110,22 @@ def test_exact_dedup(planted):
     assert (got["dup_count"] == 2).sum() == 1
 
 
-def brute_jaccard_pairs(df, threshold, k=3):
-    sets = {
-        r.doc_id: set(
-            " ".join(r.text.split()[i : i + k])
-            for i in range(max(1, len(r.text.split()) - k + 1))
-        )
-        for r in df.itertuples()
-    }
+def brute_jaccard_pairs(df, threshold):
+    """All-pairs exact Jaccard over the SAME shingle universe the pipeline
+    uses (char-k-gram hashes) — tests LSH recall/precision exhaustively."""
+    from webgraph_ray.functions import texthash as th
+
+    num, den = th.threshold_ratio(threshold)
+    sets = {r.doc_id: th.shingle_set(r.text) for r in df.itertuples()}
     out = []
     ids = sorted(sets)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            inter = len(sets[a] & sets[b])
-            j = inter / (len(sets[a] | sets[b]))
-            if j >= threshold:
+            if len(sets[a]) == 0 or len(sets[b]) == 0:
+                continue
+            inter = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+            uni = len(sets[a]) + len(sets[b]) - inter
+            if inter * den >= num * uni:
                 out.append((a, b))
     return set(out)
 
@@ -113,11 +135,34 @@ def test_minhash_lsh_finds_planted_near_dups(planted):
     got = dedup.minhash_lsh_dedup(ds, threshold=0.7).to_pandas()
     got_pairs = set(zip(got["doc_a"], got["doc_b"]))
     exp_pairs = brute_jaccard_pairs(planted, 0.7)
-    # verification makes precision exact; banding (16 bands of 4) makes
-    # recall at J>=0.7 ~1 - (1-0.24)^16 ~ 0.99 — with the fixed seed this
-    # specific fixture is fully recovered
+    # verification makes precision exact; banding (8 bands of 4) puts
+    # recall at J>=0.9 above 0.9999 — with the fixed seed this specific
+    # fixture is fully recovered
     assert exp_pairs == got_pairs
     assert len(exp_pairs) >= 3  # exact copies + near dups found
+
+
+def test_minhash_big_cluster_recovers_all_pairs():
+    """A duplicate cluster far larger than max_bucket: the chunk-grid pair
+    generation must emit every pair (round 1 truncated to the first 200)."""
+    n_cluster = 300
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=50)) for _ in range(20)]
+    dup = " ".join(rng.choice(vocab, size=60))
+    texts += [dup] * n_cluster
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = ray.data.from_pandas(df)
+    got = dedup.minhash_lsh_dedup(ds, threshold=0.9, max_bucket=64).to_pandas()
+    cluster_ids = set(range(20, 20 + n_cluster))
+    cluster_pairs = {
+        (a, b)
+        for a, b in zip(got["doc_a"], got["doc_b"])
+        if a in cluster_ids and b in cluster_ids
+    }
+    assert len(cluster_pairs) == n_cluster * (n_cluster - 1) // 2
 
 
 def test_simhash_pairs(planted):
@@ -127,18 +172,19 @@ def test_simhash_pairs(planted):
     for r in planted.head(5).itertuples():
         assert (
             sh.set_index("doc_id").loc[r.doc_id, "simhash"]
-            == dedup.simhash64(r.text)
+            == dedup.simhash_value(r.text)
         )
+    assert (sh["simhash"] < (1 << 31)).all() and (sh["simhash"] >= 0).all()
     pairs = dedup.simhash_dup_pairs(ds, max_hamming=3).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     # brute-force oracle
-    h = {r.doc_id: dedup.simhash64(r.text) for r in planted.itertuples()}
+    h = {r.doc_id: dedup.simhash_value(r.text) for r in planted.itertuples()}
     exp = set()
     ids = sorted(h)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            x = np.int64(h[a]) ^ np.int64(h[b])
-            if bin(int(np.uint64(x))).count("1") <= 3:
+            x = int(h[a]) ^ int(h[b])
+            if bin(x).count("1") <= 3:
                 exp.add((a, b))
     assert got == exp
     # exact copies have identical simhash -> hamming 0 pairs present

@@ -21,7 +21,6 @@ import pandas as pd
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from webgraph_ray.functions.hashing import hash_keys
 from webgraph_ray.functions.joins import bucketed_join
 from webgraph_ray.stages.text import TOKEN_RE
 
@@ -56,41 +55,10 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
-# shingling + MinHash
+# shingling + MinHash (primitives shared with the DuckDB oracle:
+# webgraph_ray/functions/texthash.py — char-k-gram shingles, exact
+# mod-2^31-1 arithmetic, rational threshold compare)
 # ---------------------------------------------------------------------------
-
-_MERSENNE = np.uint64((1 << 61) - 1)
-
-
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Sorted unique 64-bit hashes of token k-shingles."""
-    toks = TOKEN_RE.findall(text)
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.array([], dtype=np.uint64)
-    return np.unique(hash_keys(np.array(shingles, dtype=object)).view(np.uint64))
-
-
-def _perm_params(num_perm: int, seed: int):
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
-    return a, b
-
-
-def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm-wide minhash of a shingle-hash set (universal hashing mod
-    2^61-1; python-int matmul avoided via float-safe 128-bit emulation is
-    unnecessary: numpy uint64 wraps, which is a valid hash family here as
-    long as both sides use the same arithmetic)."""
-    if len(sh) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (num_perm, n_shingles): wrap-around uint64 arithmetic, deterministic
-    vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -103,42 +71,59 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 def minhash_lsh_dedup(
     docs: ray.data.Dataset,
     threshold: float = 0.7,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    seed: int = 7,
+    num_perm: int | None = None,
+    bands: int | None = None,
     max_bucket: int = 200,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs (doc_a < doc_b, jaccard >= threshold).
+    """Near-duplicate pairs (doc_a < doc_b) with exact-Jaccard >= threshold
+    over char-k-gram shingle-hash sets.
 
     Pipeline: per-batch shingle+sign -> explode to (band_id, band_hash,
-    doc_id) -> groupby band bucket -> within-bucket pairs (buckets above
-    ``max_bucket`` docs are truncated with a warning — a production run
-    would salt them) -> pair dedup -> exact-Jaccard verify via two
-    bucketed joins against the shingle table.
-    """
-    a, b = _perm_params(num_perm, seed)
-    rows_per_band = num_perm // bands
+    doc_id) -> groupby band bucket -> within-bucket pairs -> pair dedup ->
+    exact-Jaccard verify via two bucketed joins against the shingle table.
+    The threshold compare is integer (``inter*den >= num*uni``) so the
+    DuckDB oracle (texthash.minhash_pairs_sql) reproduces the output
+    exactly.
 
-    # combine a band's rows into one 64-bit value with a wrap-around
-    # polynomial (deterministic across processes)
-    powers = np.uint64(0x9E3779B97F4A7C15) ** np.arange(
-        rows_per_band, dtype=np.uint64
-    )
+    Buckets larger than ``max_bucket`` are NOT truncated (round-1 silently
+    dropped their tail): pairs are generated chunk-grid-wise so peak memory
+    per step is bounded by ``max_bucket^2`` while every pair is still
+    emitted.  A duplicate *cluster* of n docs inherently produces n(n-2)/2
+    output pairs — at extreme cluster sizes the pair representation itself
+    is the bottleneck, and the right tool is ``exact_dedup`` /
+    cluster-representative output, not pair truncation.
+    """
+    from webgraph_ray.functions import texthash as th
+
+    num_perm = num_perm or th.NUM_PERM
+    bands = bands or th.BANDS
+    a, b = th.perm_params(num_perm)
+    num, den = th.threshold_ratio(threshold)
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
-        out_hash = []
-        for text in df["text"]:
-            sh = shingle_hashes(text, shingle_k)
-            sig = minhash_signature(sh, a, b)
-            bands_view = sig.reshape(bands, rows_per_band)
-            bh = (bands_view * powers[None, :]).sum(axis=1, dtype=np.uint64)
-            out_hash.append(bh.view(np.int64))
+        doc_ids, band_ids, band_hashes = [], [], []
+        band_range = np.arange(bands, dtype=np.int64)
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            sh = th.shingle_set(text)
+            if len(sh) == 0:
+                continue  # no shingles -> cannot pair (oracle skips too)
+            bv = th.band_values(th.minhash_signature(sh, a, b), bands)
+            doc_ids.append(np.full(bands, doc_id, dtype=np.int64))
+            band_ids.append(band_range)
+            band_hashes.append(bv)
+        if not doc_ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "band_id": pd.Series(dtype="int64"),
+                    "band_hash": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "doc_id": np.repeat(df["doc_id"].to_numpy(), bands),
-                "band_id": np.tile(np.arange(bands, dtype=np.int64), len(df)),
-                "band_hash": np.concatenate(out_hash),
+                "doc_id": np.concatenate(doc_ids),
+                "band_id": np.concatenate(band_ids),
+                "band_hash": np.concatenate(band_hashes),
             }
         )
 
@@ -146,42 +131,60 @@ def minhash_lsh_dedup(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.unique(g["doc_id"].to_numpy(dtype=np.int64))
-        if len(ids) < 2:
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64")}
             )
-        if len(ids) > max_bucket:
-            import logging
+        if n <= max_bucket:
+            i, j = np.triu_indices(n, k=1)
+            return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+        # chunk-grid pair generation: bounded peak memory, no pairs dropped
+        chunks = [ids[s : s + max_bucket] for s in range(0, n, max_bucket)]
+        outs_a, outs_b = [], []
+        for ci, ca in enumerate(chunks):
+            i, j = np.triu_indices(len(ca), k=1)
+            outs_a.append(ca[i])
+            outs_b.append(ca[j])
+            for cb in chunks[ci + 1 :]:
+                aa, bb = np.meshgrid(ca, cb, indexing="ij")
+                outs_a.append(aa.ravel())
+                outs_b.append(bb.ravel())
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
+        )
 
-            logging.getLogger(__name__).warning(
-                "minhash LSH bucket with %d docs truncated to %d; "
-                "pairs beyond the cap are lost — raise max_bucket or salt "
-                "the bucket",
-                len(ids),
-                max_bucket,
-            )
-            ids = ids[:max_bucket]
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+    # pair dedup across bands: per-batch drop_duplicates (map-side combine)
+    # then a 64-way bucket-hash distinct — NOT groupby(doc_a, doc_b)
+    # .aggregate(), which is sort-based and collapses at high pair
+    # cardinality (round-1 pitfall list)
+    def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_a", "doc_b"]).copy()
+        df["__b"] = (
+            (df["doc_a"].to_numpy(np.int64) * 1_000_003)
+            ^ df["doc_b"].to_numpy(np.int64)
+        ) % 64
+        return df
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
 
     cand = (
         bands_ds.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["doc_a", "doc_b"])
+        .map_batches(pre_dedup, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(bucket_distinct, batch_format="pandas")
     )
 
-    # shingle table for verification; sets travel as binary blobs (uint64
+    # shingle table for verification; sets travel as binary blobs (int64
     # little-endian) — arrow-native, unlike object columns of ndarrays,
     # which Ray's tensor extension cannot shuffle
     def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "shingles": [
-                    shingle_hashes(t, shingle_k).tobytes() for t in df["text"]
-                ],
+                "shingles": [th.shingle_set(t).tobytes() for t in df["text"]],
             }
         )
 
@@ -206,16 +209,19 @@ def minhash_lsh_dedup(
                     "jaccard": pd.Series(dtype="float64"),
                 }
             )
-        jac = [
-            jaccard(
-                np.frombuffer(x, dtype=np.uint64), np.frombuffer(y, dtype=np.uint64)
-            )
-            for x, y in zip(df["sh_a"], df["sh_b"])
-        ]
+        keep = np.zeros(len(df), dtype=bool)
+        jac = np.zeros(len(df), dtype=np.float64)
+        for idx, (x, y) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            ga = np.frombuffer(x, dtype=np.int64)
+            gb = np.frombuffer(y, dtype=np.int64)
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            uni = len(ga) + len(gb) - inter
+            keep[idx] = inter * den >= num * uni  # exact integer compare
+            jac[idx] = inter / uni if uni else 1.0
         out = pd.DataFrame(
             {"doc_a": df["doc_a"], "doc_b": df["doc_b"], "jaccard": jac}
         )
-        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+        return out[keep].reset_index(drop=True)
 
     return j2.map_batches(verify, batch_format="pandas")
 
@@ -225,20 +231,12 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    toks = TOKEN_RE.findall(text)
-    if not toks:
-        return 0
-    hs = hash_keys(np.array(toks, dtype=object)).view(np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int64
-    )
-    votes = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if votes[i] >= 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(np.array([out], dtype=np.uint64).view(np.int64)[0])
+def simhash_value(text: str) -> int:
+    """31-bit simhash (exact-arithmetic token hashes; shared with the
+    DuckDB oracle, texthash.simhash_sql)."""
+    from webgraph_ray.functions.texthash import simhash_value as _sv
+
+    return _sv(TOKEN_RE.findall(text))
 
 
 def simhash(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -246,26 +244,32 @@ def simhash(docs: ray.data.Dataset) -> ray.data.Dataset:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "simhash": df["text"].map(simhash64).astype(np.int64),
+                "simhash": df["text"].map(simhash_value).astype(np.int64),
             }
         )
 
     return docs.map_batches(fn, batch_format="pandas")
 
 
+# chunk boundaries for the 31-bit simhash banding: 4 chunks (8/8/8/7 bits);
+# any pair within Hamming distance 3 shares at least one chunk
+_SIM_CHUNKS = [(0, 8), (8, 8), (16, 8), (24, 7)]
+
+
 def simhash_dup_pairs(
     docs: ray.data.Dataset, max_hamming: int = 3
 ) -> ray.data.Dataset:
-    """Near-pairs by banding the 64-bit simhash into 4 x 16-bit chunks
-    (any pair within Hamming distance 3 shares at least one chunk),
-    then Hamming-verifying within chunk buckets."""
+    """Near-pairs by banding the simhash into 4 chunks, then
+    Hamming-verifying within chunk buckets (vectorized popcount)."""
+    from webgraph_ray.functions.texthash import popcount64
+
     sh = simhash(docs)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy(np.int64).view(np.uint64)
+        h = df["simhash"].to_numpy(np.int64)
         parts = []
-        for c in range(4):
-            chunk = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        for c, (shift, width) in enumerate(_SIM_CHUNKS):
+            chunk = (h >> shift) & ((1 << width) - 1)
             parts.append(
                 pd.DataFrame(
                     {
@@ -289,10 +293,9 @@ def simhash_dup_pairs(
                 }
             )
         ids = g["doc_id"].to_numpy(np.int64)
-        hs = g["simhash"].to_numpy(np.int64).view(np.uint64)
+        hs = g["simhash"].to_numpy(np.int64)
         i, j = np.triu_indices(len(ids), k=1)
-        x = hs[i] ^ hs[j]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = popcount64(hs[i] ^ hs[j])
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"doc_a": ids[i][keep], "doc_b": ids[j][keep], "hamming": ham[keep]}

@@ -33,20 +33,6 @@ STOPWORDS = {
 LONG_TOKEN_LEN = 5
 
 
-class TextAnalyzer:
-    """Actor-pool stage: patterns compiled once per worker, applied per
-    batch.  Use with ``ds.map_batches(TextAnalyzer, concurrency=N,
-    batch_format="pandas")`` or call the module functions for task-based
-    stages."""
-
-    def __init__(self):
-        self.token_re = re.compile(r"\S+")
-        self.stop = {k: frozenset(v) for k, v in STOPWORDS.items()}
-
-    def tokens(self, series: pd.Series) -> pd.Series:
-        return series.str.findall(self.token_re)
-
-
 def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     toks = df["text"].str.findall(TOKEN_RE)
     return pd.DataFrame(
@@ -106,28 +92,29 @@ def doc_hashes_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "text_md5": md5})
 
 
-_FP_MOD = np.uint64((1 << 61) - 1)
-_FP_BASE = np.uint64(1_000_003)
-
-
-def rolling_fingerprint(text: str) -> int:
-    """Polynomial rolling hash over utf-8 bytes mod 2^61-1 (deterministic,
-    order-sensitive — the document-fingerprint primitive)."""
-    h = np.uint64(0)
-    mod = int(_FP_MOD)
-    base = int(_FP_BASE)
-    acc = 0
-    for b in text.encode("utf-8"):
-        acc = (acc * base + b + 1) % mod
-    return acc
-
-
 def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Winnowed document fingerprints: rolling char-k-gram hashes (fully
+    vectorized numpy — replaces the round-1 per-byte Python loop), distinct
+    trailing-window minima per document, one row per selected fingerprint.
+    Exact-arithmetic definition shared with the DuckDB oracle
+    (webgraph_ray/functions/texthash.py)."""
+    from webgraph_ray.functions.texthash import fingerprint_set
+
+    ids, fps = [], []
+    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+        f = fingerprint_set(text)
+        if len(f):
+            ids.append(np.full(len(f), doc_id, dtype=np.int64))
+            fps.append(f)
+    if not ids:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "fingerprint": pd.Series(dtype="int64"),
+            }
+        )
     return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "fingerprint": df["text"].map(rolling_fingerprint).astype(np.int64),
-        }
+        {"doc_id": np.concatenate(ids), "fingerprint": np.concatenate(fps)}
     )
 
 
