@@ -766,6 +766,12 @@ def _lang_scores_sql() -> str:
 MINHASH_THRESHOLD = 0.5
 
 
+def _lsh_ann_sql_oracle() -> str:
+    from webgraph_ray.stages.embed import lsh_ann_sql
+
+    return lsh_ann_sql(ANN_QUERY_IDS, k=10)
+
+
 def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
@@ -814,6 +820,7 @@ def _build_training_oracles() -> dict[str, str]:
         "fingerprints": _th.fingerprints_sql(),
         "simhash": _th.simhash_sql(),
         "minhash_dup_pairs": _th.minhash_pairs_sql(MINHASH_THRESHOLD),
+        "lsh_ann_topk": _lsh_ann_sql_oracle(),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

@@ -59,6 +59,43 @@ def test_lsh_ann_recall(emb_ds, emb_np):
     assert recall > 0.4, recall
 
 
+def test_lsh_index_prunes_scan(emb_ds, emb_np):
+    """The materialized index is probed via bucket-key filtering: the
+    scored fraction of the index must be well below a full scan."""
+    stats = {}
+    got = embed.lsh_ann_topk(emb_ds, [0, 1, 2], k=10, stats_out=stats)
+    assert len(got) > 0
+    assert stats["index_rows"] > 0
+    # 3 queries x 8 tables touch <= 24 of the 128 (table, bucket) cells
+    assert stats["scan_fraction"] < 0.5, stats
+    # candidate semantics: every scored neighbor shares a (table, bucket)
+    # with its query, so results are reproducible from the index alone
+    idx = embed.build_lsh_index(emb_ds)
+    got2 = embed.lsh_ann_topk(emb_ds, [0, 1, 2], k=10, index=idx)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True)
+    )
+
+
+def test_cosine_dup_pairs_lsh_path(emb_ds, emb_np):
+    """Force the >broadcast_threshold branch: streaming LSH-bucket pairs,
+    no driver materialization.  Exact pairs within shared buckets; recall
+    vs the exact all-pairs set must be high at this threshold."""
+    ids, M = emb_np
+    S = M @ M.T
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if S[i, j] >= 0.4:
+                exp.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    got = embed.cosine_dup_pairs(
+        emb_ds, threshold=0.4, broadcast_threshold=0
+    ).to_pandas()
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs <= exp  # exact verification => perfect precision
+    assert len(got_pairs) / max(len(exp), 1) > 0.6  # multi-table recall
+
+
 def test_cosine_dup_pairs(emb_ds, emb_np):
     ids, M = emb_np
     S = M @ M.T

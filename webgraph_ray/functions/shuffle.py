@@ -1,0 +1,44 @@
+"""Small distributed-shuffle helpers built on the patterns that survive
+Ray Data 2.49's sharp edges (see memory: sort-based ``groupby().aggregate``
+collapses at high key cardinality; ``Dataset.join`` fails on empty hash
+partitions).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+_BUCKET = "__distinct_bucket"
+
+
+def bucket_distinct(
+    ds: ray.data.Dataset, cols: Sequence[str], num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Distinct rows over integer key columns: per-batch drop_duplicates
+    (map-side combine) -> bucket-hash groupby (low, fixed cardinality) ->
+    per-bucket drop_duplicates.  The scalable replacement for
+    ``groupby(cols).aggregate(Count)``-style dedup when the key cardinality
+    is high."""
+    cols = list(cols)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(cols)[cols].copy()
+        h = np.zeros(len(df), dtype=np.int64)
+        for c in cols:
+            h = (h * 1_000_003) ^ df[c].to_numpy(np.int64)
+        df[_BUCKET] = np.abs(h) % num_buckets
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols)[cols]
+
+    return (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby(_BUCKET)
+        .map_groups(per_bucket, batch_format="pandas")
+    )

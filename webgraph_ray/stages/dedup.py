@@ -154,27 +154,16 @@ def minhash_lsh_dedup(
             {"doc_a": np.concatenate(outs_a), "doc_b": np.concatenate(outs_b)}
         )
 
-    # pair dedup across bands: per-batch drop_duplicates (map-side combine)
-    # then a 64-way bucket-hash distinct — NOT groupby(doc_a, doc_b)
-    # .aggregate(), which is sort-based and collapses at high pair
-    # cardinality (round-1 pitfall list)
-    def pre_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["doc_a", "doc_b"]).copy()
-        df["__b"] = (
-            (df["doc_a"].to_numpy(np.int64) * 1_000_003)
-            ^ df["doc_b"].to_numpy(np.int64)
-        ) % 64
-        return df
+    # pair dedup across bands: bucket-hash distinct — NOT
+    # groupby(doc_a, doc_b).aggregate(), which is sort-based and collapses
+    # at high pair cardinality (round-1 pitfall list)
+    from webgraph_ray.functions.shuffle import bucket_distinct
 
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]]
-
-    cand = (
-        bands_ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(pre_dedup, batch_format="pandas")
-        .groupby("__b")
-        .map_groups(bucket_distinct, batch_format="pandas")
+    cand = bucket_distinct(
+        bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+            bucket_pairs, batch_format="pandas"
+        ),
+        ["doc_a", "doc_b"],
     )
 
     # shingle table for verification; sets travel as binary blobs (int64

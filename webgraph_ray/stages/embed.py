@@ -117,72 +117,163 @@ def ann_topk(
     return pd.concat(out_rows, ignore_index=True)
 
 
+# LSH defaults shared by the index, the queries, and the SQL oracle
+LSH_NUM_PLANES = 4
+LSH_NUM_TABLES = 8
+LSH_SEED = 11
+EMB_DIM = 64  # testdata embedding dimensionality (oracle literal planes)
+
+
+def lsh_planes(
+    dim: int,
+    num_planes: int = LSH_NUM_PLANES,
+    num_tables: int = LSH_NUM_TABLES,
+    seed: int = LSH_SEED,
+) -> np.ndarray:
+    """(tables, dim, planes) deterministic Gaussian hyperplanes — the same
+    values are embedded as literals into the DuckDB oracle."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, dim, num_planes))
+
+
+def build_lsh_index(
+    embeddings: ray.data.Dataset,
+    num_planes: int = LSH_NUM_PLANES,
+    num_tables: int = LSH_NUM_TABLES,
+    seed: int = LSH_SEED,
+) -> ray.data.Dataset:
+    """Materialized LSH index: each vector replicated once per table with a
+    ``bucket_key = table_id * 2^planes + sign-bucket`` column.  Built ONCE
+    (a real index, not a per-query compute filter — the round-1 version
+    rescanned every batch per query); probes then read only matching
+    bucket partitions.  Bucket signs use the RAW embedding (sign is
+    normalization-invariant), mirroring the SQL oracle."""
+    first = embeddings.take(1)[0]
+    dim = len(first["embedding"])
+    planes = lsh_planes(dim, num_planes, num_tables, seed)
+    pref = ray.put(planes)
+    pw = 1 << np.arange(num_planes)
+
+    def explode(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "bucket_key": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": t["embedding"],
+                }
+            )
+        m = _matrix(t)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for ti in range(len(pl)):
+            bucket = ((m @ pl[ti]) > 0) @ pw
+            key = ti * (1 << num_planes) + bucket
+            parts.append(
+                pa.table(
+                    {
+                        "bucket_key": pa.array(key.astype(np.int64)),
+                        "vec_id": pa.array(vids),
+                        "embedding": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return embeddings.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+
 def lsh_ann_topk(
     embeddings: ray.data.Dataset,
     query_ids: list[int],
     k: int = 10,
-    num_planes: int = 4,
-    num_tables: int = 8,
-    seed: int = 11,
+    num_planes: int = LSH_NUM_PLANES,
+    num_tables: int = LSH_NUM_TABLES,
+    seed: int = LSH_SEED,
+    index: ray.data.Dataset | None = None,
+    stats_out: dict | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k via multi-table random-hyperplane LSH: a vector is
-    a candidate if it shares a sign-bucket with the query in ANY of the
-    ``num_tables`` independent tables.  Candidates touched per query ~
-    n * (1 - (1 - 2^-planes)^tables); recall vs brute force is asserted in
-    tests (~0.6+ for the defaults on random 64-dim data)."""
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, dim, num_planes))
+    """Approximate top-k via the materialized multi-table LSH index: a
+    vector is a candidate iff it shares a (table, bucket) with the query.
+    The probe filters the index on the queries' bucket keys BEFORE any
+    scoring, so the scanned fraction is ~ tables * 2^-planes of the index
+    rather than the whole table (reported via ``stats_out``); exact cosine
+    ordering on the candidates.  Deterministic; mirrored by the DuckDB
+    oracle (lsh_ann_sql)."""
+    idx = index if index is not None else build_lsh_index(
+        embeddings, num_planes, num_tables, seed
+    )
     qtab = embeddings.map_batches(
         lambda t: t.filter(
-            pa.compute.is_in(t["vec_id"], value_set=pa.array(list(query_ids), pa.int64()))
+            pa.compute.is_in(
+                t["vec_id"], value_set=pa.array(list(query_ids), pa.int64())
+            )
         ),
         batch_format="pyarrow",
     ).to_pandas()
     Q = _normalize(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+    Qraw = np.stack(qtab["embedding"].to_numpy()).astype(np.float64)
     q_ids = qtab["vec_id"].to_numpy(np.int64)
+    dim = Q.shape[1]
+    planes = lsh_planes(dim, num_planes, num_tables, seed)
     pw = 1 << np.arange(num_planes)
-    q_buckets = np.stack(
-        [((Q @ planes[t]) > 0) @ pw for t in range(num_tables)], axis=1
-    )  # (nq, tables)
-    ref = ray.put((q_ids, Q, q_buckets, planes))
+    q_keys = np.stack(
+        [
+            ti * (1 << num_planes) + (((Qraw @ planes[ti]) > 0) @ pw)
+            for ti in range(num_tables)
+        ],
+        axis=1,
+    ).astype(np.int64)  # (nq, tables)
+    all_keys = np.unique(q_keys.ravel())
+
+    # probe: prune the index scan to matching buckets (the point of the index)
+    filtered = idx.map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["bucket_key"], value_set=pa.array(all_keys))
+        ),
+        batch_format="pyarrow",
+    )
+    if stats_out is not None:
+        scanned = filtered.count()
+        total = idx.count()
+        stats_out["scanned_rows"] = scanned
+        stats_out["index_rows"] = total
+        stats_out["scan_fraction"] = scanned / max(total, 1)
+
+    ref = ray.put((q_ids, Q, q_keys))
 
     def partial(t: pa.Table) -> pa.Table:
-        qids, qm, qb, pl = ray.get(ref)
+        qids, qm, qk = ray.get(ref)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
         if len(t) == 0:
-            return pa.table(
-                {"query_id": pa.array([], pa.int64()),
-                 "neighbor_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
-        ntab = pl.shape[0]
+            return empty
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pw_ = 1 << np.arange(pl.shape[2])
-        buckets = np.stack(
-            [((m @ pl[ti]) > 0) @ pw_ for ti in range(ntab)], axis=1
-        )  # (n, tables)
+        keys = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.int64)
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(len(qids)):
-            mask = (buckets == qb[qi][None, :]).any(axis=1) & (vids != qids[qi])
+            mask = np.isin(keys, qk[qi]) & (vids != qids[qi])
             if not mask.any():
                 continue
-            v = vids[mask]
-            s = m[mask] @ qm[qi]
+            # a vector may match the query in several tables: dedup
+            v, first_pos = np.unique(vids[mask], return_index=True)
+            s = (m[mask] @ qm[qi])[first_pos]
             top = min(k, len(v))
-            idx = np.lexsort((v, -s))[:top]
+            idx_ = np.lexsort((v, -s))[:top]
             rows_q.append(np.full(top, qids[qi], dtype=np.int64))
-            rows_v.append(v[idx])
-            rows_s.append(s[idx])
+            rows_v.append(v[idx_])
+            rows_s.append(s[idx_])
         if not rows_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return empty
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(rows_q)),
@@ -191,21 +282,24 @@ def lsh_ann_topk(
             }
         )
 
-    parts = embeddings.map_batches(
+    parts = filtered.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
     out_rows = []
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        out_rows.append(
-            pd.DataFrame(
-                {
-                    "query_id": qid,
-                    "rank": np.arange(1, len(g) + 1, dtype=np.int64),
-                    "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
-                }
+    if len(parts):
+        for qid, g in parts.groupby("query_id"):
+            g = g.drop_duplicates("neighbor_id").sort_values(
+                ["sim", "neighbor_id"], ascending=[False, True]
+            ).head(k)
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                        "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                    }
+                )
             )
-        )
     if not out_rows:
         return pd.DataFrame(
             {"query_id": [], "rank": [], "neighbor_id": []}, dtype=np.int64
@@ -213,13 +307,87 @@ def lsh_ann_topk(
     return pd.concat(out_rows, ignore_index=True)
 
 
+def lsh_ann_sql(
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = EMB_DIM,
+    num_planes: int = LSH_NUM_PLANES,
+    num_tables: int = LSH_NUM_TABLES,
+    seed: int = LSH_SEED,
+) -> str:
+    """DuckDB oracle for lsh_ann_topk: the hyperplanes are embedded as
+    float literals (repr round-trips to the identical double), bucket =
+    sign pattern of raw-embedding dot products, candidates = shared
+    (table, bucket), exact cosine rank."""
+    planes = lsh_planes(dim, num_planes, num_tables, seed)
+    ids = "(" + ", ".join(str(int(i)) for i in query_ids) + ")"
+
+    def plane_lit(ti: int, pj: int) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in planes[ti, :, pj]) + "]"
+
+    blocks = []
+    for ti in range(num_tables):
+        bucket = " + ".join(
+            f"{1 << pj} * (CASE WHEN list_dot_product(embedding, "
+            f"{plane_lit(ti, pj)}) > 0 THEN 1 ELSE 0 END)"
+            for pj in range(num_planes)
+        )
+        blocks.append(
+            f"    SELECT vec_id, {ti} AS table_id, {bucket} AS bucket"
+            f" FROM embeddings"
+        )
+    buckets_sql = "\n    UNION ALL\n".join(blocks)
+    return f"""
+WITH lsh_b AS MATERIALIZED (
+{buckets_sql}
+), lsh_q AS (
+    SELECT * FROM lsh_b WHERE vec_id IN {ids}
+), lsh_cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, e.vec_id AS neighbor_id
+    FROM lsh_b e JOIN lsh_q q
+      ON e.table_id = q.table_id AND e.bucket = q.bucket
+     AND e.vec_id <> q.vec_id
+), lsh_s AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_cosine_similarity(a.embedding, b.embedding) AS sim
+    FROM lsh_cand c
+    JOIN embeddings a ON a.vec_id = c.query_id
+    JOIN embeddings b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       neighbor_id
+FROM lsh_s
+QUALIFY rank <= {k}"""
+
+
 def cosine_dup_pairs(
-    embeddings: ray.data.Dataset, threshold: float = 0.4
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    broadcast_threshold: int = 2_000_000,
+    num_planes: int = 5,
+    num_tables: int = 14,
+    seed: int = 13,
 ) -> ray.data.Dataset:
-    """(vec_a < vec_b) pairs with cosine >= threshold.  The full normalized
-    matrix is broadcast (ray.put once) and each batch computes its rows
-    against it — O(n*batch) flops, no shuffle.  Above single-node memory,
-    swap the broadcast for the LSH bucket groupby."""
+    """(vec_a < vec_b) pairs with cosine >= threshold.
+
+    Size-gated like triangle_counts: up to ``broadcast_threshold`` rows the
+    full normalized matrix is broadcast (ray.put once) and each batch
+    computes its rows against it — O(n*batch) flops, no shuffle, exact.
+    Above the gate it switches to the multi-table hyperplane-LSH bucket
+    groupby with exact-cosine verification inside buckets — no driver
+    materialization, approximate recall (cross-bucket pairs are missed;
+    raise ``num_tables`` to trade compute for recall)."""
+    n = embeddings.count()
+    if n <= broadcast_threshold:
+        return _cosine_pairs_broadcast(embeddings, threshold)
+    return _cosine_pairs_lsh(embeddings, threshold, num_planes, num_tables, seed)
+
+
+def _cosine_pairs_broadcast(
+    embeddings: ray.data.Dataset, threshold: float
+) -> ray.data.Dataset:
     full = embeddings.to_pandas()
     M = _normalize(np.stack(full["embedding"].to_numpy()).astype(np.float64))
     ids = full["vec_id"].to_numpy(np.int64)
@@ -242,3 +410,52 @@ def cosine_dup_pairs(
         )
 
     return embeddings.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cosine_pairs_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+) -> ray.data.Dataset:
+    """Streaming near-dup pairs: explode vectors to (table, bucket) keys,
+    group by bucket, exact-cosine verify within each bucket, bucket-hash
+    distinct across tables.  Embeddings travel as float64 blobs (arrow
+    binary — object columns of ndarrays cannot shuffle)."""
+    from webgraph_ray.functions.shuffle import bucket_distinct
+
+    idx = build_lsh_index(embeddings, num_planes, num_tables, seed)
+
+    def to_blob(t: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(t))
+        return pa.table(
+            {
+                "bucket_key": t["bucket_key"],
+                "vec_id": t["vec_id"],
+                "blob": pa.array([row.tobytes() for row in m], pa.binary()),
+            }
+        )
+
+    blobbed = idx.map_batches(to_blob, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        ids = g["vec_id"].to_numpy(np.int64)
+        M = np.frombuffer(b"".join(g["blob"]), dtype=np.float64).reshape(n, -1)
+        sims = M @ M.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        va, vb = ids[ii], ids[jj]
+        swap = va > vb
+        va[swap], vb[swap] = vb[swap], va[swap].copy()
+        return pd.DataFrame({"vec_a": va, "vec_b": vb})
+
+    pairs = blobbed.groupby("bucket_key").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return bucket_distinct(pairs, ["vec_a", "vec_b"])
