@@ -32,7 +32,6 @@ from webgraph_ray.stages.edges import derive_edges
 from webgraph_ray.stages.vertices import derive_vertices, degrees
 from webgraph_ray.graph.triangles import triangle_counts
 from webgraph_ray.graph.engine import GraphEngine
-from webgraph_ray.functions.joins import bucketed_join
 from webgraph_ray.functions import oracles as _graph_oracles
 from webgraph_ray.pipelines.flagship import attach_keys, run_flagship
 
@@ -153,58 +152,50 @@ def q_first_tool_use(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
-def q_conv_stats(sf_dir: str):
+def q_conv_stats(sf_dir: str, num_buckets: int = 64):
+    """Per-conversation aggregates via the bucket-hash + vectorized
+    per-bucket groupby pattern: conv_id cardinality is unbounded, so a
+    per-conv map_groups (1-row pandas frame per group in Python) would be
+    the per-group-Python trap; here each of the ``num_buckets`` tasks does
+    ONE C-path pandas groupby over its bucket."""
+    from webgraph_ray.functions.hashing import hash_keys
+
     t = _transcripts(sf_dir).select_columns(["conv_id", "tool", "ts"])
 
-    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": np.int64(len(g)),
-                "n_tool_turns": np.int64(g["tool"].notna().sum()),
-                "n_tools": np.int64(g["tool"].dropna().nunique()),
-                "first_ts": [g["ts"].min()],
-                "last_ts": [g["ts"].max()],
-            }
-        )
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            hash_keys(df["conv_id"].to_numpy(dtype=object)) % num_buckets
+        ).astype(np.int32)
+        return df
 
-    return t.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("conv_id", "size"),
+                n_tool_turns=("tool", "count"),
+                n_tools=("tool", "nunique"),
+                first_ts=("ts", "min"),
+                last_ts=("ts", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_turns", "n_tool_turns", "n_tools"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        t.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def q_edge_type_counts(sf_dir: str):
-    e = _edges(sf_dir).select_columns(["src_key", "dst_key", "edge_type"])
+    from webgraph_ray.stages.features import edge_type_counts
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        outs = (
-            df.groupby(["src_key", "edge_type"], sort=False)
-            .size()
-            .unstack(fill_value=0)
-            .rename(columns=lambda c: f"{c}_out")
-        )
-        ins = (
-            df.groupby(["dst_key", "edge_type"], sort=False)
-            .size()
-            .unstack(fill_value=0)
-            .rename(columns=lambda c: f"{c}_in")
-        )
-        cols = [
-            "reply_in", "reply_out", "tool_call_in", "tool_call_out",
-            "same_tool_in", "same_tool_out",
-        ]
-        merged = outs.join(ins, how="outer").fillna(0).astype(np.int64)
-        merged = merged.reindex(columns=cols, fill_value=0)
-        merged.index.name = "vertex_key"
-        return merged.reset_index()
-
-    partials = e.map_batches(partial, batch_format="pandas")
-    return partials.groupby("vertex_key").aggregate(
-        Sum("reply_in", alias_name="reply_in"),
-        Sum("reply_out", alias_name="reply_out"),
-        Sum("tool_call_in", alias_name="tool_call_in"),
-        Sum("tool_call_out", alias_name="tool_call_out"),
-        Sum("same_tool_in", alias_name="same_tool_in"),
-        Sum("same_tool_out", alias_name="same_tool_out"),
-    )
+    return edge_type_counts(_edges(sf_dir))
 
 
 def _triangles(sf_dir: str):
@@ -244,73 +235,81 @@ def _tool_seed_frame(vertices) -> pd.DataFrame:
     return tools
 
 
-def _engine_run(sf_dir: str, algo: str):
+def _pagerank_fp(sf_dir: str):
+    """Cached (vertex_key, score_fp): consumed by the pagerank,
+    mutation_impact, and vertex_features queries."""
+    import shutil
     import tempfile
 
-    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+    from webgraph_ray.pipelines.vertex_features import pagerank_fp_keyed
+
+    key = (sf_dir, "pagerank_fp")
+    if key not in _CACHE:
+        work = tempfile.mkdtemp(prefix="webgraph_prfp_")
+        try:
+            _CACHE[key] = pagerank_fp_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return _CACHE[key]
+
+
+def _components(sf_dir: str):
+    """Cached (vertex_key, component_key): consumed by the components and
+    vertex_features queries."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.pipelines.vertex_features import components_keyed
+
+    key = (sf_dir, "components")
+    if key not in _CACHE:
+        work = tempfile.mkdtemp(prefix="webgraph_cc_")
+        try:
+            _CACHE[key] = components_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    return _CACHE[key]
+
+
+def q_pagerank(sf_dir: str):
+    return _pagerank_fp(sf_dir)
+
+
+def q_components(sf_dir: str):
+    return _components(sf_dir)
+
+
+def q_labelprop(sf_dir: str):
+    import shutil
+    import tempfile
+
     from webgraph_ray.graph.engine import UNLABELED
 
     edges = _edges(sf_dir)
     vertices = _vertices(sf_dir)
-    work = tempfile.mkdtemp(prefix=f"webgraph_{algo}_")
-    eng = GraphEngine(os.path.join(work, algo), num_parts=None)
+    work = tempfile.mkdtemp(prefix="webgraph_lp_")
+    eng = GraphEngine(os.path.join(work, "lp"), num_parts=None)
     try:
-        if algo == "pagerank":
-            # fixed-point int64 PageRank: bit-exact => DuckDB-oracle-checkable
-            eng.build(edges, symmetrize=False)
-            res = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE)
-            out = attach_keys(res, vertices).select_columns(
-                ["vertex_key", "score_fp"]
-            )
-        elif algo == "components":
-            eng.build(edges, symmetrize=True)
-            res = eng.components()
-            keyed = attach_keys(res, vertices)
-            # canonical per-component label = min vertex_key (string), so the
-            # oracle needs no hash ids
-            canon = keyed.groupby("component").aggregate(
-                Min("vertex_key", alias_name="component_key")
-            )
-            out = bucketed_join(
-                keyed.select_columns(["vertex_key", "component"]),
-                canon,
-                keys=["component"],
-            ).select_columns(["vertex_key", "component_key"])
-        else:  # labelprop seeded on tool vertices, rank-by-key labels
-            eng.build(edges, symmetrize=True)
-            tools = _tool_seed_frame(vertices)
-            res = eng.labelprop(
-                seeds=tools["vertex_id"].to_numpy(),
-                seed_labels=tools["rank"].to_numpy(),
-            )
+        eng.build(edges, symmetrize=True)
+        tools = _tool_seed_frame(vertices)
+        res = eng.labelprop(
+            seeds=tools["vertex_id"].to_numpy(),
+            seed_labels=tools["rank"].to_numpy(),
+        )
 
-            def unlabeled_to_minus1(df: pd.DataFrame) -> pd.DataFrame:
-                df["label"] = df["label"].where(df["label"] != UNLABELED, -1)
-                return df
+        def unlabeled_to_minus1(df: pd.DataFrame) -> pd.DataFrame:
+            df["label"] = df["label"].where(df["label"] != UNLABELED, -1)
+            return df
 
-            out = (
-                attach_keys(res, vertices)
-                .select_columns(["vertex_key", "label"])
-                .map_batches(unlabeled_to_minus1, batch_format="pandas")
-            )
-        return out.to_pandas()
+        return (
+            attach_keys(res, vertices)
+            .select_columns(["vertex_key", "label"])
+            .map_batches(unlabeled_to_minus1, batch_format="pandas")
+            .to_pandas()
+        )
     finally:
         eng.shutdown()
-        import shutil
-
         shutil.rmtree(work, ignore_errors=True)
-
-
-def q_pagerank(sf_dir: str):
-    return _engine_run(sf_dir, "pagerank")
-
-
-def q_components(sf_dir: str):
-    return _engine_run(sf_dir, "components")
-
-
-def q_labelprop(sf_dir: str):
-    return _engine_run(sf_dir, "labelprop")
 
 
 # ---------------------------------------------------------------------------
@@ -500,7 +499,7 @@ def q_mutation_impact(sf_dir: str):
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
-    pr_o = _engine_run(sf_dir, "pagerank")  # original, key-attached
+    pr_o = _pagerank_fp(sf_dir).to_pandas()  # original, key-attached
 
     from webgraph_ray.functions.hashing import hash_keys
 
@@ -518,6 +517,22 @@ def q_mutation_impact(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+def q_vertex_features(sf_dir: str):
+    """Wide per-vertex feature table (the reference's features.csv export
+    analog, /root/reference/code/features/feature_extraction.py:56-105)."""
+    from webgraph_ray.pipelines.vertex_features import vertex_features
+
+    key = (sf_dir, "vertex_features")
+    if key not in _CACHE:
+        _CACHE[key] = vertex_features(
+            _edges(sf_dir),
+            _vertices(sf_dir),
+            pr=_pagerank_fp(sf_dir),
+            comp=_components(sf_dir),
+        )
+    return _CACHE[key]
 
 
 def q_conv_sample(sf_dir: str):
@@ -559,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage_stats": q_tool_usage_stats,
         "mutation_impact": q_mutation_impact,
         "conv_sample": q_conv_sample,
+        "vertex_features": q_vertex_features,
         "chain_depth": q_chain_depth,
         "rule_labels": q_rule_labels,
         "remapped_edges": q_remapped_edges,
@@ -740,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         # iterative graph algorithms: oracle-checkable by construction —
         # fixed-point int64 PageRank (bit-exact, unrolled BIGINT CTEs) and
         # pointer-doubling min-label propagation (see functions/oracles.py)
+        "vertex_features": _graph_oracles.vertex_features_sql(_CTE_MAT),
         "pagerank": _graph_oracles.pagerank_fp_sql(_CTE_MAT),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),

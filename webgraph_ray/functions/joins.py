@@ -67,10 +67,13 @@ def bucketed_join(
     how: str = "inner",
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
-    """how: 'inner' | 'left_semi'.  Returns the joined Dataset (inner: all
-    columns of both sides; left_semi: left columns only)."""
+    """how: 'inner' | 'left_semi' | 'left'.  Returns the joined Dataset
+    (inner/left: all columns of both sides; left_semi: left columns only).
+    For 'left', unmatched right-side integer columns come back as pandas
+    nullable Int64 so the dtype is identical across buckets (plain NaN
+    would widen some buckets to float64 and poison the union)."""
     keys = list(keys)
-    assert how in ("inner", "left_semi"), how
+    assert how in ("inner", "left_semi", "left"), how
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -131,6 +134,12 @@ def bucketed_join(
         )
         if how == "left_semi":
             out = l.merge(r[keys].drop_duplicates(), on=keys, how="inner")
+        elif how == "left":
+            out = l.merge(r, on=keys, how="left")
+            for col in rval:
+                dt = rdt.get(col)
+                if dt is not None and np.dtype(dt).kind in "iu":
+                    out[col] = out[col].astype("Int64")
         else:
             out = l.merge(r, on=keys, how="inner")
         return out

@@ -116,16 +116,24 @@ def _doubling_rounds(prefix: str, und: str, verts: str, rounds: int) -> str:
     return "".join(parts)
 
 
-def components_sql(base_cte: str, rounds: int = CC_ROUNDS) -> str:
-    """Full oracle: (vertex_key, component_key = min key in component)."""
+def components_ctes(rounds: int = CC_ROUNDS) -> str:
+    """CTE chain ending in ``cc{rounds}`` (vertex_key, lbl = min key in
+    component); assumes an ``edges`` CTE in scope."""
     return (
-        base_cte
-        + """
+        """
 , cc_und AS MATERIALIZED (
     SELECT src_key AS a, dst_key AS b FROM edges
     UNION ALL SELECT dst_key, src_key FROM edges
 ), cc_verts AS MATERIALIZED (SELECT DISTINCT a AS vertex_key FROM cc_und)"""
         + _doubling_rounds("cc", "cc_und", "cc_verts", rounds)
+    )
+
+
+def components_sql(base_cte: str, rounds: int = CC_ROUNDS) -> str:
+    """Full oracle: (vertex_key, component_key = min key in component)."""
+    return (
+        base_cte
+        + components_ctes(rounds)
         + f"\nSELECT vertex_key, lbl AS component_key FROM cc{rounds}"
     )
 
@@ -167,6 +175,84 @@ SELECT vertex_key, label FROM (
     SELECT c.vertex_key, coalesce(cl.rank, -1) AS label
     FROM lp{rounds} c LEFT JOIN lp_comp cl ON cl.comp = c.lbl
 )"""
+    )
+
+
+def vertex_features_sql(base_cte: str) -> str:
+    """Full oracle for the wide per-vertex feature table
+    (webgraph_ray/pipelines/vertex_features.py): degrees + typed edge
+    counts + chain depth + rule label + triangles + fixed-point PageRank +
+    component, one row per vertex."""
+    return (
+        base_cte
+        + pagerank_fp_ctes()
+        + components_ctes()
+        + f"""
+, vf_deg AS MATERIALIZED (
+    SELECT vertex_key,
+           CAST(count(*) FILTER (WHERE side = 'in') AS BIGINT)  AS in_degree,
+           CAST(count(*) FILTER (WHERE side = 'out') AS BIGINT) AS out_degree
+    FROM (SELECT src_key AS vertex_key, 'out' AS side FROM edges
+          UNION ALL SELECT dst_key, 'in' FROM edges)
+    GROUP BY vertex_key
+), vf_etc AS MATERIALIZED (
+    SELECT vertex_key,
+        CAST(count(*) FILTER (WHERE side='in'  AND edge_type='reply') AS BIGINT) AS reply_in,
+        CAST(count(*) FILTER (WHERE side='out' AND edge_type='reply') AS BIGINT) AS reply_out,
+        CAST(count(*) FILTER (WHERE side='in'  AND edge_type='tool_call') AS BIGINT) AS tool_call_in,
+        CAST(count(*) FILTER (WHERE side='out' AND edge_type='tool_call') AS BIGINT) AS tool_call_out,
+        CAST(count(*) FILTER (WHERE side='in'  AND edge_type='same_tool') AS BIGINT) AS same_tool_in,
+        CAST(count(*) FILTER (WHERE side='out' AND edge_type='same_tool') AS BIGINT) AS same_tool_out
+    FROM (SELECT src_key AS vertex_key, 'out' AS side, edge_type FROM edges
+          UNION ALL SELECT dst_key, 'in', edge_type FROM edges)
+    GROUP BY vertex_key
+), vf_chain AS MATERIALIZED (
+    SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS vertex_key,
+           CAST(turn_idx AS BIGINT) AS chain_depth
+    FROM transcripts
+    WHERE conv_id IN (
+        SELECT conv_id FROM transcripts GROUP BY 1 HAVING count(*) > 1
+    )
+), vf_und AS MATERIALIZED (
+    SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b
+    FROM edges WHERE src_key <> dst_key
+), vf_tri AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM vf_und e1
+    JOIN vf_und e2 ON e2.a = e1.b
+    JOIN vf_und e3 ON e3.a = e1.a AND e3.b = e2.b
+), vf_tri_v AS MATERIALIZED (
+    SELECT vertex_key, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS vertex_key FROM vf_tri
+        UNION ALL SELECT y FROM vf_tri
+        UNION ALL SELECT z FROM vf_tri
+    ) GROUP BY vertex_key
+)
+SELECT v.vertex_key,
+       CASE WHEN v.vertex_key LIKE 'tool:%' THEN 'tool' ELSE 'turn' END AS vertex_type,
+       coalesce(d.in_degree, 0)  AS in_degree,
+       coalesce(d.out_degree, 0) AS out_degree,
+       coalesce(e.reply_in, 0)       AS reply_in,
+       coalesce(e.reply_out, 0)      AS reply_out,
+       coalesce(e.tool_call_in, 0)   AS tool_call_in,
+       coalesce(e.tool_call_out, 0)  AS tool_call_out,
+       coalesce(e.same_tool_in, 0)   AS same_tool_in,
+       coalesce(e.same_tool_out, 0)  AS same_tool_out,
+       coalesce(ch.chain_depth, -1)  AS chain_depth,
+       CASE WHEN v.vertex_key LIKE 'tool:%' THEN 'tool'
+            WHEN regexp_matches(v.vertex_key, '#0$') THEN 'conv_root'
+            WHEN regexp_matches(v.vertex_key, '#[1-9]$') THEN 'early_turn'
+            WHEN regexp_matches(v.vertex_key, '#\\d{{2,}}$') THEN 'late_turn'
+            ELSE 'unlabelled' END AS label,
+       coalesce(t.triangles, 0) AS triangles,
+       CAST(p.val AS BIGINT) AS score_fp,
+       c.lbl AS component_key
+FROM pr_verts v
+LEFT JOIN vf_deg d   ON d.vertex_key = v.vertex_key
+LEFT JOIN vf_etc e   ON e.vertex_key = v.vertex_key
+LEFT JOIN vf_chain ch ON ch.vertex_key = v.vertex_key
+LEFT JOIN vf_tri_v t ON t.vertex_key = v.vertex_key
+JOIN pr{PR_FP_ITERS} p ON p.vertex_key = v.vertex_key
+JOIN cc{CC_ROUNDS} c   ON c.vertex_key = v.vertex_key"""
     )
 
 

@@ -27,10 +27,16 @@ def bucket_distinct(
     cols = list(cols)
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
+        from webgraph_ray.functions.hashing import hash_keys
+
         df = df.drop_duplicates(cols)[cols].copy()
         h = np.zeros(len(df), dtype=np.int64)
         for c in cols:
-            h = (h * 1_000_003) ^ df[c].to_numpy(np.int64)
+            if pd.api.types.is_integer_dtype(df[c]):
+                v = df[c].to_numpy(np.int64)
+            else:
+                v = hash_keys(df[c].astype(str).to_numpy(dtype=object))
+            h = (h * 1_000_003) ^ v
         df[_BUCKET] = np.abs(h) % num_buckets
         return df
 

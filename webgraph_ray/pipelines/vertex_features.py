@@ -1,0 +1,187 @@
+"""Wide per-vertex feature table — the reference's feature-extraction
+export (/root/reference/code/features/feature_extraction.py:56-105,
+features.yaml:78-139: one row per classifiable node x ~64 numeric feature
+columns) re-expressed as a join of global Ray Data aggregates instead of
+per-visit per-node python.
+
+Every ingredient is an oracle-checked stage (degrees, typed edge counts,
+chain depth, rule labels, triangles, fixed-point PageRank, components) and
+the assembled table has its own DuckDB oracle
+(webgraph_ray/functions/oracles.py::vertex_features_sql), so the export a
+model consumer would actually train on is driver-verified end to end.
+
+All joins are bucketed hash joins on ONE reused partition key
+(vertex_key); optional features (chain depth, triangles) left-join with
+typed defaults (-1 / 0).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from webgraph_ray.functions.joins import bucketed_join
+from webgraph_ray.graph.engine import GraphEngine
+from webgraph_ray.graph.triangles import triangle_counts
+from webgraph_ray.pipelines.flagship import attach_keys
+from webgraph_ray.stages.features import (
+    EDGE_TYPE_COUNT_COLS,
+    chain_depth,
+    edge_type_counts,
+    rule_labels,
+)
+from webgraph_ray.stages.vertices import degrees
+
+FEATURE_COLUMNS = (
+    "vertex_key",
+    "vertex_type",
+    "in_degree",
+    "out_degree",
+    *EDGE_TYPE_COUNT_COLS,
+    "chain_depth",
+    "label",
+    "triangles",
+    "score_fp",
+    "component_key",
+)
+
+
+def pagerank_fp_keyed(
+    edges: ray.data.Dataset, vertices: ray.data.Dataset, work_dir: str
+) -> ray.data.Dataset:
+    """(vertex_key, score_fp) — fixed-point PageRank with keys attached."""
+    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+
+    eng = GraphEngine(os.path.join(work_dir, "pr"), num_parts=None)
+    eng.build(edges, symmetrize=False)
+    try:
+        return attach_keys(
+            eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE), vertices
+        ).select_columns(["vertex_key", "score_fp"]).materialize()
+    finally:
+        eng.shutdown()
+
+
+def components_keyed(
+    edges: ray.data.Dataset, vertices: ray.data.Dataset, work_dir: str
+) -> ray.data.Dataset:
+    """(vertex_key, component_key) — canonical min-key component labels."""
+    from ray.data.aggregate import Min
+
+    eng = GraphEngine(os.path.join(work_dir, "cc"), num_parts=None)
+    eng.build(edges, symmetrize=True)
+    try:
+        cc = attach_keys(eng.components(), vertices)
+        canon = cc.groupby("component").aggregate(
+            Min("vertex_key", alias_name="component_key")
+        )
+        return bucketed_join(
+            cc.select_columns(["vertex_key", "component"]),
+            canon,
+            keys=["component"],
+        ).select_columns(["vertex_key", "component_key"]).materialize()
+    finally:
+        eng.shutdown()
+
+
+def vertex_features(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    work_dir: str | None = None,
+    pr: ray.data.Dataset | None = None,
+    comp: ray.data.Dataset | None = None,
+) -> ray.data.Dataset:
+    """Assemble the wide feature table (FEATURE_COLUMNS, one row per
+    vertex).  ``pr``/``comp`` accept precomputed (vertex_key, score_fp) /
+    (vertex_key, component_key) tables so callers running the individual
+    algorithm queries anyway can reuse them."""
+    own_work = work_dir is None
+    if own_work:
+        work_dir = tempfile.mkdtemp(prefix="webgraph_vf_")
+
+    base = vertices.select_columns(["vertex_key", "vertex_type"])
+
+    deg = degrees(edges)
+    etc = edge_type_counts(edges)
+    chain = chain_depth(edges)
+    labels = rule_labels(vertices)
+    _, tri = triangle_counts(edges)
+    tri_keyed = attach_keys(tri, vertices).select_columns(
+        ["vertex_key", "triangles"]
+    )
+
+    try:
+        if pr is None:
+            pr = pagerank_fp_keyed(edges, vertices, work_dir)
+        if comp is None:
+            comp = components_keyed(edges, vertices, work_dir)
+
+        # ONE shuffle assembles the wide table: every ingredient is padded
+        # to the common schema, unioned, and pivoted per vertex-key bucket
+        # (groupby.first skips the nulls).  Chained per-ingredient hash
+        # joins would re-shuffle the accumulating table once per
+        # ingredient — 7 shuffles and, for lazy inputs, repeated upstream
+        # re-execution.
+        num_cols = [
+            "in_degree", "out_degree", *EDGE_TYPE_COUNT_COLS,
+            "chain_depth", "triangles", "score_fp",
+        ]
+        str_cols = ["vertex_type", "label", "component_key"]
+        all_cols = ["vertex_key", *num_cols, *str_cols]
+
+        def padded(ds):
+            def pad(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.reindex(columns=all_cols)
+                for c in num_cols:
+                    out[c] = out[c].astype(np.float64)  # NaN-able; exact < 2^53
+                for c in str_cols:
+                    out[c] = out[c].astype(object)
+                return out
+
+            return ds.map_batches(pad, batch_format="pandas")
+
+        unioned = (
+            padded(base)
+            .union(padded(deg))
+            .union(padded(etc))
+            .union(padded(chain))
+            .union(padded(labels))
+            .union(padded(tri_keyed))
+            .union(padded(pr))
+            .union(padded(comp))
+        )
+
+        from webgraph_ray.functions.hashing import hash_keys
+
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = (
+                hash_keys(df["vertex_key"].to_numpy(dtype=object)) % 64
+            ).astype(np.int32)
+            return df
+
+        def pivot(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("vertex_key", sort=False)[num_cols + str_cols].first()
+            out = out.reset_index()
+            defaults = {c: 0.0 for c in num_cols}
+            defaults["chain_depth"] = -1.0
+            out = out.fillna(defaults)
+            for c in num_cols:
+                out[c] = out[c].astype(np.int64)
+            return out[list(FEATURE_COLUMNS)]
+
+        return (
+            unioned.map_batches(bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(pivot, batch_format="pandas")
+            .materialize()
+        )
+    finally:
+        if own_work:
+            shutil.rmtree(work_dir, ignore_errors=True)

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from webgraph_ray.functions.hashing import hash_keys
 
@@ -63,25 +63,42 @@ def chain_depth(edges: ray.data.Dataset, num_buckets: int = 64) -> ray.data.Data
         )
 
     def walk(g: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_d = [], []
-        for _, cg in g.groupby("conv_id", sort=False):
-            succ = dict(zip(cg["src_key"], cg["dst_key"]))
-            targets = set(cg["dst_key"])
-            roots = [s for s in succ if s not in targets]
-            for root in roots:
-                depth = 0
-                out_k.append(root)
-                out_d.append(depth)
-                cur = root
-                while cur in succ:
-                    cur = succ[cur]
-                    depth += 1
-                    out_k.append(cur)
-                    out_d.append(depth)
+        """Vectorized chain walk for path-shaped reply graphs (each vertex
+        has at most one reply successor/predecessor — the derivation
+        contract): sort by (conv, dst turn); a chain breaks where the edge's
+        src is not the previous edge's dst; depth = position in chain.
+        Replaces the round-1 per-row dict walk."""
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "vertex_key": pd.Series(dtype=object),
+                    "chain_depth": pd.Series(dtype=np.int64),
+                }
+            )
+        dst_turn = (
+            g["dst_key"].str.extract(r"#(\d+)$")[0].astype(np.int64)
+        )
+        g = g.assign(__dst_turn=dst_turn).sort_values(
+            ["conv_id", "__dst_turn"], kind="mergesort"
+        )
+        new_chain = (
+            (g["conv_id"] != g["conv_id"].shift(1))
+            | (g["src_key"] != g["dst_key"].shift(1))
+        ).to_numpy()
+        # depth of a dst = its 1-based position within its chain
+        starts = np.flatnonzero(new_chain)
+        counts = np.diff(np.append(starts, len(g)))
+        depth = np.arange(len(g), dtype=np.int64) - np.repeat(starts, counts) + 1
+        roots = g.loc[new_chain, "src_key"]
         return pd.DataFrame(
             {
-                "vertex_key": pd.Series(out_k, dtype=object),
-                "chain_depth": pd.Series(out_d, dtype=np.int64),
+                "vertex_key": pd.Series(
+                    np.concatenate([roots.to_numpy(dtype=object), g["dst_key"].to_numpy(dtype=object)]),
+                    dtype=object,
+                ),
+                "chain_depth": np.concatenate(
+                    [np.zeros(len(roots), dtype=np.int64), depth]
+                ),
             }
         )
 
@@ -162,13 +179,54 @@ def remap_vertices(
     def rewrite(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
         out = df.copy()
-        out["src_key"] = out["src_key"].map(lambda k: m.get(k, k))
-        out["dst_key"] = out["dst_key"].map(lambda k: m.get(k, k))
+        # Series.map(dict) is the C lookup path; NaN -> key unchanged
+        out["src_key"] = out["src_key"].map(m).fillna(out["src_key"])
+        out["dst_key"] = out["dst_key"].map(m).fillna(out["dst_key"])
         out["src"] = hash_keys(out["src_key"].to_numpy(dtype=object))
         out["dst"] = hash_keys(out["dst_key"].to_numpy(dtype=object))
         return out
 
     return edges.map_batches(rewrite, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# per-vertex typed edge counts (wide)
+# ---------------------------------------------------------------------------
+
+EDGE_TYPE_COUNT_COLS = (
+    "reply_in", "reply_out", "tool_call_in", "tool_call_out",
+    "same_tool_in", "same_tool_out",
+)
+
+
+def edge_type_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per vertex with in/out counts per edge type — the one-pass
+    pivoted analog of the reference's per-node filtered edge-count features
+    (/root/reference/code/features/dataflow.py:8-107).  Map-side partial
+    pivot, then one groupby-Sum over the partial rows."""
+    e = edges.select_columns(["src_key", "dst_key", "edge_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = (
+            df.groupby(["src_key", "edge_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .rename(columns=lambda c: f"{c}_out")
+        )
+        ins = (
+            df.groupby(["dst_key", "edge_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .rename(columns=lambda c: f"{c}_in")
+        )
+        merged = outs.join(ins, how="outer").fillna(0).astype(np.int64)
+        merged = merged.reindex(columns=list(EDGE_TYPE_COUNT_COLS), fill_value=0)
+        merged.index.name = "vertex_key"
+        return merged.reset_index()
+
+    return e.map_batches(partial, batch_format="pandas").groupby(
+        "vertex_key"
+    ).aggregate(*[Sum(c, alias_name=c) for c in EDGE_TYPE_COUNT_COLS])
 
 
 # ---------------------------------------------------------------------------
@@ -219,19 +277,21 @@ def convs_missing_tool(
             batch_format="pyarrow",
         ).unique("conv_id")
     )
-    hit_ref = ray.put(frozenset(hits))
+    hit_ref = ray.put(pa.array(sorted(hits), pa.string()))
 
     def anti(t: pa.Table) -> pa.Table:
         hit = ray.get(hit_ref)
-        conv = t["conv_id"].to_numpy(zero_copy_only=False)
-        mask = np.array([c not in hit for c in conv])
-        return pa.table({"conv_id": pa.array(np.unique(conv[mask]), pa.string())})
+        # Arrow-native anti-join mask: negated is_in against the broadcast set
+        keep = pc.invert(pc.is_in(t["conv_id"], value_set=hit))
+        conv = t["conv_id"].filter(keep).to_numpy(zero_copy_only=False)
+        return pa.table({"conv_id": pa.array(np.unique(conv), pa.string())})
 
-    # per-batch partial unique, then a global distinct
-    return (
-        transcripts.select_columns(["conv_id"])
-        .map_batches(anti, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["conv_id"])
+    # per-batch partial unique, then a global bucket-hash distinct
+    from webgraph_ray.functions.shuffle import bucket_distinct
+
+    return bucket_distinct(
+        transcripts.select_columns(["conv_id"]).map_batches(
+            anti, batch_format="pyarrow"
+        ),
+        ["conv_id"],
     )
