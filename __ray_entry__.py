@@ -535,6 +535,27 @@ def q_vertex_features(sf_dir: str):
     return _CACHE[key]
 
 
+def q_cv_folds(sf_dir: str):
+    from webgraph_ray.pipelines.classify import cv_folds
+
+    return cv_folds(_transcripts(sf_dir))
+
+
+def q_scored_vertices(sf_dir: str):
+    from webgraph_ray.pipelines.classify import scored_vertices
+
+    key = (sf_dir, "scored_vertices")
+    if key not in _CACHE:
+        _CACHE[key] = scored_vertices(q_vertex_features(sf_dir)).materialize()
+    return _CACHE[key]
+
+
+def q_fold_metrics(sf_dir: str):
+    from webgraph_ray.pipelines.classify import fold_metrics
+
+    return fold_metrics(q_scored_vertices(sf_dir))
+
+
 def q_conv_sample(sf_dir: str):
     """Deterministic 1-in-10 conversation sample by key (the scalable
     deterministic-split pattern; analog of the reference's seeded
@@ -575,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutation_impact": q_mutation_impact,
         "conv_sample": q_conv_sample,
         "vertex_features": q_vertex_features,
+        "cv_folds": q_cv_folds,
+        "scored_vertices": q_scored_vertices,
+        "fold_metrics": q_fold_metrics,
         "chain_depth": q_chain_depth,
         "rule_labels": q_rule_labels,
         "remapped_edges": q_remapped_edges,
@@ -757,6 +781,9 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point int64 PageRank (bit-exact, unrolled BIGINT CTEs) and
         # pointer-doubling min-label propagation (see functions/oracles.py)
         "vertex_features": _graph_oracles.vertex_features_sql(_CTE_MAT),
+        "cv_folds": _classify_sql("cv_folds"),
+        "scored_vertices": _classify_sql("scored_vertices"),
+        "fold_metrics": _classify_sql("fold_metrics"),
         "pagerank": _graph_oracles.pagerank_fp_sql(_CTE_MAT),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
@@ -781,6 +808,16 @@ def _lang_scores_sql() -> str:
 
 
 MINHASH_THRESHOLD = 0.5
+
+
+def _classify_sql(which: str) -> str:
+    from webgraph_ray.pipelines import classify as _clf
+
+    if which == "cv_folds":
+        return _clf.cv_folds_sql(_CTE_MAT)
+    if which == "scored_vertices":
+        return _clf.scored_vertices_sql(_CTE_MAT)
+    return _clf.fold_metrics_sql(_CTE_MAT)
 
 
 def _lsh_ann_sql_oracle() -> str:

@@ -178,8 +178,8 @@ SELECT vertex_key, label FROM (
     )
 
 
-def vertex_features_sql(base_cte: str) -> str:
-    """Full oracle for the wide per-vertex feature table
+def vertex_features_ctes(base_cte: str) -> str:
+    """CTE chain ending in ``vf_final`` = the wide per-vertex feature table
     (webgraph_ray/pipelines/vertex_features.py): degrees + typed edge
     counts + chain depth + rule label + triangles + fixed-point PageRank +
     component, one row per vertex."""
@@ -226,7 +226,7 @@ def vertex_features_sql(base_cte: str) -> str:
         UNION ALL SELECT y FROM vf_tri
         UNION ALL SELECT z FROM vf_tri
     ) GROUP BY vertex_key
-)
+), vf_final AS MATERIALIZED (
 SELECT v.vertex_key,
        CASE WHEN v.vertex_key LIKE 'tool:%' THEN 'tool' ELSE 'turn' END AS vertex_type,
        coalesce(d.in_degree, 0)  AS in_degree,
@@ -252,8 +252,13 @@ LEFT JOIN vf_etc e   ON e.vertex_key = v.vertex_key
 LEFT JOIN vf_chain ch ON ch.vertex_key = v.vertex_key
 LEFT JOIN vf_tri_v t ON t.vertex_key = v.vertex_key
 JOIN pr{PR_FP_ITERS} p ON p.vertex_key = v.vertex_key
-JOIN cc{CC_ROUNDS} c   ON c.vertex_key = v.vertex_key"""
+JOIN cc{CC_ROUNDS} c   ON c.vertex_key = v.vertex_key
+)"""
     )
+
+
+def vertex_features_sql(base_cte: str) -> str:
+    return vertex_features_ctes(base_cte) + "\nSELECT * FROM vf_final"
 
 
 def mutation_impact_sql(base_cte: str) -> str:
