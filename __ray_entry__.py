@@ -401,6 +401,30 @@ def q_lsh_ann_topk(sf_dir: str):
     return lsh_ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=10)
 
 
+def q_doc_source_rank(sf_dir: str):
+    """Actor-held side-table lookup (the LevelDB content-store analog,
+    /root/reference/code/features/structure.py:37-46): a small ranked
+    source table is loaded once per actor and each batch joins against it
+    in-memory — no shuffle."""
+    from webgraph_ray.stages.lookup import side_table_lookup
+
+    docs = _docs(sf_dir)
+    sources = sorted(
+        docs.select_columns(["source"])
+        .map_batches(
+            lambda df: df.drop_duplicates("source"), batch_format="pandas"
+        )
+        .to_pandas()["source"]
+        .unique()
+    )
+    side = pd.DataFrame(
+        {"source": sources, "source_rank": np.arange(len(sources), dtype=np.int64)}
+    )
+    return side_table_lookup(
+        docs.select_columns(["doc_id", "source"]), side, key="source", how="inner"
+    )
+
+
 def q_media_meta(sf_dir: str):
     from webgraph_ray.stages.media import media_meta
 
@@ -432,6 +456,12 @@ def q_remapped_edges(sf_dir: str):
     return remap_vertices(edges, mapping).select_columns(
         ["src_key", "dst_key", "edge_type", "weight", "conv_id", "ts"]
     )
+
+
+def q_endpoint_weight_stats(sf_dir: str):
+    from webgraph_ray.stages.features import endpoint_weight_stats
+
+    return endpoint_weight_stats(_edges(sf_dir))
 
 
 def q_degree_histogram(sf_dir: str):
@@ -603,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rule_labels": q_rule_labels,
         "remapped_edges": q_remapped_edges,
         "degree_histogram": q_degree_histogram,
+        "endpoint_weight_stats": q_endpoint_weight_stats,
         "convs_missing_tool": q_convs_missing_tool,
         # training-data operators
         "token_stats": q_token_stats,
@@ -616,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_topk": q_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "doc_source_rank": q_doc_source_rank,
         "media_meta": q_media_meta,
     }
 
@@ -740,6 +772,29 @@ def oracle_sql() -> dict[str, str]:
         FROM edges e
         LEFT JOIN m ms ON e.src_key = ms.old
         LEFT JOIN m md ON e.dst_key = md.old
+        """,
+        "endpoint_weight_stats": _CTE
+        + """
+        SELECT vertex_key,
+            CAST(coalesce(sum(weight) FILTER (WHERE side='in'), 0) AS BIGINT)  AS in_w_sum,
+            CAST(coalesce(min(weight) FILTER (WHERE side='in'), 0) AS BIGINT)  AS in_w_min,
+            CAST(coalesce(max(weight) FILTER (WHERE side='in'), 0) AS BIGINT)  AS in_w_max,
+            CAST(count(*) FILTER (WHERE side='in') AS BIGINT)                  AS in_n,
+            CASE WHEN count(*) FILTER (WHERE side='in') = 0 THEN 0
+                 ELSE CAST(1000 * sum(weight) FILTER (WHERE side='in') AS BIGINT)
+                      // (count(*) FILTER (WHERE side='in')) END               AS in_w_mean_x1000,
+            CAST(coalesce(sum(weight) FILTER (WHERE side='out'), 0) AS BIGINT) AS out_w_sum,
+            CAST(coalesce(min(weight) FILTER (WHERE side='out'), 0) AS BIGINT) AS out_w_min,
+            CAST(coalesce(max(weight) FILTER (WHERE side='out'), 0) AS BIGINT) AS out_w_max,
+            CAST(count(*) FILTER (WHERE side='out') AS BIGINT)                 AS out_n,
+            CASE WHEN count(*) FILTER (WHERE side='out') = 0 THEN 0
+                 ELSE CAST(1000 * sum(weight) FILTER (WHERE side='out') AS BIGINT)
+                      // (count(*) FILTER (WHERE side='out')) END              AS out_w_mean_x1000
+        FROM (
+            SELECT src_key AS vertex_key, 'out' AS side, weight FROM edges
+            UNION ALL
+            SELECT dst_key, 'in', weight FROM edges
+        ) GROUP BY vertex_key
         """,
         "degree_histogram": _CTE
         + """
@@ -899,6 +954,16 @@ def _build_training_oracles() -> dict[str, str]:
                neighbor_id
         FROM s
         QUALIFY rank <= 10
+        """,
+        "doc_source_rank": """
+        WITH side AS (
+            SELECT source,
+                   CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+                       AS source_rank
+            FROM (SELECT DISTINCT source FROM documents)
+        )
+        SELECT d.doc_id, d.source, s.source_rank
+        FROM documents d JOIN side s USING (source)
         """,
         "media_meta": """
         SELECT doc_id,

@@ -192,6 +192,26 @@ class GraphPartition:
         self.P = num_parts
         self.work_dir = work_dir
 
+        # STORAGE CONTRACT: work_dir must be visible to every node that can
+        # host a partition actor (shared filesystem / fuse-mounted object
+        # store on a real cluster; any local dir on one node).  Without
+        # this check a worker on a node that lacks the build would silently
+        # construct an EMPTY partition — wrong results, no error.
+        manifest = os.path.join(work_dir, "build_manifest.json")
+        if not os.path.exists(manifest):
+            raise RuntimeError(
+                f"GraphPartition {part_id}: no build manifest at {manifest!r} "
+                "on this node. The engine work_dir must be on storage shared "
+                "by all nodes (see GraphEngine docstring); on a multi-node "
+                "cluster pass a shared-filesystem path."
+            )
+        if not os.path.isdir(os.path.join(work_dir, "edges")):
+            raise RuntimeError(
+                f"GraphPartition {part_id}: build manifest present but the "
+                f"edges/ layout is missing under {work_dir!r} — partial or "
+                "non-shared storage."
+            )
+
         edir = os.path.join(work_dir, "edges", f"part={part_id}")
         vdir = os.path.join(work_dir, "verts", f"part={part_id}")
         odir = os.path.join(work_dir, "outdeg", f"part={part_id}")
@@ -608,6 +628,17 @@ class GraphEngine:
     ``symmetrize=True`` adds the reverse of every edge (undirected view) —
     required for components / label propagation / the reference's
     eccentricity analog (/root/reference/code/features/structure.py:173-177).
+
+    **Storage contract**: ``work_dir`` holds the partitioned build layout
+    AND checkpoints, and every partition actor reads its slice from it at
+    init.  On a multi-node cluster it must therefore be a path visible on
+    every node (shared filesystem / mounted object store); actors fail
+    loudly at init when their node cannot see the build (rather than
+    silently computing over an empty partition).  Single-node runs may use
+    any local directory.  An object-store-shipped build (pass partition
+    blocks as ObjectRefs instead of paths) is the alternative for clusters
+    without shared storage; the parquet layout was chosen because it also
+    provides build resumability and checkpoint durability.
     """
 
     def __init__(

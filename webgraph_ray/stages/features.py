@@ -230,6 +230,100 @@ def edge_type_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# per-endpoint weight aggregates (sum/min/max/count, mean derivable)
+# ---------------------------------------------------------------------------
+
+_W_SENTINEL_MIN = np.int64(1 << 62)
+_W_SENTINEL_MAX = np.int64(-(1 << 62))
+
+
+def endpoint_weight_stats(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per vertex with in/out edge-weight sum, min, max, count and
+    a fixed-point mean (x1000, floored) — the analog of the reference's
+    per-node mean/min/max in/out weight and size aggregates
+    (/root/reference/code/features/dataflow.py:169-180,
+    /root/reference/code/features/additional.py:60-160), computed as one
+    map-side-combined groupby instead of per-node list scans.
+
+    All outputs are exact integers (absent side -> 0), so the DuckDB
+    oracle reproduces them bit-exactly."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    e = edges.select_columns(["src_key", "dst_key", "weight"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = (
+            df.groupby("src_key", sort=False)["weight"]
+            .agg(["sum", "min", "max", "count"])
+            .rename(
+                columns={
+                    "sum": "out_w_sum", "min": "out_w_min",
+                    "max": "out_w_max", "count": "out_n",
+                }
+            )
+        )
+        ins = (
+            df.groupby("dst_key", sort=False)["weight"]
+            .agg(["sum", "min", "max", "count"])
+            .rename(
+                columns={
+                    "sum": "in_w_sum", "min": "in_w_min",
+                    "max": "in_w_max", "count": "in_n",
+                }
+            )
+        )
+        m = outs.join(ins, how="outer")
+        m.index.name = "vertex_key"
+        m = m.reset_index()
+        # sentinel neutral elements so partial Min/Max combine correctly
+        for c, fill in (
+            ("out_w_sum", 0), ("out_n", 0), ("in_w_sum", 0), ("in_n", 0),
+            ("out_w_min", _W_SENTINEL_MIN), ("in_w_min", _W_SENTINEL_MIN),
+            ("out_w_max", _W_SENTINEL_MAX), ("in_w_max", _W_SENTINEL_MAX),
+        ):
+            m[c] = m[c].fillna(fill).astype(np.int64)
+        return m
+
+    agg = (
+        e.map_batches(partial, batch_format="pandas")
+        .groupby("vertex_key")
+        .aggregate(
+            Sum("in_w_sum", alias_name="in_w_sum"),
+            Min("in_w_min", alias_name="in_w_min"),
+            Max("in_w_max", alias_name="in_w_max"),
+            Sum("in_n", alias_name="in_n"),
+            Sum("out_w_sum", alias_name="out_w_sum"),
+            Min("out_w_min", alias_name="out_w_min"),
+            Max("out_w_max", alias_name="out_w_max"),
+            Sum("out_n", alias_name="out_n"),
+        )
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for side in ("in", "out"):
+            n = df[f"{side}_n"].to_numpy(np.int64)
+            absent = n == 0
+            for c in (f"{side}_w_min", f"{side}_w_max"):
+                v = df[c].to_numpy(np.int64).copy()
+                v[absent] = 0
+                df[c] = v
+            s = df[f"{side}_w_sum"].to_numpy(np.int64)
+            mean = np.zeros(len(df), dtype=np.int64)
+            np.floor_divide(1000 * s, n, out=mean, where=~absent)
+            df[f"{side}_w_mean_x1000"] = mean
+        cols = ["vertex_key"]
+        for side in ("in", "out"):
+            cols += [
+                f"{side}_w_sum", f"{side}_w_min", f"{side}_w_max",
+                f"{side}_n", f"{side}_w_mean_x1000",
+            ]
+        return df[cols]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # degree histogram (avg-degree-connectivity analog)
 # ---------------------------------------------------------------------------
 
