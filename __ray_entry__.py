@@ -586,6 +586,15 @@ def q_fold_metrics(sf_dir: str):
     return fold_metrics(q_scored_vertices(sf_dir))
 
 
+def q_greedy_mutation(sf_dir: str):
+    """Greedy adversarial mutation loop (rows-only: iterative float-free
+    objective, pytest-verified invariants — strictly decreasing accepted
+    objective, deterministic candidates)."""
+    from webgraph_ray.pipelines.greedy import greedy_mutation
+
+    return greedy_mutation(_edges(sf_dir), rounds=3)
+
+
 def q_conv_sample(sf_dir: str):
     """Deterministic 1-in-10 conversation sample by key (the scalable
     deterministic-split pattern; analog of the reference's seeded
@@ -624,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph-feature analogs
         "tool_usage_stats": q_tool_usage_stats,
         "mutation_impact": q_mutation_impact,
+        "greedy_mutation": q_greedy_mutation,
         "conv_sample": q_conv_sample,
         "vertex_features": q_vertex_features,
         "cv_folds": q_cv_folds,
