@@ -120,6 +120,24 @@ def run_suite() -> dict:
     ann_topk(embs, [0, 1, 2, 3, 4], k=10)
     queries["training_ops"] = round(time.time() - t0, 3)
 
+    # 6b. fingerprint micro-bench: winnowed char-gram fingerprints are the
+    # text-scan bound; report bytes/s (round 1's per-byte python rolling
+    # hash ran at ~1.5 MB/s/core — the vectorized rewrite must be >>)
+    from webgraph_ray.stages.text import fingerprints
+
+    t0 = time.time()
+    fingerprints(docs).count()
+    queries["fingerprints"] = round(time.time() - t0, 3)
+    # kernel throughput on a corpus large enough to swamp task overhead
+    # (round 1's per-byte python rolling hash: ~1.5 MB/s/core)
+    from webgraph_ray.functions.texthash import fingerprint_set
+
+    corpus = ("the quick brown fox jumps over the lazy dog " * 200_000)[: 8 << 20]
+    fingerprint_set(corpus[: 1 << 20])  # warm (allocator + code paths)
+    t0 = time.time()
+    fingerprint_set(corpus)
+    extras["fingerprint_bytes_per_sec"] = round(len(corpus) / (time.time() - t0), 1)
+
     value = round(time.time() - t_suite, 3)
     out = {
         "metric": "graph_suite_e2e",
