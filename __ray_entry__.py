@@ -108,9 +108,13 @@ def _edges(sf_dir: str):
 
 
 def _vertices(sf_dir: str):
+    from webgraph_ray.stages.vertices import audit_vertex_ids
+
     key = (sf_dir, "vertices")
     if key not in _CACHE:
-        _CACHE[key] = derive_vertices(_edges(sf_dir)).materialize()
+        v = derive_vertices(_edges(sf_dir)).materialize()
+        audit_vertex_ids(v)  # raise loudly on a 64-bit id collision
+        _CACHE[key] = v
     return _CACHE[key]
 
 

@@ -44,6 +44,9 @@ def run_flagship(sf_dir: str, work_dir: str | None = None) -> pd.DataFrame:
     transcripts = transcripts_from_events(os.path.join(sf_dir, "events.parquet"))
     edges = derive_edges(transcripts).materialize()
     vertices = derive_vertices(edges).materialize()
+    from webgraph_ray.stages.vertices import audit_vertex_ids
+
+    audit_vertex_ids(vertices)
 
     eng = GraphEngine(os.path.join(work_dir, "pr"), num_parts=None)
     eng.build(edges)

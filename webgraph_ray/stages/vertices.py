@@ -89,6 +89,30 @@ def derive_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(_classify, batch_format="pyarrow")
 
 
+def audit_vertex_ids(vertices: ray.data.Dataset) -> int:
+    """Distributed birthday-collision audit: the vertex table has one row
+    per distinct key, so the count of distinct vertex_ids must equal the
+    row count — a SipHash collision would silently merge two vertices in
+    every downstream algorithm.  Raises on mismatch; returns the vertex
+    count.  One cheap pass (per-batch unique + bucket-hash distinct);
+    callers that materialize the vertex table run it once per pipeline."""
+    from webgraph_ray.functions.shuffle import bucket_distinct
+
+    n_rows = vertices.count()
+    ids = vertices.select_columns(["vertex_id"]).map_batches(
+        lambda df: df.drop_duplicates("vertex_id"), batch_format="pandas"
+    )
+    n_ids = bucket_distinct(ids, ["vertex_id"]).count()
+    if n_ids != n_rows:
+        raise RuntimeError(
+            f"vertex id collision: {n_rows} distinct keys -> {n_ids} distinct "
+            "64-bit ids. Two vertices would silently merge downstream; widen "
+            "the id (two int64 columns) or build an explicit dictionary "
+            "(functions/hashing.py scale note)."
+        )
+    return n_rows
+
+
 def _degree_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial (vertex_key, in_degree, out_degree) counts."""
     src = pd.Series(batch["src_key"].to_numpy(zero_copy_only=False))
