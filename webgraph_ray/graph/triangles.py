@@ -114,7 +114,7 @@ def _corner_partials(t: pa.Table) -> pa.Table:
 def triangle_counts(
     edges: ray.data.Dataset,
     num_partitions: int | None = None,
-    broadcast_threshold: int = 20_000_000,
+    broadcast_threshold: int = 4_000_000,
 ) -> tuple[int, ray.data.Dataset]:
     """Returns (total_triangles, per-vertex Dataset(vertex_id, triangles)).
 
@@ -126,7 +126,9 @@ def triangle_counts(
     (``ray.put`` once, numpy/pandas probe per batch) instead of the
     partitioned hash join — the classic small-side optimization.  Above the
     threshold both steps fall back to ``bucketed_join`` (no broadcast, scales
-    past single-node memory).
+    past single-node memory).  The default (~4M rows, ~100 MB with ids +
+    degrees) keeps the driver materialization modest; the bucketed path is
+    only ~2x slower where they overlap.
     """
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
