@@ -565,6 +565,7 @@ def q_vertex_features(sf_dir: str):
             _vertices(sf_dir),
             pr=_pagerank_fp(sf_dir),
             comp=_components(sf_dir),
+            tri=_triangles(sf_dir)[1],
         )
     return _CACHE[key]
 

@@ -96,11 +96,13 @@ def vertex_features(
     work_dir: str | None = None,
     pr: ray.data.Dataset | None = None,
     comp: ray.data.Dataset | None = None,
+    tri: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Assemble the wide feature table (FEATURE_COLUMNS, one row per
-    vertex).  ``pr``/``comp`` accept precomputed (vertex_key, score_fp) /
-    (vertex_key, component_key) tables so callers running the individual
-    algorithm queries anyway can reuse them."""
+    vertex).  ``pr``/``comp``/``tri`` accept precomputed (vertex_key,
+    score_fp) / (vertex_key, component_key) / (vertex_id, triangles)
+    tables so callers running the individual algorithm queries anyway can
+    reuse them."""
     own_work = work_dir is None
     if own_work:
         work_dir = tempfile.mkdtemp(prefix="webgraph_vf_")
@@ -111,7 +113,8 @@ def vertex_features(
     etc = edge_type_counts(edges)
     chain = chain_depth(edges)
     labels = rule_labels(vertices)
-    _, tri = triangle_counts(edges)
+    if tri is None:
+        _, tri = triangle_counts(edges)
     tri_keyed = attach_keys(tri, vertices).select_columns(
         ["vertex_key", "triangles"]
     )

@@ -247,8 +247,6 @@ def endpoint_weight_stats(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     All outputs are exact integers (absent side -> 0), so the DuckDB
     oracle reproduces them bit-exactly."""
-    from ray.data.aggregate import Max, Min, Sum
-
     e = edges.select_columns(["src_key", "dst_key", "weight"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -284,19 +282,39 @@ def endpoint_weight_stats(edges: ray.data.Dataset) -> ray.data.Dataset:
             m[c] = m[c].fillna(fill).astype(np.int64)
         return m
 
+    # combine partials with the bucket-hash + vectorized-pandas pattern:
+    # an 8-column sort-based groupby().aggregate() over high-cardinality
+    # string keys is several times slower (round-1 pitfall list)
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from webgraph_ray.functions.hashing import hash_keys
+
+        df = df.copy()
+        df["__b"] = (
+            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % 64
+        ).astype(np.int32)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("vertex_key", sort=False)
+            .agg(
+                in_w_sum=("in_w_sum", "sum"),
+                in_w_min=("in_w_min", "min"),
+                in_w_max=("in_w_max", "max"),
+                in_n=("in_n", "sum"),
+                out_w_sum=("out_w_sum", "sum"),
+                out_w_min=("out_w_min", "min"),
+                out_w_max=("out_w_max", "max"),
+                out_n=("out_n", "sum"),
+            )
+            .reset_index()
+        )
+
     agg = (
         e.map_batches(partial, batch_format="pandas")
-        .groupby("vertex_key")
-        .aggregate(
-            Sum("in_w_sum", alias_name="in_w_sum"),
-            Min("in_w_min", alias_name="in_w_min"),
-            Max("in_w_max", alias_name="in_w_max"),
-            Sum("in_n", alias_name="in_n"),
-            Sum("out_w_sum", alias_name="out_w_sum"),
-            Min("out_w_min", alias_name="out_w_min"),
-            Max("out_w_max", alias_name="out_w_max"),
-            Sum("out_n", alias_name="out_n"),
-        )
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
