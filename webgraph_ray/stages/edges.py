@@ -104,15 +104,27 @@ def tool_call_edges_batch(batch: pa.Table) -> pa.Table:
     return _edges_table(src_key, dst_key, "tool_call", b["conv_id"], b["ts"])
 
 
-def same_tool_edges_group(g: pd.DataFrame) -> pa.Table:
+def same_tool_edges_group(g: pd.DataFrame, max_turns: int | None = None) -> pa.Table:
     """Earlier tool turn -> later turn sharing the same tool, within each
     conversation.  Called per conversation-hash BUCKET (not per
     conversation) so the Ray per-group overhead is O(num_buckets); the
     in-bucket self-join groups on (conv_id, tool) in one vectorized
-    merge."""
+    merge.
+
+    ``max_turns`` guards pathological conversations: the rule is quadratic
+    in per-(conv, tool) turn count BY DEFINITION, so when set, only each
+    (conv, tool)'s first ``max_turns`` tool turns participate (<=
+    max_turns^2/2 pairs per group).  Default None = exact semantics (the
+    oracle's)."""
     t = g[g["tool"].notna()][["conv_id", "turn_idx", "tool", "ts"]]
     if len(t) < 2:
         return _EMPTY_EDGES
+    if max_turns is not None:
+        t = (
+            t.sort_values(["conv_id", "tool", "turn_idx"], kind="mergesort")
+            .groupby(["conv_id", "tool"], sort=False)
+            .head(max_turns)
+        )
     m = t.merge(t, on=["conv_id", "tool"], suffixes=("_a", "_b"))
     m = m[m["turn_idx_a"] < m["turn_idx_b"]]
     if len(m) == 0:
@@ -148,11 +160,14 @@ _EMPTY_EDGES = pa.table(
 def derive_edges(
     transcripts: ray.data.Dataset,
     rules: Iterable[str] = DEFAULT_RULES,
+    same_tool_max_turns: int | None = None,
 ) -> ray.data.Dataset:
     """transcripts Dataset -> edges Dataset (lazy; union of per-rule streams).
 
     reply/tool_call are shuffle-free ``map_batches`` over zero-copy Arrow
-    batches.  same_tool groups the narrow projection by conv_id.
+    batches.  same_tool groups the narrow projection by conv_id;
+    ``same_tool_max_turns`` caps its inherent quadratic fan-out per
+    (conversation, tool) for hostile inputs (None = exact).
     """
     rules = tuple(rules)
     if not rules:
@@ -199,10 +214,13 @@ def derive_edges(
             b = (hash_keys(conv) % 64).astype(np.int32)
             return t.append_column("conv_bucket", pa.array(b))
 
+        def same_tool_group(g: pd.DataFrame) -> pa.Table:
+            return same_tool_edges_group(g, max_turns=same_tool_max_turns)
+
         parts.append(
             narrow.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("conv_bucket")
-            .map_groups(same_tool_edges_group, batch_format="pandas")
+            .map_groups(same_tool_group, batch_format="pandas")
         )
     for name in rules:
         if name in EXTRA_RULES:
