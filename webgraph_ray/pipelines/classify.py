@@ -67,17 +67,38 @@ def cv_folds(transcripts: ray.data.Dataset, k: int = NUM_FOLDS) -> ray.data.Data
     )
 
 
+def save_model(path: str, weights: dict[str, int] | None = None, bias: int = MODEL_BIAS) -> str:
+    """Persist the model artifact (the reference's joblib.dump analog,
+    /root/reference/code/classification/classify.py:315-317) as JSON —
+    scorer actors load it once in __init__."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"weights": dict(weights or MODEL_WEIGHTS), "bias": int(bias)}, f)
+    return path
+
+
 class LinearScorer:
     """Weights live in the actor (loaded once in __init__); __call__ scores
-    a batch vectorized in exact int64 — z and pred reproduce in BIGINT SQL."""
+    a batch vectorized in exact int64 — z and pred reproduce in BIGINT SQL.
+    ``weights`` may be a dict or a path to a save_model artifact (each
+    actor reads it once — the model-load pattern)."""
 
     def __init__(
         self,
-        weights: dict[str, int] | None = None,
+        weights: dict[str, int] | str | None = None,
         bias: int = MODEL_BIAS,
         k: int = NUM_FOLDS,
     ):
-        self.w = dict(weights or MODEL_WEIGHTS)
+        if isinstance(weights, str):
+            import json
+
+            with open(weights) as f:
+                art = json.load(f)
+            self.w = {c: int(v) for c, v in art["weights"].items()}
+            bias = art["bias"]
+        else:
+            self.w = dict(weights or MODEL_WEIGHTS)
         self.bias = int(bias)
         self.k = int(k)
 
