@@ -156,14 +156,17 @@ def q_first_tool_use(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
-def q_conv_stats(sf_dir: str, num_buckets: int = 64):
+def q_conv_stats(sf_dir: str, num_buckets: int | None = None):
     """Per-conversation aggregates via the bucket-hash + vectorized
     per-bucket groupby pattern: conv_id cardinality is unbounded, so a
     per-conv map_groups (1-row pandas frame per group in Python) would be
     the per-group-Python trap; here each of the ``num_buckets`` tasks does
     ONE C-path pandas groupby over its bucket."""
     from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
 
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     t = _transcripts(sf_dir).select_columns(["conv_id", "tool", "ts"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:

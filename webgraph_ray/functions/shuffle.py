@@ -16,14 +16,29 @@ import ray.data
 _BUCKET = "__distinct_bucket"
 
 
+def default_num_buckets() -> int:
+    """Bucket-shuffle fan-out: a few buckets per cluster CPU so per-bucket
+    groups parallelize on any cluster size (floor 64 keeps small clusters
+    skew-tolerant)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(64, 4 * cpus)
+
+
 def bucket_distinct(
-    ds: ray.data.Dataset, cols: Sequence[str], num_buckets: int = 64
+    ds: ray.data.Dataset, cols: Sequence[str], num_buckets: int | None = None
 ) -> ray.data.Dataset:
     """Distinct rows over integer key columns: per-batch drop_duplicates
     (map-side combine) -> bucket-hash groupby (low, fixed cardinality) ->
     per-bucket drop_duplicates.  The scalable replacement for
     ``groupby(cols).aggregate(Count)``-style dedup when the key cardinality
     is high."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     cols = list(cols)
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:

@@ -161,11 +161,14 @@ def vertex_features(
         )
 
         from webgraph_ray.functions.hashing import hash_keys
+        from webgraph_ray.functions.shuffle import default_num_buckets
+
+        nb = default_num_buckets()
 
         def bucket(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__b"] = (
-                hash_keys(df["vertex_key"].to_numpy(dtype=object)) % 64
+                hash_keys(df["vertex_key"].to_numpy(dtype=object)) % nb
             ).astype(np.int32)
             return df
 

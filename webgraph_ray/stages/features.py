@@ -285,12 +285,16 @@ def endpoint_weight_stats(edges: ray.data.Dataset) -> ray.data.Dataset:
     # combine partials with the bucket-hash + vectorized-pandas pattern:
     # an 8-column sort-based groupby().aggregate() over high-cardinality
     # string keys is several times slower (round-1 pitfall list)
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         from webgraph_ray.functions.hashing import hash_keys
 
         df = df.copy()
         df["__b"] = (
-            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % 64
+            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % nb
         ).astype(np.int32)
         return df
 
