@@ -72,6 +72,27 @@ def test_fp_mass_bounded(graph_fixture, tmp_path):
     assert total >= PR_FP_SCALE * 0.98
 
 
+def test_fp_checkpoint_resume_identical(graph_fixture, tmp_path):
+    """Resume from a mid-run checkpoint reproduces the uninterrupted run
+    bit-exactly (fingerprint-gated: same build)."""
+    edges, _ = graph_fixture
+    wd = str(tmp_path / "ck")
+    eng = GraphEngine(wd, num_parts=2)
+    eng.build(edges)
+    full = eng.pagerank_fixed(iters=12, checkpoint_every=4).to_pandas()
+    eng.shutdown()
+    # fresh engine over the same build resumes from iter 12 checkpoint and
+    # has nothing left to do; resuming with more iters continues exactly
+    eng2 = GraphEngine(wd, num_parts=2)
+    ck = eng2.latest_checkpoint("pagerank_fp")
+    assert ck is not None and ck[0] == 12
+    resumed = eng2.pagerank_fixed(iters=12, checkpoint_every=4, resume=True).to_pandas()
+    eng2.shutdown()
+    a = full.sort_values("vertex_id")["score_fp"].to_numpy()
+    b = resumed.sort_values("vertex_id")["score_fp"].to_numpy()
+    assert np.array_equal(a, b)
+
+
 def test_labelprop_seed_labels(graph_fixture, tmp_path):
     """Explicit seed labels (rank-by-key) flow through to the fixpoint."""
     edges, pdf = graph_fixture
