@@ -132,11 +132,15 @@ def run_suite() -> dict:
     # (round 1's per-byte python rolling hash: ~1.5 MB/s/core)
     from webgraph_ray.functions.texthash import fingerprint_set
 
-    corpus = ("the quick brown fox jumps over the lazy dog " * 200_000)[: 8 << 20]
+    corpus = ("the quick brown fox jumps over the lazy dog " * 100_000)[: 4 << 20]
     fingerprint_set(corpus[: 1 << 20])  # warm (allocator + code paths)
-    t0 = time.time()
-    fingerprint_set(corpus)
-    extras["fingerprint_bytes_per_sec"] = round(len(corpus) / (time.time() - t0), 1)
+    best = None
+    for _ in range(3):  # single-core number; best-of-3 rides out CPU steal
+        t0 = time.time()
+        fingerprint_set(corpus)
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    extras["fingerprint_bytes_per_sec"] = round(len(corpus) / best, 1)
 
     value = round(time.time() - t_suite, 3)
     out = {
