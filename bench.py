@@ -100,9 +100,26 @@ def run_suite() -> dict:
 
     # 5. triangle counting
     t0 = time.time()
-    total, _ = triangle_counts(edges)
+    total, tri_pv = triangle_counts(edges)
     queries["triangles"] = round(time.time() - t0, 3)
     extras["triangle_count"] = total
+
+    # 5b. wide per-vertex feature table (round-2 flagship: degrees + typed
+    # counts + chain depth + labels + triangles + fixed-point PageRank +
+    # components assembled in one shuffle)
+    from webgraph_ray.stages.vertices import derive_vertices
+    from webgraph_ray.pipelines.vertex_features import vertex_features
+
+    t0 = time.time()
+    vertices = derive_vertices(edges).materialize()
+    vf = vertex_features(
+        edges,
+        vertices,
+        work_dir=os.path.join(work, "vf"),
+        tri=tri_pv,
+    )
+    extras["vertex_feature_rows"] = vf.count()
+    queries["vertex_features"] = round(time.time() - t0, 3)
 
     # 6. training-data ops over documents/embeddings (dedup + text + ANN)
     import ray.data as rd
