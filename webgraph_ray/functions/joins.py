@@ -88,8 +88,14 @@ def bucketed_join(
     rschema = right.schema(fetch_if_missing=True)
     if lschema is None:  # empty left -> empty join
         return left
-    if rschema is None:  # empty right -> inner/semi join is empty
-        return left.limit(0)
+    if rschema is None:
+        if how == "left":
+            # empty right: keep every left row.  The right-side columns
+            # cannot be inferred from an empty Dataset, so they are ABSENT
+            # from the result (callers needing them must handle the
+            # no-rows-at-all case anyway).
+            return left
+        return left.limit(0)  # inner/semi join with empty right is empty
 
     lt = left.map_batches(tag(0), batch_format="pandas")
     rt = right.map_batches(tag(1), batch_format="pandas")

@@ -1258,10 +1258,20 @@ class GraphEngine:
                 self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
         self.metrics[algo] = m
+        if not m.converged:
+            # a silently-capped min-label run returns stale/UNLABELED
+            # labels that downstream consumers (and the exact-fixpoint
+            # oracles) would treat as converged — fail loudly instead
+            raise RuntimeError(
+                f"{algo} did not reach its fixpoint within max_iter="
+                f"{max_iter} iterations ({m.history[-1]['changed']} labels "
+                "still changing); raise max_iter (propagation needs ~graph "
+                "diameter iterations)"
+            )
         return self._results(algo)
 
     def components(
-        self, max_iter: int = 200, checkpoint_every: int = 0, resume: bool = False
+        self, max_iter: int = 5000, checkpoint_every: int = 0, resume: bool = False
     ) -> ray.data.Dataset:
         """Min-label propagation to fixpoint on the (symmetrized) build —
         the scalable replacement for per-node reachability/eccentricity
@@ -1287,7 +1297,7 @@ class GraphEngine:
     def labelprop(
         self,
         seeds: np.ndarray,
-        max_iter: int = 50,
+        max_iter: int = 5000,
         checkpoint_every: int = 0,
         resume: bool = False,
         seed_labels: np.ndarray | None = None,

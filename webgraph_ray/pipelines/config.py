@@ -92,8 +92,11 @@ def run_from_config(
     from webgraph_ray.stages.vertices import degrees, derive_vertices
 
     cfg = load_config(config)
-    if work_dir is None:
+    own_work = work_dir is None
+    if own_work:
         work_dir = tempfile.mkdtemp(prefix="webgraph_cfg_")
+
+    import shutil
 
     transcripts = transcripts_from_events(os.path.join(sf_dir, "events.parquet"))
     edges = derive_edges(transcripts, rules=cfg["edge_rules"]).materialize()
@@ -165,4 +168,8 @@ def run_from_config(
                 out["labelprop"] = eng.labelprop(seeds=tools).materialize()
         finally:
             eng.shutdown()
+    if own_work:
+        # algorithm/feature results are materialized above, so the build
+        # layout is no longer referenced
+        shutil.rmtree(work_dir, ignore_errors=True)
     return out

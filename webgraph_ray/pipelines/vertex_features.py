@@ -159,6 +159,14 @@ def vertex_features(
             .union(padded(pr))
             .union(padded(comp))
         )
+        # the 8-way union fragments into many tiny blocks and the following
+        # shuffle pays per-block overhead (round-1 pitfall: ~7x slower);
+        # coalesce first (metadata-only repartition)
+        import ray as _ray
+
+        unioned = unioned.repartition(
+            max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        )
 
         from webgraph_ray.functions.hashing import hash_keys
         from webgraph_ray.functions.shuffle import default_num_buckets

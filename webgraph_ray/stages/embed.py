@@ -237,6 +237,9 @@ def lsh_ann_topk(
         batch_format="pyarrow",
     )
     if stats_out is not None:
+        # materialize the probe once so the stats count and the scoring
+        # pass share one scan of the index
+        filtered = filtered.materialize()
         scanned = filtered.count()
         total = idx.count()
         stats_out["scanned_rows"] = scanned

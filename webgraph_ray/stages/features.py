@@ -222,11 +222,33 @@ def edge_type_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
         merged = outs.join(ins, how="outer").fillna(0).astype(np.int64)
         merged = merged.reindex(columns=list(EDGE_TYPE_COUNT_COLS), fill_value=0)
         merged.index.name = "vertex_key"
+        merged.columns.name = None  # unstack names the columns index
         return merged.reset_index()
 
-    return e.map_batches(partial, batch_format="pandas").groupby(
-        "vertex_key"
-    ).aggregate(*[Sum(c, alias_name=c) for c in EDGE_TYPE_COUNT_COLS])
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % nb
+        ).astype(np.int32)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("vertex_key", sort=False)[list(EDGE_TYPE_COUNT_COLS)]
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        e.map_batches(partial, batch_format="pandas")
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------

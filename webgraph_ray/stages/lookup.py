@@ -41,9 +41,22 @@ class SideTableLookup:
         self.key = key
         self.how = how
         self.side = self.side.drop_duplicates(key)
+        # left-merge on a partially-matched batch would widen the side's
+        # int columns to float64 NaN (silently corrupting ids > 2^53 and
+        # producing inconsistent dtypes across batches); pad with pandas
+        # nullable Int64 instead — same mitigation as bucketed_join
+        self._int_cols = [
+            c
+            for c in self.side.columns
+            if c != key and self.side[c].dtype.kind in "iu"
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        return df.merge(self.side, on=self.key, how=self.how)
+        out = df.merge(self.side, on=self.key, how=self.how)
+        if self.how == "left":
+            for c in self._int_cols:
+                out[c] = out[c].astype("Int64")
+        return out
 
 
 def side_table_lookup(

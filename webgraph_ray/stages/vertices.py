@@ -23,7 +23,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 
 def _vertex_partials(batch: pa.Table) -> pa.Table:
@@ -80,11 +79,30 @@ def derive_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
     attribute-merge reduce is needed (contrast the reference's per-group
     priority vote, /root/reference/code/graph/graph_builder.py:26-64).
     """
-    partials = edges.map_batches(
-        _vertex_partials, batch_format="pyarrow", zero_copy_batch=True
-    )
-    agg = partials.groupby("vertex_key").aggregate(
-        Min("first_ts", alias_name="first_ts")
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % nb
+        ).astype(np.int32)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("vertex_key", sort=False)["first_ts"].min().reset_index()
+        )
+
+    agg = (
+        edges.map_batches(
+            _vertex_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
     )
     return agg.map_batches(_classify, batch_format="pyarrow")
 
@@ -134,12 +152,34 @@ def _degree_partials(batch: pa.Table) -> pa.Table:
 def degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Per-vertex in/out degree, string-keyed (oracle-checkable).
 
-    Map-side combine -> one groupby shuffle over partial rows.
+    Map-side combine -> bucket-hash groupby + vectorized pandas combine
+    (a sort-based groupby().aggregate over high-cardinality string keys is
+    several times slower — round-1 pitfall list).
     """
-    partials = edges.map_batches(
-        _degree_partials, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return partials.groupby("vertex_key").aggregate(
-        Sum("in_degree", alias_name="in_degree"),
-        Sum("out_degree", alias_name="out_degree"),
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (
+            hash_keys(df["vertex_key"].to_numpy(dtype=object)) % nb
+        ).astype(np.int32)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("vertex_key", sort=False)[["in_degree", "out_degree"]]
+            .sum()
+            .reset_index()
+        )
+
+    return (
+        edges.map_batches(
+            _degree_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
     )
