@@ -1185,6 +1185,7 @@ class GraphEngine:
         resume: bool,
         chain: int = 4,
         seed_labels: np.ndarray | None = None,
+        require_convergence: bool = True,
     ) -> ray.data.Dataset:
         self.start()
         t0 = time.time()
@@ -1258,10 +1259,12 @@ class GraphEngine:
                 self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
         self.metrics[algo] = m
-        if not m.converged:
+        if require_convergence and not m.converged:
             # a silently-capped min-label run returns stale/UNLABELED
             # labels that downstream consumers (and the exact-fixpoint
             # oracles) would treat as converged — fail loudly instead
+            # (pass require_convergence=False for deliberate partial runs
+            # that a later resume completes)
             raise RuntimeError(
                 f"{algo} did not reach its fixpoint within max_iter="
                 f"{max_iter} iterations ({m.history[-1]['changed']} labels "
@@ -1271,7 +1274,11 @@ class GraphEngine:
         return self._results(algo)
 
     def components(
-        self, max_iter: int = 5000, checkpoint_every: int = 0, resume: bool = False
+        self,
+        max_iter: int = 5000,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        require_convergence: bool = True,
     ) -> ray.data.Dataset:
         """Min-label propagation to fixpoint on the (symmetrized) build —
         the scalable replacement for per-node reachability/eccentricity
@@ -1292,7 +1299,14 @@ class GraphEngine:
                 "components() needs an undirected graph: "
                 "call build(edges, symmetrize=True)"
             )
-        return self._min_label_run("components", None, max_iter, checkpoint_every, resume)
+        return self._min_label_run(
+            "components",
+            None,
+            max_iter,
+            checkpoint_every,
+            resume,
+            require_convergence=require_convergence,
+        )
 
     def labelprop(
         self,
@@ -1301,6 +1315,7 @@ class GraphEngine:
         checkpoint_every: int = 0,
         resume: bool = False,
         seed_labels: np.ndarray | None = None,
+        require_convergence: bool = True,
     ) -> ray.data.Dataset:
         """Seeded synchronous label propagation, smallest-label tie-break:
         seeds are frozen to their own label; every other vertex repeatedly
@@ -1329,6 +1344,7 @@ class GraphEngine:
             checkpoint_every,
             resume,
             seed_labels=seed_labels,
+            require_convergence=require_convergence,
         )
 
     # ---- results ----
