@@ -508,6 +508,46 @@ def q_tool_usage_stats(sf_dir: str):
     return tools.groupby("tool").map_groups(per_tool, batch_format="pandas")
 
 
+def q_tool_payload_stats(sf_dir: str):
+    """Per-tool payload-size aggregates (sum/min/max/count of the calling
+    turn's text length) — the response-/cookie-size aggregate analog
+    (/root/reference/code/features/additional.py:60-160), map-side partials
+    then a tiny per-tool combine."""
+    t = _transcripts(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["tool"].notna()].copy()
+        d["text_len"] = d["text"].str.len().astype(np.int64)
+        out = (
+            d.groupby("tool", sort=False)["text_len"]
+            .agg(["sum", "min", "max", "count"])
+            .reset_index()
+        )
+        return out.rename(
+            columns={
+                "sum": "len_sum", "min": "len_min",
+                "max": "len_max", "count": "n_calls",
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tool", sort=False).agg(
+            len_sum=("len_sum", "sum"),
+            len_min=("len_min", "min"),
+            len_max=("len_max", "max"),
+            n_calls=("n_calls", "sum"),
+        ).reset_index()
+        return out.astype({c: np.int64 for c in out.columns if c != "tool"})
+
+    # tool cardinality is tiny: one global combine group is fine
+    return (
+        t.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda df: df.assign(__b=np.int32(0)), batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
 def q_mutation_impact(sf_dir: str):
     """Robustness-analysis check: obfuscate the tool vertices, re-derive +
     re-run PageRank, and report each tool's score before/after — the
@@ -640,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop": q_labelprop,
         # graph-feature analogs
         "tool_usage_stats": q_tool_usage_stats,
+        "tool_payload_stats": q_tool_payload_stats,
         "mutation_impact": q_mutation_impact,
         "greedy_mutation": q_greedy_mutation,
         "conv_sample": q_conv_sample,
@@ -742,6 +783,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
                min(ts) AS first_ts,
                max(ts) AS last_ts
+        FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        "tool_payload_stats": "WITH transcripts AS ("
+        + TRANSCRIPTS_FROM_EVENTS_SQL
+        + """)
+        SELECT tool,
+               CAST(sum(length(text)) AS BIGINT) AS len_sum,
+               CAST(min(length(text)) AS BIGINT) AS len_min,
+               CAST(max(length(text)) AS BIGINT) AS len_max,
+               CAST(count(*) AS BIGINT) AS n_calls
         FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
         """,
         "conv_sample": "WITH transcripts AS ("
