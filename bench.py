@@ -134,8 +134,21 @@ def run_suite() -> dict:
     exact_dedup(docs).count()
     token_stats(docs).count()
     simhash(docs).count()
-    ann_topk(embs, [0, 1, 2, 3, 4], k=10)
+    exact = ann_topk(embs, [0, 1, 2, 3, 4], k=10)
     queries["training_ops"] = round(time.time() - t0, 3)
+
+    # ANN index quality: recall of the bucket-probed LSH index vs exact
+    from webgraph_ray.stages.embed import lsh_ann_topk
+
+    stats: dict = {}
+    approx = lsh_ann_topk(embs, [0, 1, 2, 3, 4], k=10, stats_out=stats)
+    hits = 0
+    for q in (0, 1, 2, 3, 4):
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        ap = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(ex & ap)
+    extras["lsh_ann_recall_at_10"] = round(hits / 50.0, 3)
+    extras["lsh_ann_scan_fraction"] = round(stats.get("scan_fraction", 1.0), 4)
 
     # 6b. fingerprint micro-bench: winnowed char-gram fingerprints are the
     # text-scan bound; report bytes/s (round 1's per-byte python rolling

@@ -26,9 +26,26 @@ from webgraph_ray.stages.vertices import derive_vertices
 
 
 def attach_keys(
-    scores: ray.data.Dataset, vertices: ray.data.Dataset, num_buckets: int = 32
+    scores: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    num_buckets: int = 32,
+    broadcast_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """(vertex_id, value...) -> add vertex_key via partitioned hash join."""
+    """(vertex_id, value...) -> add vertex_key.
+
+    Below ``broadcast_threshold`` vertices the id->key mapping is broadcast
+    (``ray.put`` once, C-path merge per batch — no shuffle); above it the
+    partitioned hash join takes over."""
+    import ray as _ray
+
+    if vertices.count() <= broadcast_threshold:
+        side = vertices.select_columns(["vertex_id", "vertex_key"]).to_pandas()
+        ref = _ray.put(side)
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(_ray.get(ref), on="vertex_id", how="inner")
+
+        return scores.map_batches(join, batch_format="pandas")
     keys = vertices.map_batches(
         lambda df: df[["vertex_id", "vertex_key"]], batch_format="pandas"
     )

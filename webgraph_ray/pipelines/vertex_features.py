@@ -71,21 +71,39 @@ def pagerank_fp_keyed(
 def components_keyed(
     edges: ray.data.Dataset, vertices: ray.data.Dataset, work_dir: str
 ) -> ray.data.Dataset:
-    """(vertex_key, component_key) — canonical min-key component labels."""
-    from ray.data.aggregate import Min
+    """(vertex_key, component_key) — canonical min-key component labels.
+
+    Canonicalization is ONE component-hash bucket shuffle with a C-path
+    per-group ``transform('min')`` (an aggregate + re-join would shuffle
+    the table twice and pay the high-cardinality sort-aggregate tax)."""
+    from webgraph_ray.functions.shuffle import default_num_buckets
 
     eng = GraphEngine(os.path.join(work_dir, "cc"), num_parts=None)
     eng.build(edges, symmetrize=True)
     try:
         cc = attach_keys(eng.components(), vertices)
-        canon = cc.groupby("component").aggregate(
-            Min("vertex_key", alias_name="component_key")
+        nb = default_num_buckets()
+
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__b"] = (df["component"].to_numpy(np.int64) % nb).astype(
+                np.int32
+            )
+            return df
+
+        def canonize(g: pd.DataFrame) -> pd.DataFrame:
+            out = g[["vertex_key"]].copy()
+            out["component_key"] = g.groupby("component", sort=False)[
+                "vertex_key"
+            ].transform("min")
+            return out
+
+        return (
+            cc.map_batches(bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(canonize, batch_format="pandas")
+            .materialize()
         )
-        return bucketed_join(
-            cc.select_columns(["vertex_key", "component"]),
-            canon,
-            keys=["component"],
-        ).select_columns(["vertex_key", "component_key"]).materialize()
     finally:
         eng.shutdown()
 
