@@ -66,14 +66,42 @@ def bucketed_join(
     keys: Sequence[str],
     how: str = "inner",
     num_buckets: int = 32,
+    semi_broadcast_threshold: int = 5_000_000,
 ) -> ray.data.Dataset:
     """how: 'inner' | 'left_semi' | 'left'.  Returns the joined Dataset
     (inner/left: all columns of both sides; left_semi: left columns only).
     For 'left', unmatched right-side integer columns come back as pandas
     nullable Int64 so the dtype is identical across buckets (plain NaN
-    would widen some buckets to float64 and poison the union)."""
+    would widen some buckets to float64 and poison the union).
+
+    A semi join whose right side is below ``semi_broadcast_threshold``
+    rows broadcasts the distinct right keys instead (ray.put once, C-path
+    membership mask per batch): the left payload never shuffles at all.
+    Note the gate's count() executes a lazy right side once before the
+    key collection re-executes it — pass a materialized right to avoid
+    recompute."""
     keys = list(keys)
     assert how in ("inner", "left_semi", "left"), how
+
+    if how == "left_semi" and right.count() <= semi_broadcast_threshold:
+        rschema0 = right.schema(fetch_if_missing=True)
+        if rschema0 is None:
+            return left.limit(0)
+        rkeys = (
+            right.map_batches(
+                lambda df: df[keys].drop_duplicates(), batch_format="pandas"
+            )
+            .to_pandas()
+            .drop_duplicates()
+        )
+        import ray as _ray
+
+        ref = _ray.put(rkeys)
+
+        def semi(df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(_ray.get(ref), on=keys, how="inner")
+
+        return left.map_batches(semi, batch_format="pandas")
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
