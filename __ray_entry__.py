@@ -343,6 +343,12 @@ def q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def q_bpe_token_stats(sf_dir: str):
+    from webgraph_ray.stages.text import bpe_token_stats
+
+    return bpe_token_stats(_docs(sf_dir))
+
+
 def q_quality_scores(sf_dir: str):
     from webgraph_ray.stages.text import quality_scores
 
@@ -696,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convs_missing_tool": q_convs_missing_tool,
         # training-data operators
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "doc_hashes": q_doc_hashes,
@@ -960,12 +967,20 @@ def _build_training_oracles() -> dict[str, str]:
     ties = " + ".join(f"CAST(s_{l} = m AS INT)" for l in langs)
     pick = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
     ann_ids = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
+    from webgraph_ray.stages.text import BPE_TOKEN_PATTERN
+
     return {
         "token_stats": """
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_unique_tokens,
                CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        """,
+        "bpe_token_stats": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))) AS BIGINT) AS n_unique_bpe_tokens
         FROM documents
         """,
         "quality_scores": f"""

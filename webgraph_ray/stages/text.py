@@ -33,6 +33,26 @@ STOPWORDS = {
 LONG_TOKEN_LEN = 5
 
 
+# BPE-style pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the GPT-2-ish split shape, restricted to syntax shared by Python re and
+# DuckDB RE2 so the SQL oracle uses the identical pattern string.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+BPE_TOKEN_RE = re.compile(BPE_TOKEN_PATTERN)
+
+
+def bpe_token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    toks = df["text"].str.findall(BPE_TOKEN_RE)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": toks.str.len().astype(np.int64),
+            "n_unique_bpe_tokens": toks.map(lambda t: len(set(t))).astype(
+                np.int64
+            ),
+        }
+    )
+
+
 def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     toks = df["text"].str.findall(TOKEN_RE)
     return pd.DataFrame(
@@ -126,6 +146,7 @@ def _stage(fn):
 
 
 token_stats = _stage(token_stats_batch)
+bpe_token_stats = _stage(bpe_token_stats_batch)
 quality_scores = _stage(quality_batch)
 lang_id = _stage(lang_id_batch)
 doc_hashes = _stage(doc_hashes_batch)
