@@ -387,6 +387,12 @@ def q_minhash_dup_pairs(sf_dir: str):
     ).select_columns(["doc_a", "doc_b"])
 
 
+def q_jaccard_dup_pairs(sf_dir: str):
+    from webgraph_ray.stages.dedup import jaccard_dup_pairs
+
+    return jaccard_dup_pairs(_docs(sf_dir), threshold=MINHASH_THRESHOLD)
+
+
 def q_simhash(sf_dir: str):
     from webgraph_ray.stages.dedup import simhash
 
@@ -709,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "jaccard_dup_pairs": q_jaccard_dup_pairs,
         "simhash": q_simhash,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -1013,6 +1020,7 @@ def _build_training_oracles() -> dict[str, str]:
         "fingerprints": _th.fingerprints_sql(),
         "simhash": _th.simhash_sql(),
         "minhash_dup_pairs": _th.minhash_pairs_sql(MINHASH_THRESHOLD),
+        "jaccard_dup_pairs": _th.jaccard_pairs_sql(MINHASH_THRESHOLD),
         "lsh_ann_topk": _lsh_ann_sql_oracle(),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,

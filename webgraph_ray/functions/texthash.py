@@ -259,6 +259,24 @@ WITH sh_t AS MATERIALIZED (
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM sh_t"""
 
 
+def jaccard_pairs_sql(
+    threshold: float, doc_table: str = "documents", k: int = K_GRAM
+) -> str:
+    """Exact all-pairs char-gram Jaccard oracle (mirrors
+    stages/dedup.py:jaccard_dup_pairs below its broadcast gate)."""
+    num, den = threshold_ratio(threshold)
+    return f"""
+WITH jp_g AS MATERIALIZED (
+    SELECT doc_id, list_distinct({sql_grams_list('text', k)}) AS g
+    FROM {doc_table} WHERE length(text) >= {k}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM jp_g a JOIN jp_g b ON a.doc_id < b.doc_id
+ AND least(len(a.g), len(b.g)) * {den} >= {num} * greatest(len(a.g), len(b.g))
+WHERE len(list_intersect(a.g, b.g)) * {den}
+      >= {num} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"""
+
+
 def minhash_pairs_sql(
     threshold: float,
     doc_table: str = "documents",

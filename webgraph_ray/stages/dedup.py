@@ -215,6 +215,71 @@ def minhash_lsh_dedup(
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def jaccard_dup_pairs(
+    docs: ray.data.Dataset,
+    threshold: float = 0.5,
+    broadcast_threshold: int = 100_000,
+) -> ray.data.Dataset:
+    """Exact char-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    Below ``broadcast_threshold`` docs: the full shingle-set table is
+    broadcast (ray.put once) and every batch compares its rows against it
+    — exact all-pairs, O(n * batch) set intersections, no shuffle.  Above
+    the gate it delegates to ``minhash_lsh_dedup`` (same threshold, same
+    shingle universe, LSH recall instead of all-pairs).  Integer rational
+    threshold compare keeps the DuckDB oracle exact."""
+    from webgraph_ray.functions import texthash as th
+
+    if docs.count() > broadcast_threshold:
+        return minhash_lsh_dedup(docs, threshold=threshold).select_columns(
+            ["doc_a", "doc_b"]
+        )
+    num, den = th.threshold_ratio(threshold)
+
+    side = (
+        docs.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"],
+                    "blob": [th.shingle_set(t).tobytes() for t in df["text"]],
+                }
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+    )
+    side = side[side["blob"].str.len() > 0]
+    import ray as _ray
+
+    ref = _ray.put(
+        (side["doc_id"].to_numpy(np.int64), list(side["blob"]))
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_all, blobs_all = _ray.get(ref)
+        sets_all = [np.frombuffer(b, dtype=np.int64) for b in blobs_all]
+        out_a, out_b = [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            mine = th.shingle_set(text)
+            if len(mine) == 0:
+                continue
+            for other_id, other in zip(ids_all, sets_all):
+                if other_id <= doc_id:
+                    continue
+                inter = len(np.intersect1d(mine, other, assume_unique=True))
+                uni = len(mine) + len(other) - inter
+                if inter * den >= num * uni:
+                    out_a.append(doc_id)
+                    out_b.append(other_id)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    return docs.map_batches(pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
