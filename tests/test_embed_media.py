@@ -125,3 +125,41 @@ def test_media_binary_schema(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     t = ray.get(media.to_media(docs).to_arrow_refs()[0])
     assert t.schema.field("payload").type == "binary"
+
+
+def test_lsh_index_block_pruning(emb_ds, tmp_path):
+    """A persisted LshIndex probe must OPEN only matching bucket
+    directories (block pruning), not row-filter a full scan — and return
+    exactly what the default (temp-index) path returns."""
+    idx = embed.build_lsh_index(emb_ds, path=str(tmp_path / "idx"))
+    assert isinstance(idx, embed.LshIndex)
+    stats = {}
+    got = embed.lsh_ann_topk(emb_ds, [0, 1, 2], k=10, index=idx, stats_out=stats)
+    assert stats["files_read"] < stats["files_total"]
+    assert stats["bytes_read"] < stats["bytes_total"]
+    # 3 queries x 8 tables touch <= 24 of the 128 (table, bucket) cells
+    assert stats["scan_fraction"] < 0.5, stats
+    ref = embed.lsh_ann_topk(emb_ds, [0, 1, 2], k=10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True)
+    )
+
+
+def test_cosine_lsh_plane_scaling_bounds_buckets():
+    """num_planes grows with n so MEAN bucket occupancy (and with it the
+    per-bucket O(occ^2) verify cost) stays bounded: checked empirically on
+    1e6 synthetic vectors."""
+    n, dim = 1_000_000, 8
+    planes_n = embed.cosine_lsh_num_planes(n)
+    assert planes_n >= np.ceil(np.log2(n / embed.COSINE_LSH_TARGET_BUCKET))
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((n, dim))
+    pl = embed.lsh_planes(dim, planes_n, num_tables=1, seed=13)[0]
+    pw = 1 << np.arange(planes_n)
+    buckets = ((M @ pl) > 0) @ pw
+    counts = np.bincount(buckets, minlength=1 << planes_n)
+    # mean occupancy at/below target; on isotropic data the skew is mild
+    assert counts.mean() <= embed.COSINE_LSH_TARGET_BUCKET
+    assert counts.max() <= 20 * embed.COSINE_LSH_TARGET_BUCKET
+    # the old fixed-5-planes default would put ~31k vectors per bucket
+    assert counts.mean() < n / (1 << 5)

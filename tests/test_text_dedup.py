@@ -189,3 +189,27 @@ def test_simhash_pairs(planted):
     assert got == exp
     # exact copies have identical simhash -> hamming 0 pairs present
     assert any(pairs["hamming"] == 0)
+
+
+def test_jaccard_dup_pairs_exact(planted):
+    """Vectorized inverted-index broadcast path vs the all-pairs oracle."""
+    ds = ray.data.from_pandas(planted)
+    got = dedup.jaccard_dup_pairs(ds, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert got_pairs == brute_jaccard_pairs(planted, 0.5)
+    assert len(got_pairs) >= 3
+
+
+def test_jaccard_gate_raises_above_threshold(planted):
+    """The exact all-pairs contract is size-gated: above the gate it must
+    fail loudly unless the caller opts into the approximate fallback
+    (round-2 ADVICE: no silent exact->approx swap)."""
+    ds = ray.data.from_pandas(planted)
+    with pytest.raises(ValueError, match="exact all-pairs"):
+        dedup.jaccard_dup_pairs(ds, threshold=0.7, broadcast_threshold=10)
+    got = dedup.jaccard_dup_pairs(
+        ds, threshold=0.7, broadcast_threshold=10, approx_fallback=True
+    ).to_pandas()
+    # fallback is the minhash path: exact-verified, recall < 1 in general
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert got_pairs <= brute_jaccard_pairs(planted, 0.7)

@@ -1265,9 +1265,13 @@ class GraphEngine:
             # oracles) would treat as converged — fail loudly instead
             # (pass require_convergence=False for deliberate partial runs
             # that a later resume completes)
+            # m.history can be empty when a resumed run starts at
+            # start_iter >= max_iter with unconverged checkpointed state —
+            # the RuntimeError must not be masked by an IndexError then
+            changed = m.history[-1]["changed"] if m.history else "unknown"
             raise RuntimeError(
                 f"{algo} did not reach its fixpoint within max_iter="
-                f"{max_iter} iterations ({m.history[-1]['changed']} labels "
+                f"{max_iter} iterations ({changed} labels "
                 "still changing); raise max_iter (propagation needs ~graph "
                 "diameter iterations)"
             )

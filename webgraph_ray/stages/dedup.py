@@ -88,7 +88,7 @@ def minhash_lsh_dedup(
     Buckets larger than ``max_bucket`` are NOT truncated (round-1 silently
     dropped their tail): pairs are generated chunk-grid-wise so peak memory
     per step is bounded by ``max_bucket^2`` while every pair is still
-    emitted.  A duplicate *cluster* of n docs inherently produces n(n-2)/2
+    emitted.  A duplicate *cluster* of n docs inherently produces n(n-1)/2
     output pairs — at extreme cluster sizes the pair representation itself
     is the bottleneck, and the right tool is ``exact_dedup`` /
     cluster-representative output, not pair truncation.
@@ -219,61 +219,102 @@ def jaccard_dup_pairs(
     docs: ray.data.Dataset,
     threshold: float = 0.5,
     broadcast_threshold: int = 100_000,
+    approx_fallback: bool = False,
 ) -> ray.data.Dataset:
     """Exact char-gram Jaccard near-duplicate pairs (doc_a < doc_b).
 
-    Below ``broadcast_threshold`` docs: the full shingle-set table is
-    broadcast (ray.put once) and every batch compares its rows against it
-    — exact all-pairs, O(n * batch) set intersections, no shuffle.  Above
-    the gate it delegates to ``minhash_lsh_dedup`` (same threshold, same
-    shingle universe, LSH recall instead of all-pairs).  Integer rational
-    threshold compare keeps the DuckDB oracle exact."""
+    Below ``broadcast_threshold`` docs: the shingle table is broadcast once
+    (``ray.put``) as an exploded inverted index and every batch computes
+    ALL its pair-intersection counts with one C-path merge + groupby per
+    batch — exact all-pairs, no Python pair loop, no shuffle.  Integer
+    rational threshold compare keeps the DuckDB oracle exact.
+
+    Above the gate the exact all-pairs contract cannot hold (pair space is
+    quadratic); by default this raises so the caller makes the recall
+    trade explicitly.  ``approx_fallback=True`` delegates to
+    ``minhash_lsh_dedup`` (same threshold + shingle universe, LSH recall
+    < 1) — use that entry point directly, or register the approximate
+    variant under its own query name, rather than treating the fallback
+    output as exact."""
     from webgraph_ray.functions import texthash as th
 
     if docs.count() > broadcast_threshold:
+        if not approx_fallback:
+            raise ValueError(
+                "jaccard_dup_pairs is exact all-pairs and gated at "
+                f"{broadcast_threshold} docs; for larger inputs call "
+                "minhash_lsh_dedup (approximate recall) or pass "
+                "approx_fallback=True to accept that trade explicitly"
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jaccard_dup_pairs: input exceeds broadcast_threshold=%d; "
+            "falling back to MinHash-LSH (recall < 1, NOT exact all-pairs)",
+            broadcast_threshold,
+        )
         return minhash_lsh_dedup(docs, threshold=threshold).select_columns(
             ["doc_a", "doc_b"]
         )
     num, den = th.threshold_ratio(threshold)
 
-    side = (
-        docs.map_batches(
-            lambda df: pd.DataFrame(
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shingles = [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            sh = th.shingle_set(text)
+            if len(sh) == 0:
+                continue
+            ids.append(np.full(len(sh), doc_id, dtype=np.int64))
+            shingles.append(sh)
+        if not ids:
+            return pd.DataFrame(
                 {
-                    "doc_id": df["doc_id"],
-                    "blob": [th.shingle_set(t).tobytes() for t in df["text"]],
+                    "doc_id": pd.Series(dtype="int64"),
+                    "shingle": pd.Series(dtype="int64"),
                 }
-            ),
-            batch_format="pandas",
-        ).to_pandas()
-    )
-    side = side[side["blob"].str.len() > 0]
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "shingle": np.concatenate(shingles)}
+        )
+
+    side = docs.map_batches(explode, batch_format="pandas").to_pandas()
+    sizes = side.groupby("doc_id", sort=False).size()
     import ray as _ray
 
-    ref = _ray.put(
-        (side["doc_id"].to_numpy(np.int64), list(side["blob"]))
-    )
+    ref = _ray.put((side, sizes))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_all, blobs_all = _ray.get(ref)
-        sets_all = [np.frombuffer(b, dtype=np.int64) for b in blobs_all]
-        out_a, out_b = [], []
-        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
-            mine = th.shingle_set(text)
-            if len(mine) == 0:
-                continue
-            for other_id, other in zip(ids_all, sets_all):
-                if other_id <= doc_id:
-                    continue
-                inter = len(np.intersect1d(mine, other, assume_unique=True))
-                uni = len(mine) + len(other) - inter
-                if inter * den >= num * uni:
-                    out_a.append(doc_id)
-                    out_b.append(other_id)
+        side_df, side_sizes = _ray.get(ref)
+        mine = explode(df)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+            }
+        )
+        if len(mine) == 0:
+            return empty
+        # inverted-index join: one merge on the shingle hash yields every
+        # (batch_doc, side_doc) co-occurrence; groupby size = |intersection|
+        m = mine.merge(side_df, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m) == 0:
+            return empty
+        inter = (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .reset_index(name="inter")
+        )
+        my_sizes = mine.groupby("doc_id", sort=False).size()
+        ia = inter["inter"].to_numpy(np.int64)
+        sa = my_sizes.reindex(inter["doc_id_a"]).to_numpy(np.int64)
+        sb = side_sizes.reindex(inter["doc_id_b"]).to_numpy(np.int64)
+        uni = sa + sb - ia
+        keep = ia * den >= num * uni  # exact integer compare
         return pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
+                "doc_a": inter["doc_id_a"].to_numpy(np.int64)[keep],
+                "doc_b": inter["doc_id_b"].to_numpy(np.int64)[keep],
             }
         )
 

@@ -130,12 +130,14 @@ def same_tool_edges_group(g: pd.DataFrame, max_turns: int | None = None) -> pa.T
     if len(m) == 0:
         return _EMPTY_EDGES
     conv = m["conv_id"].to_numpy(dtype=object)
-    src_key = np.array(
-        [f"{c}#{i}" for c, i in zip(conv, m["turn_idx_a"].tolist())], dtype=object
-    )
-    dst_key = np.array(
-        [f"{c}#{i}" for c, i in zip(conv, m["turn_idx_b"].tolist())], dtype=object
-    )
+    conv_arr = pa.array(conv, pa.string())
+    # C-path composite keys (Arrow binary_join), not a per-row f-string loop
+    src_key = turn_keys(
+        conv_arr, pa.array(m["turn_idx_a"].to_numpy(np.int64))
+    ).to_numpy(zero_copy_only=False)
+    dst_key = turn_keys(
+        conv_arr, pa.array(m["turn_idx_b"].to_numpy(np.int64))
+    ).to_numpy(zero_copy_only=False)
     n = len(m)
     return pa.table(
         {

@@ -17,9 +17,15 @@ slicing (see ``_matrix``).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -136,54 +142,112 @@ def lsh_planes(
     return rng.standard_normal((num_tables, dim, num_planes))
 
 
+@dataclass(frozen=True)
+class LshIndex:
+    """Handle to a bucket-partitioned on-disk LSH index.
+
+    ``path`` holds hive-partitioned parquet (``bucket_key=K/`` directories,
+    one per (table, sign-bucket) cell), so a probe opens ONLY the matching
+    bucket directories — block pruning, not a row filter over a full scan.
+    On a multi-node cluster ``path`` must be shared storage (same contract
+    as GraphEngine.work_dir)."""
+
+    path: str
+    num_planes: int
+    num_tables: int
+    seed: int
+    dim: int
+
+
 def build_lsh_index(
     embeddings: ray.data.Dataset,
     num_planes: int = LSH_NUM_PLANES,
     num_tables: int = LSH_NUM_TABLES,
     seed: int = LSH_SEED,
-) -> ray.data.Dataset:
-    """Materialized LSH index: each vector replicated once per table with a
-    ``bucket_key = table_id * 2^planes + sign-bucket`` column.  Built ONCE
-    (a real index, not a per-query compute filter — the round-1 version
-    rescanned every batch per query); probes then read only matching
-    bucket partitions.  Bucket signs use the RAW embedding (sign is
-    normalization-invariant), mirroring the SQL oracle."""
-    first = embeddings.take(1)[0]
-    dim = len(first["embedding"])
+    dim: int | None = None,
+    path: str | None = None,
+) -> ray.data.Dataset | LshIndex:
+    """LSH index: each vector replicated once per table with a
+    ``bucket_key = table_id * 2^planes + sign-bucket`` column.  Built ONCE.
+    Bucket signs use the RAW embedding (sign is normalization-invariant),
+    mirroring the SQL oracle.
+
+    With ``path`` set, the index is persisted as parquet hive-partitioned
+    by ``bucket_key`` and an :class:`LshIndex` handle is returned — probes
+    then read only the matching bucket directories (the keyed content
+    store capability of /root/reference/code/features/structure.py:37-46
+    at scale).  Without ``path`` the exploded index is returned as an
+    in-object-store Dataset (used by the in-memory near-dup path; probing
+    it is a filtered full scan, not block-pruned).
+
+    ``dim`` skips the ``take(1)`` schema probe (which partially executes a
+    lazy input); pass it when known."""
+    if dim is None:
+        first = embeddings.take(1)[0]
+        dim = len(first["embedding"])
     planes = lsh_planes(dim, num_planes, num_tables, seed)
     pref = ray.put(planes)
     pw = 1 << np.arange(num_planes)
+    with_bk = path is not None  # duplicate data column: the hive write
+    # moves bucket_key into directory names, and a pruned read of leaf
+    # dirs does not reconstruct it
 
     def explode(t: pa.Table) -> pa.Table:
         pl = ray.get(pref)
         if len(t) == 0:
-            return pa.table(
-                {
-                    "bucket_key": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "embedding": t["embedding"],
-                }
-            )
+            cols = {
+                "bucket_key": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": t["embedding"],
+            }
+            if with_bk:
+                cols["bk"] = pa.array([], pa.int64())
+            return pa.table(cols)
         m = _matrix(t)
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         parts = []
         for ti in range(len(pl)):
             bucket = ((m @ pl[ti]) > 0) @ pw
-            key = ti * (1 << num_planes) + bucket
-            parts.append(
-                pa.table(
-                    {
-                        "bucket_key": pa.array(key.astype(np.int64)),
-                        "vec_id": pa.array(vids),
-                        "embedding": t["embedding"],
-                    }
-                )
-            )
+            key = (ti * (1 << num_planes) + bucket).astype(np.int64)
+            cols = {
+                "bucket_key": pa.array(key),
+                "vec_id": pa.array(vids),
+                "embedding": t["embedding"],
+            }
+            if with_bk:
+                cols["bk"] = pa.array(key)
+            parts.append(pa.table(cols))
         return pa.concat_tables(parts)
 
-    return embeddings.map_batches(
+    exploded = embeddings.map_batches(
         explode, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    )
+    if path is None:
+        return exploded.materialize()
+    exploded.write_parquet(path, partition_cols=["bucket_key"])
+    return LshIndex(
+        path=path,
+        num_planes=num_planes,
+        num_tables=num_tables,
+        seed=seed,
+        dim=dim,
+    )
+
+
+def _index_partition_dirs(path: str) -> dict[int, str]:
+    return {
+        int(name.split("=", 1)[1]): os.path.join(path, name)
+        for name in os.listdir(path)
+        if name.startswith("bucket_key=")
+    }
+
+
+def _dir_files(dirs) -> list[str]:
+    out = []
+    for d in dirs:
+        for root, _, files in os.walk(d):
+            out.extend(os.path.join(root, f) for f in files)
+    return out
 
 
 def lsh_ann_topk(
@@ -193,19 +257,21 @@ def lsh_ann_topk(
     num_planes: int = LSH_NUM_PLANES,
     num_tables: int = LSH_NUM_TABLES,
     seed: int = LSH_SEED,
-    index: ray.data.Dataset | None = None,
+    index: ray.data.Dataset | LshIndex | None = None,
     stats_out: dict | None = None,
 ) -> pd.DataFrame:
-    """Approximate top-k via the materialized multi-table LSH index: a
-    vector is a candidate iff it shares a (table, bucket) with the query.
-    The probe filters the index on the queries' bucket keys BEFORE any
-    scoring, so the scanned fraction is ~ tables * 2^-planes of the index
-    rather than the whole table (reported via ``stats_out``); exact cosine
-    ordering on the candidates.  Deterministic; mirrored by the DuckDB
-    oracle (lsh_ann_sql)."""
-    idx = index if index is not None else build_lsh_index(
-        embeddings, num_planes, num_tables, seed
-    )
+    """Approximate top-k via the multi-table LSH index: a vector is a
+    candidate iff it shares a (table, bucket) with the query.
+
+    With an :class:`LshIndex` (or ``index=None``, which builds a temporary
+    one), the probe opens ONLY the parquet partition directories matching
+    the queries' bucket keys — block-pruned I/O ~ tables * 2^-planes of
+    the index, reported via ``stats_out`` as files/bytes read fractions.
+    A plain Dataset index (in-memory variant) is probed with a vectorized
+    row filter instead, which still scans every index block — pass a
+    persisted index for the scale path.  Exact cosine ordering on the
+    candidates; deterministic; mirrored by the DuckDB oracle
+    (lsh_ann_sql)."""
     qtab = embeddings.map_batches(
         lambda t: t.filter(
             pa.compute.is_in(
@@ -229,23 +295,85 @@ def lsh_ann_topk(
     ).astype(np.int64)  # (nq, tables)
     all_keys = np.unique(q_keys.ravel())
 
-    # probe: prune the index scan to matching buckets (the point of the index)
-    filtered = idx.map_batches(
-        lambda t: t.filter(
-            pa.compute.is_in(t["bucket_key"], value_set=pa.array(all_keys))
-        ),
-        batch_format="pyarrow",
-    )
-    if stats_out is not None:
-        # materialize the probe once so the stats count and the scoring
-        # pass share one scan of the index
-        filtered = filtered.materialize()
-        scanned = filtered.count()
-        total = idx.count()
-        stats_out["scanned_rows"] = scanned
-        stats_out["index_rows"] = total
-        stats_out["scan_fraction"] = scanned / max(total, 1)
+    own_tmp = None
+    if index is None:
+        own_tmp = tempfile.mkdtemp(prefix="webgraph_lshidx_")
+        index = build_lsh_index(
+            embeddings,
+            num_planes,
+            num_tables,
+            seed,
+            dim=dim,
+            path=os.path.join(own_tmp, "idx"),
+        )
+    try:
+        if isinstance(index, LshIndex):
+            # block-pruned probe: open only matching bucket_key=K dirs
+            dirs = _index_partition_dirs(index.path)
+            match = [dirs[k] for k in all_keys.tolist() if k in dirs]
+            match_files = _dir_files(match)
+            if match_files:
+                filtered = ray.data.read_parquet(
+                    match_files, columns=["bk", "vec_id", "embedding"]
+                )
+            else:
+                filtered = ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "bk": pa.array([], pa.int64()),
+                            "vec_id": pa.array([], pa.int64()),
+                            "embedding": pa.array(
+                                [], pa.list_(pa.float64())
+                            ),
+                        }
+                    )
+                )
+            if stats_out is not None:
+                read_files = match_files
+                all_files = _dir_files(dirs.values())
+                bytes_read = sum(os.path.getsize(f) for f in read_files)
+                bytes_total = sum(os.path.getsize(f) for f in all_files)
+                stats_out["files_read"] = len(read_files)
+                stats_out["files_total"] = len(all_files)
+                stats_out["bytes_read"] = bytes_read
+                stats_out["bytes_total"] = bytes_total
+                # footer-only row counts: no data pages are scanned
+                stats_out["scanned_rows"] = sum(
+                    pq.read_metadata(f).num_rows for f in read_files
+                )
+                stats_out["index_rows"] = sum(
+                    pq.read_metadata(f).num_rows for f in all_files
+                )
+                stats_out["scan_fraction"] = bytes_read / max(bytes_total, 1)
+        else:
+            # compat: in-object-store Dataset index — vectorized row filter,
+            # but every index block is still read
+            filtered = index.map_batches(
+                lambda t: t.filter(
+                    pa.compute.is_in(t["bucket_key"], value_set=pa.array(all_keys))
+                ),
+                batch_format="pyarrow",
+            )
+            if stats_out is not None:
+                filtered = filtered.materialize()
+                scanned = filtered.count()
+                total = index.count()
+                stats_out["scanned_rows"] = scanned
+                stats_out["index_rows"] = total
+                stats_out["scan_fraction"] = scanned / max(total, 1)
+        return _score_candidates(filtered, q_ids, Q, q_keys, k)
+    finally:
+        if own_tmp is not None:
+            shutil.rmtree(own_tmp, ignore_errors=True)
 
+
+def _score_candidates(
+    filtered: ray.data.Dataset,
+    q_ids: np.ndarray,
+    Q: np.ndarray,
+    q_keys: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
     ref = ray.put((q_ids, Q, q_keys))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -261,7 +389,8 @@ def lsh_ann_topk(
             return empty
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = t["bucket_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key_col = "bk" if "bk" in t.column_names else "bucket_key"
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(len(qids)):
             mask = np.isin(keys, qk[qi]) & (vids != qids[qi])
@@ -365,11 +494,28 @@ FROM lsh_s
 QUALIFY rank <= {k}"""
 
 
+# target mean bucket occupancy for the LSH near-dup path: per-bucket exact
+# verification is O(occupancy^2), so planes grow ~log2(n / target)
+COSINE_LSH_TARGET_BUCKET = 2000
+
+
+def cosine_lsh_num_planes(
+    n: int, target_bucket: int = COSINE_LSH_TARGET_BUCKET
+) -> int:
+    """planes = ceil(log2(n / target_bucket)), floored at 5 — keeps the
+    MEAN bucket occupancy n / 2^planes <= target_bucket however large n
+    grows (hyperplane buckets over correlated data are skewed, so the
+    bound is on the mean; heavy buckets still verify chunk-wise)."""
+    if n <= target_bucket:
+        return 5
+    return max(5, int(np.ceil(np.log2(n / target_bucket))))
+
+
 def cosine_dup_pairs(
     embeddings: ray.data.Dataset,
     threshold: float = 0.4,
     broadcast_threshold: int = 2_000_000,
-    num_planes: int = 5,
+    num_planes: int | None = None,
     num_tables: int = 14,
     seed: int = 13,
 ) -> ray.data.Dataset:
@@ -381,10 +527,15 @@ def cosine_dup_pairs(
     Above the gate it switches to the multi-table hyperplane-LSH bucket
     groupby with exact-cosine verification inside buckets — no driver
     materialization, approximate recall (cross-bucket pairs are missed;
-    raise ``num_tables`` to trade compute for recall)."""
+    raise ``num_tables`` to trade compute for recall).  ``num_planes``
+    defaults to ``cosine_lsh_num_planes(n)`` so per-bucket verify cost
+    stays bounded as n grows (a fixed plane count would make every bucket
+    O((n/2^planes)^2) — the round-2 scale review's finding)."""
     n = embeddings.count()
     if n <= broadcast_threshold:
         return _cosine_pairs_broadcast(embeddings, threshold)
+    if num_planes is None:
+        num_planes = cosine_lsh_num_planes(n)
     return _cosine_pairs_lsh(embeddings, threshold, num_planes, num_tables, seed)
 
 

@@ -272,6 +272,15 @@ def endpoint_weight_stats(edges: ray.data.Dataset) -> ray.data.Dataset:
     e = edges.select_columns(["src_key", "dst_key", "weight"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # the DuckDB oracle CASTs (rounds) while int64 astype truncates;
+        # enforce integer weights once so the two can never silently diverge
+        if not pd.api.types.is_integer_dtype(df["weight"]):
+            wv = df["weight"].to_numpy(np.float64)
+            if not np.array_equal(wv, np.floor(wv)):
+                raise ValueError(
+                    "endpoint_weight_stats requires integer edge weights "
+                    "(EDGES schema contract; oracle uses BIGINT arithmetic)"
+                )
         outs = (
             df.groupby("src_key", sort=False)["weight"]
             .agg(["sum", "min", "max", "count"])
