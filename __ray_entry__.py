@@ -647,9 +647,12 @@ def q_fold_metrics(sf_dir: str):
 
 
 def q_greedy_mutation(sf_dir: str):
-    """Greedy adversarial mutation loop (rows-only: iterative float-free
-    objective, pytest-verified invariants — strictly decreasing accepted
-    objective, deterministic candidates)."""
+    """Greedy adversarial mutation loop: three candidate styles per round
+    (split_tool / drop_tool_calls / add_node), exact fixed-point PageRank
+    objective, greedy accept.  Deterministic int64 end to end, so the
+    whole loop — targets, candidate objectives, accept decisions, early
+    stop — is mirrored by an unrolled DuckDB oracle
+    (webgraph_ray/functions/oracles.py::greedy_mutation_sql)."""
     from webgraph_ray.pipelines.greedy import greedy_mutation
 
     return greedy_mutation(_edges(sf_dir), rounds=3)
@@ -926,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
         "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),
+        "greedy_mutation": _graph_oracles.greedy_mutation_sql(_CTE_MAT, rounds=3),
         **_TRAINING_ORACLES,
     }
 

@@ -37,45 +37,61 @@ PR_FP_SCALE = 10**12
 CC_ROUNDS = 16
 
 
-def pagerank_fp_ctes(iters: int = PR_FP_ITERS, scale: int = PR_FP_SCALE) -> str:
-    """CTE chain (assumes an ``edges`` CTE with src_key/dst_key/weight is in
-    scope) ending in ``pr{iters}`` with columns (vertex_key, val)."""
+def pagerank_fp_ctes(
+    iters: int = PR_FP_ITERS,
+    scale: int = PR_FP_SCALE,
+    edges_cte: str = "edges",
+    prefix: str = "pr",
+) -> str:
+    """CTE chain (assumes an ``{edges_cte}`` CTE with src_key/dst_key/weight
+    is in scope) ending in ``{prefix}{iters}`` with columns (vertex_key,
+    val).  ``prefix`` namespaces the intermediate CTEs so several PR chains
+    (e.g. the greedy-mutation oracle's one-per-candidate runs) can coexist
+    in one statement."""
+    E, x = edges_cte, prefix
+    # ONE CTE per iteration (aggregate join + dangling sum folded in as a
+    # derived table / uncorrelated scalar subquery): DuckDB's bind+optimize
+    # time grows superlinearly with CTE count, and multi-chain oracles
+    # (greedy_mutation_sql builds 1 + 3*rounds chains) were planner-bound
+    # with the 3-CTE-per-iteration layout.
     parts = [
         f"""
-, pr_verts AS MATERIALIZED (
+, {x}_verts AS MATERIALIZED (
     SELECT DISTINCT vertex_key FROM (
-        SELECT src_key AS vertex_key FROM edges
-        UNION ALL SELECT dst_key FROM edges
+        SELECT src_key AS vertex_key FROM {E}
+        UNION ALL SELECT dst_key FROM {E}
     )
-), pr_outdeg AS MATERIALIZED (
-    SELECT src_key, CAST(sum(weight) AS BIGINT) AS outw FROM edges GROUP BY 1
-), pr_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_verts)
-, pr0 AS MATERIALIZED (
-    SELECT v.vertex_key, {scale} // n.n AS val FROM pr_verts v CROSS JOIN pr_n n
+), {x}_outdeg AS MATERIALIZED (
+    SELECT src_key, CAST(sum(weight) AS BIGINT) AS outw FROM {E} GROUP BY 1
+), {x}_dangset AS MATERIALIZED (
+    SELECT v.vertex_key FROM {x}_verts v
+    LEFT JOIN {x}_outdeg o ON o.src_key = v.vertex_key
+    WHERE o.src_key IS NULL
+), {x}_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {x}_verts)
+, {x}0 AS MATERIALIZED (
+    SELECT v.vertex_key, {scale} // n.n AS val FROM {x}_verts v CROSS JOIN {x}_n n
 )"""
     ]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
             f"""
-, pr_agg{i} AS MATERIALIZED (
-    SELECT e.dst_key AS vertex_key,
-           sum(((s.val // o.outw) * e.weight * 17) // 20) AS agg
-    FROM edges e
-    JOIN pr{p} s ON s.vertex_key = e.src_key
-    JOIN pr_outdeg o ON o.src_key = e.src_key
-    GROUP BY 1
-), pr_dang{i} AS MATERIALIZED (
-    SELECT coalesce(sum(s.val), 0) AS d
-    FROM pr{p} s LEFT JOIN pr_outdeg o ON o.src_key = s.vertex_key
-    WHERE o.src_key IS NULL
-), pr{i} AS MATERIALIZED (
+, {x}{i} AS MATERIALIZED (
     SELECT v.vertex_key,
            (3 * {scale}) // (20 * n.n)
            + coalesce(a.agg, 0)
-           + (17 * g.d) // (20 * n.n) AS val
-    FROM pr_verts v CROSS JOIN pr_n n CROSS JOIN pr_dang{i} g
-    LEFT JOIN pr_agg{i} a ON a.vertex_key = v.vertex_key
+           + (17 * (SELECT coalesce(sum(s.val), 0) FROM {x}{p} s
+                    JOIN {x}_dangset g ON g.vertex_key = s.vertex_key))
+             // (20 * n.n) AS val
+    FROM {x}_verts v CROSS JOIN {x}_n n
+    LEFT JOIN (
+        SELECT e.dst_key AS vertex_key,
+               sum(((s.val // o.outw) * e.weight * 17) // 20) AS agg
+        FROM {E} e
+        JOIN {x}{p} s ON s.vertex_key = e.src_key
+        JOIN {x}_outdeg o ON o.src_key = e.src_key
+        GROUP BY 1
+    ) a ON a.vertex_key = v.vertex_key
 )"""
         )
     return "".join(parts)
@@ -259,6 +275,147 @@ JOIN cc{CC_ROUNDS} c   ON c.vertex_key = v.vertex_key
 
 def vertex_features_sql(base_cte: str) -> str:
     return vertex_features_ctes(base_cte) + "\nSELECT * FROM vf_final"
+
+
+# Turn index of an edge's source vertex ("conv_X#k" -> k); NULL for keys
+# without the suffix (tool vertices never source mutation-eligible edges).
+_TI = "TRY_CAST(regexp_extract(e.src_key, '#(\\d+)$', 1) AS BIGINT)"
+
+
+def greedy_mutation_sql(
+    base_cte: str,
+    rounds: int = 3,
+    iters: int = PR_FP_ITERS,
+    scale: int = PR_FP_SCALE,
+) -> str:
+    """Full oracle for the greedy adversarial mutation loop
+    (webgraph_ray/pipelines/greedy.py): mirrors every round's three
+    candidate mutations (split_tool / drop_tool_calls / add_node), the
+    fixed-point PageRank objective per candidate (one unrolled BIGINT PR
+    chain each — 1 + 3*rounds chains total), the deterministic target and
+    accept decisions, and the early stop when no candidate improves.
+
+    SQL-expressibility by construction: the loop's candidate selectors are
+    defined on the *turn index* parsed from the source key (parity /
+    mod-3), not on the engine's SipHash vertex ids, precisely so this
+    mirror exists; the objective is exact int64, so every comparison is
+    bit-reproducible."""
+    q = [base_cte]
+    q.append(
+        """
+, e0 AS MATERIALIZED (
+    SELECT src_key, dst_key, edge_type, CAST(weight AS BIGINT) AS weight
+    FROM edges
+)"""
+    )
+    q.append(pagerank_fp_ctes(iters, scale, edges_cte="e0", prefix="g0"))
+    q.append(
+        f"""
+, sc0 AS MATERIALIZED (
+    SELECT t.k, CAST(p.val AS BIGINT) AS v
+    FROM (SELECT DISTINCT dst_key AS k FROM e0 WHERE dst_key LIKE 'tool:%') t
+    JOIN g0{iters} p ON p.vertex_key = t.k
+), obj0 AS (SELECT max(v) AS obj FROM sc0)
+, tgt1 AS (SELECT k FROM sc0 ORDER BY v DESC, k ASC LIMIT 1)"""
+    )
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        before = "obj0" if r == 1 else f"dec{r - 1}"
+        q.append(
+            f"""
+, e{r}s AS MATERIALIZED (
+    SELECT e.src_key,
+           CASE WHEN e.dst_key = t.k AND e.edge_type = 'tool_call'
+                     AND {_TI} % 2 = 1
+                THEN e.dst_key || '__clone{r}' ELSE e.dst_key END AS dst_key,
+           e.edge_type, e.weight
+    FROM {prev} e CROSS JOIN tgt{r} t
+), e{r}d AS MATERIALIZED (
+    SELECT e.src_key, e.dst_key, e.edge_type, e.weight
+    FROM {prev} e CROSS JOIN tgt{r} t
+    WHERE NOT (e.dst_key = t.k AND e.edge_type = 'tool_call'
+               AND {_TI} % 3 = 0)
+), e{r}a AS MATERIALIZED (
+    SELECT src_key, dst_key, edge_type, weight FROM {prev}
+    UNION ALL
+    SELECT t.k, 'decoy:' || t.k || ':r{r}', 'decoy', CAST(1 AS BIGINT)
+    FROM tgt{r} t
+), nd{r}s AS (
+    SELECT CAST(count(DISTINCT e.src_key) AS BIGINT) AS n
+    FROM {prev} e CROSS JOIN tgt{r} t
+    WHERE e.dst_key = t.k AND e.edge_type = 'tool_call' AND {_TI} % 2 = 1
+), nd{r}d AS (
+    SELECT CAST(count(DISTINCT e.src_key) AS BIGINT) AS n
+    FROM {prev} e CROSS JOIN tgt{r} t
+    WHERE e.dst_key = t.k AND e.edge_type = 'tool_call' AND {_TI} % 3 = 0
+)"""
+        )
+        for tag in ("s", "d", "a"):
+            q.append(
+                pagerank_fp_ctes(
+                    iters, scale, edges_cte=f"e{r}{tag}", prefix=f"g{r}{tag}"
+                )
+            )
+            q.append(
+                f"""
+, sc{r}{tag} AS MATERIALIZED (
+    SELECT t.k, CAST(p.val AS BIGINT) AS v
+    FROM (SELECT DISTINCT dst_key AS k FROM e{r}{tag}
+          WHERE dst_key LIKE 'tool:%') t
+    JOIN g{r}{tag}{iters} p ON p.vertex_key = t.k
+)"""
+            )
+        q.append(
+            f"""
+, cand{r} AS (
+    SELECT 'split_tool' AS style, 1 AS ord, (SELECT max(v) FROM sc{r}s) AS obj
+    UNION ALL
+    SELECT 'drop_tool_calls', 2, (SELECT max(v) FROM sc{r}d)
+    UNION ALL
+    SELECT 'add_node', 3, (SELECT max(v) FROM sc{r}a)
+), dec{r} AS (
+    SELECT style, obj FROM cand{r}
+    WHERE obj IS NOT NULL AND obj < (SELECT obj FROM {before})
+    ORDER BY obj ASC, ord ASC LIMIT 1
+), e{r} AS MATERIALIZED (
+    SELECT * FROM e{r}s WHERE (SELECT style FROM dec{r}) = 'split_tool'
+    UNION ALL
+    SELECT * FROM e{r}d WHERE (SELECT style FROM dec{r}) = 'drop_tool_calls'
+    UNION ALL
+    SELECT * FROM e{r}a WHERE (SELECT style FROM dec{r}) = 'add_node'
+), sc{r} AS (
+    SELECT * FROM sc{r}s WHERE (SELECT style FROM dec{r}) = 'split_tool'
+    UNION ALL
+    SELECT * FROM sc{r}d WHERE (SELECT style FROM dec{r}) = 'drop_tool_calls'
+    UNION ALL
+    SELECT * FROM sc{r}a WHERE (SELECT style FROM dec{r}) = 'add_node'
+), tgt{r + 1} AS (SELECT k FROM sc{r} ORDER BY v DESC, k ASC LIMIT 1)"""
+        )
+    rows = []
+    for r in range(1, rounds + 1):
+        before = "obj0" if r == 1 else f"dec{r - 1}"
+        alive = (
+            ""
+            if r == 1
+            else f" AND EXISTS (SELECT 1 FROM dec{r - 1})"
+        )
+        for style, tag, nd in (
+            ("split_tool", "s", f"(SELECT n FROM nd{r}s)"),
+            ("drop_tool_calls", "d", f"(SELECT n FROM nd{r}d)"),
+            ("add_node", "a", "CAST(1 AS BIGINT)"),
+        ):
+            rows.append(
+                f"""
+SELECT CAST({r} AS BIGINT) AS round, '{style}' AS style,
+       (SELECT k FROM tgt{r}) AS target_tool,
+       (SELECT obj FROM {before}) AS obj_before_fp,
+       (SELECT max(v) FROM sc{r}{tag}) AS obj_after_fp,
+       {nd} AS n_delta_src,
+       coalesce((SELECT style FROM dec{r}) = '{style}', FALSE) AS accepted
+WHERE TRUE{alive}"""
+            )
+    q.append("\nSELECT * FROM (" + "\nUNION ALL".join(rows) + "\n)")
+    return "".join(q)
 
 
 def mutation_impact_sql(base_cte: str) -> str:

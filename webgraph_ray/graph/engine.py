@@ -102,15 +102,19 @@ def _edge_partition_batch(num_parts: int, hub_ids: np.ndarray):
 
 
 def _vertex_partials_batch(num_parts: int):
-    """Emit per-batch-unique (vertex_id, part) rows for both endpoints."""
+    """Emit per-batch (vertex_id, cnt, part) incidence-count partials for
+    both endpoints (map-side combine).  The per-owner reduce keeps exact
+    incidence counts so a *delta* rebuild can patch vertex membership
+    locally: a vertex leaves the graph exactly when its count hits 0."""
 
     def fn(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = batch["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = np.unique(np.concatenate([src, dst]))
+        ids, cnt = np.unique(np.concatenate([src, dst]), return_counts=True)
         return pa.table(
             {
                 "vertex_id": pa.array(ids),
+                "cnt": pa.array(cnt.astype(np.int64)),
                 "part": pa.array((ids % num_parts).astype(np.int32)),
             }
         )
@@ -151,6 +155,86 @@ def _assemble_hub_remote(positions, n_hubs, *vals_per_actor):
         if len(vals):
             arr[pos] = vals
     return arr
+
+
+@ray.remote
+def _reduce_verts(partials_dir: str, out_dir: str, part: int):
+    """Per-owner vertex reduce: sum incidence-count partials into one
+    (vertex_id, cnt) file per partition (numpy, no sort shuffle)."""
+    d = os.path.join(partials_dir, f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    t = pq.read_table(d, columns=["vertex_id", "cnt"])
+    vid = t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vid, kind="stable")
+    vid, c = vid[order], c[order]
+    uniq, starts = np.unique(vid, return_index=True)
+    sums = np.add.reduceat(c, starts)
+    od = os.path.join(out_dir, f"part={part}")
+    os.makedirs(od, exist_ok=True)
+    tmp = os.path.join(od, f".tmp.{uuid.uuid4().hex[:8]}")
+    pq.write_table(
+        pa.table({"vertex_id": pa.array(uniq), "cnt": pa.array(sums)}), tmp
+    )
+    os.replace(tmp, os.path.join(od, "data.parquet"))
+    return int(len(uniq))
+
+
+def edges_part_contribution(part_dir: str):
+    """Fingerprint contribution of one edges/part=K directory:
+    (n_edges, weight_sum, order-insensitive content-hash term).  Shared by
+    the full build and the delta build so their manifests are comparable."""
+    if not os.path.isdir(part_dir):
+        return 0, 0.0, 0
+    t = pq.read_table(part_dir, columns=["src", "dst", "weight"])
+    if not t.num_rows:
+        return 0, 0.0, 0
+    weight_sum = float(pa.compute.sum(t["weight"]).as_py() or 0.0)
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    w = (
+        t["weight"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        .view(np.uint64)
+    )
+    with np.errstate(over="ignore"):
+        mix = src * np.uint64(0x9E3779B97F4A7C15)
+        mix ^= dst * np.uint64(0xC2B2AE3D27D4EB4F)
+        mix ^= w * np.uint64(0x165667B19E3779F9)
+        mix ^= mix >> np.uint64(29)
+        mix *= np.uint64(0xBF58476D1CE4E5B9)
+        term = np.bitwise_xor.reduce(mix) + np.uint64(np.sum(mix, dtype=np.uint64))
+    return int(t.num_rows), weight_sum, int(term)
+
+
+def assemble_manifest(
+    num_parts: int,
+    hub_threshold: int,
+    symmetrize: bool,
+    num_hubs: int,
+    part_terms: dict,
+) -> dict:
+    """Build-manifest dict from per-partition contribution terms.
+    ``part_terms[str(p)] = [n_edges, weight_sum, hash_term]``.  Shared by
+    build() and delta_build() so both produce comparable fingerprints."""
+    n_edges = sum(int(v[0]) for v in part_terms.values())
+    total_weight = sum(float(v[1]) for v in part_terms.values())
+    content_hash = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for v in part_terms.values():
+            content_hash += np.uint64(int(v[2]))
+    return {
+        "num_parts": int(num_parts),
+        "hub_threshold": int(hub_threshold),
+        "symmetrize": bool(symmetrize),
+        "num_hubs": int(num_hubs),
+        "n_edges": int(n_edges),
+        "total_weight": round(total_weight, 6),
+        "content_hash": int(content_hash),
+        "part_terms": part_terms,
+    }
 
 
 @ray.remote
@@ -677,7 +761,14 @@ class GraphEngine:
         # writers APPEND uuid-named files into existing directories, so a
         # re-run into a stale work_dir would silently double every edge
         # and out-degree.
-        for sub in ("raw", "outdeg_partials", "outdeg", "edges", "verts"):
+        for sub in (
+            "raw",
+            "outdeg_partials",
+            "outdeg",
+            "edges",
+            "verts",
+            "verts_partials",
+        ):
             shutil.rmtree(os.path.join(self.work_dir, sub), ignore_errors=True)
         for f in ("hubs.parquet", "build_manifest.json"):
             try:
@@ -740,60 +831,40 @@ class GraphEngine:
             zero_copy_batch=True,
         ).write_parquet(os.path.join(self.work_dir, "edges"), partition_cols=["part"])
 
-        # pass 3: vertex-universe partials (per-batch dedup; owner dedups rest)
+        # pass 3: vertex-universe incidence-count partials, then P parallel
+        # numpy reduce tasks into one (vertex_id, cnt) file per owner
+        vparts_dir = os.path.join(self.work_dir, "verts_partials")
         narrow.map_batches(
             _vertex_partials_batch(self.P),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ).write_parquet(os.path.join(self.work_dir, "verts"), partition_cols=["part"])
+        ).write_parquet(vparts_dir, partition_cols=["part"])
+        verts_dir = os.path.join(self.work_dir, "verts")
+        ray.get(
+            [_reduce_verts.remote(vparts_dir, verts_dir, p) for p in range(self.P)]
+        )
+        shutil.rmtree(vparts_dir, ignore_errors=True)
 
         # logical (content-derived) fingerprint: the same graph rebuilt with
         # different Ray block splits must fingerprint identically, so a
         # valid checkpoint survives a natural build-then-resume restart.
-        n_edges = 0
-        total_weight = 0.0
-        content_hash = np.uint64(0)
-        for p in range(self.P):
-            d = os.path.join(self.work_dir, "edges", f"part={p}")
-            if not os.path.isdir(d):
-                continue
-            t = pq.read_table(d, columns=["src", "dst", "weight"])
-            n_edges += t.num_rows
-            total_weight += float(
-                pa.compute.sum(t["weight"]).as_py() or 0.0
-            )
-            if t.num_rows:
-                # order-insensitive content hash of the edge triples: two
-                # different edge sets with equal count+weight must not
-                # collide, or resume could load a stale checkpoint from a
-                # rewired graph (monotone min-label algorithms would then
-                # converge to wrong labels).
-                src = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
-                w = (
-                    t["weight"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.float64)
-                    .view(np.uint64)
+        # Per-partition terms are stored so a DELTA rebuild (graph/delta.py)
+        # can recompute only affected parts' contributions; the global
+        # order-insensitive content hash guards resume: two different edge
+        # sets with equal count+weight must not collide, or resume could
+        # load a stale checkpoint from a rewired graph (monotone min-label
+        # algorithms would then converge to wrong labels).
+        part_terms = {
+            str(p): list(
+                edges_part_contribution(
+                    os.path.join(self.work_dir, "edges", f"part={p}")
                 )
-                with np.errstate(over="ignore"):
-                    mix = src * np.uint64(0x9E3779B97F4A7C15)
-                    mix ^= dst * np.uint64(0xC2B2AE3D27D4EB4F)
-                    mix ^= w * np.uint64(0x165667B19E3779F9)
-                    mix ^= mix >> np.uint64(29)
-                    mix *= np.uint64(0xBF58476D1CE4E5B9)
-                    content_hash += np.bitwise_xor.reduce(mix) + np.uint64(
-                        np.sum(mix, dtype=np.uint64)
-                    )
-        fingerprint = {
-            "num_parts": self.P,
-            "hub_threshold": self.hub_threshold,
-            "symmetrize": bool(symmetrize),
-            "num_hubs": int(len(hub_ids)),
-            "n_edges": int(n_edges),
-            "total_weight": round(total_weight, 6),
-            "content_hash": int(content_hash),
+            )
+            for p in range(self.P)
         }
+        fingerprint = assemble_manifest(
+            self.P, self.hub_threshold, bool(symmetrize), len(hub_ids), part_terms
+        )
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)
         return self

@@ -7,23 +7,33 @@ redistribute) re-expressed over the global edge table.
 Objective: the adversary wants to reduce the maximum fixed-point PageRank
 over tool vertices (the "dominant tool conceals itself" analog of flipping
 classifier predictions).  Each round targets the current top tool, tries
-each mutation style as an edge-table transform, re-runs the bit-exact
+each mutation style as an edge-table delta, re-runs the bit-exact
 fixed-point PageRank, and accepts the best strictly-improving candidate —
-deterministic end to end, so accepted objectives form a strictly
-decreasing int64 sequence (pytest invariant).
+deterministic int64 end to end, so the whole loop (targets, candidate
+objectives, accept decisions, early stop) is mirrored by a DuckDB oracle
+(webgraph_ray/functions/oracles.py::greedy_mutation_sql).
 
-Styles:
-- ``split_tool``      redistribute: half of the target's incoming
-                      tool_call edges (by src-hash parity) move to a clone
-                      vertex ``<tool>__clone<r>``
-- ``drop_tool_calls`` remove_edge: every third incoming tool_call edge of
-                      the target is deleted
+Styles (selectors are defined on the TURN INDEX parsed from the source
+key — "conv_X#k" -> k — rather than on SipHash vertex ids, precisely so
+the SQL mirror exists):
 
-Each candidate reports ``affected_parts``: the partitions (src-owner
-``id % P``) its edge delta touches — the partition-level rebuild scope an
-incremental builder would rewrite (the full rebuild here is the
-conservative fallback; the build layout is already per-partition parquet,
-so a delta rebuild rewrites only those directories).
+- ``split_tool``      redistribute: incoming tool_call edges whose source
+                      turn index is odd move to a clone vertex
+                      ``<tool>__clone<r>``
+- ``drop_tool_calls`` remove_edge: incoming tool_call edges whose source
+                      turn index is divisible by 3 are deleted
+- ``add_node``        node addition (the reference's create-fake-child
+                      style, mutate_styles.py:16-91): one new decoy child
+                      vertex ``decoy:<tool>:r<r>`` with a single edge
+                      target -> decoy
+
+Incremental evaluation: the engine layout for each candidate is produced
+by ``webgraph_ray.graph.delta.delta_build`` — only the partitions the
+delta touches are rewritten, every other ``part=K`` file is hardlinked
+from the current build (byte-identical; pinned by tests/test_greedy.py).
+Candidate *rebuild* cost is therefore O(|delta| + affected partitions),
+not O(|E|); the PageRank evaluation itself remains global because the
+objective is a global fixed point.
 """
 
 from __future__ import annotations
@@ -34,98 +44,201 @@ import tempfile
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
 from webgraph_ray.functions.hashing import hash_keys
+from webgraph_ray.graph.delta import delta_build
 from webgraph_ray.graph.engine import GraphEngine
 
-STYLES = ("split_tool", "drop_tool_calls")
+STYLES = ("split_tool", "drop_tool_calls", "add_node")
 
 
-def _tool_scores(edges: ray.data.Dataset, work_dir: str) -> pd.Series:
-    """score_fp per tool vertex key (index sorted by key)."""
-    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+def _turn_idx(keys: pd.Series) -> pd.Series:
+    """Source-key turn index ("conv_X#k" -> k); NaN when absent (mirrors
+    the oracle's TRY_CAST(regexp_extract(...)))."""
+    return keys.str.extract(r"#(\d+)$", expand=False).astype("float64")
 
-    tool_keys = sorted(
+
+def _tool_keys(edges: ray.data.Dataset) -> list[str]:
+    """Sorted distinct tool vertex keys (dst side) in the edge table."""
+    return sorted(
         set(
             edges.map_batches(
-                lambda t: t.filter(pc.starts_with(t["dst_key"], "tool:")).select(
-                    ["dst_key"]
-                ),
+                lambda t: t.filter(
+                    pc.starts_with(t["dst_key"], "tool:")
+                ).select(["dst_key"]),
                 batch_format="pyarrow",
             ).unique("dst_key")
         )
     )
-    ids = hash_keys(np.array(tool_keys, dtype=object))
-    eng = GraphEngine(work_dir, num_parts=None)
-    eng.build(edges)
-    try:
-        res = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE).to_pandas()
-    finally:
-        eng.shutdown()
-    shutil.rmtree(work_dir, ignore_errors=True)
-    by_id = res.set_index("vertex_id")["score_fp"]
-    return pd.Series(
-        [int(by_id.get(i, 0)) for i in ids], index=tool_keys, dtype=np.int64
+
+
+def _hit_rows(edges: ray.data.Dataset, target: str) -> pd.DataFrame:
+    """All rows with dst_key == target (the mutation's working set: one
+    tool's in-edges — bounded by the target's in-degree, the same
+    per-candidate scope the reference loop materializes per visit)."""
+    return edges.map_batches(
+        lambda t: t.filter(pc.equal(t["dst_key"], target)),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+
+def _narrow(df: pd.DataFrame, dst_override: np.ndarray | None = None) -> pa.Table:
+    dst = df["dst"].to_numpy(np.int64) if dst_override is None else dst_override
+    return pa.table(
+        {
+            "src": pa.array(df["src"].to_numpy(np.int64)),
+            "dst": pa.array(dst),
+            "weight": pa.array(df["weight"].to_numpy(np.float64)),
+        }
     )
 
 
-def _mutate(
+def _candidate_delta(
+    hit_all: pd.DataFrame, target: str, style: str, round_no: int
+) -> tuple[pa.Table | None, pa.Table | None, int, str | None, bool]:
+    """(removed, added, n_delta_src, new_tool_key, target_survives) for one
+    candidate.  ``hit_all`` = every row with dst_key == target."""
+    tc = hit_all[hit_all["edge_type"] == "tool_call"]
+    ti = _turn_idx(tc["src_key"])
+    if style == "split_tool":
+        moved = tc[(ti % 2 == 1).to_numpy(bool)]
+        clone = f"{target}__clone{round_no}"
+        clone_id = int(hash_keys(np.array([clone], dtype=object))[0])
+        removed = _narrow(moved)
+        added = _narrow(
+            moved, dst_override=np.full(len(moved), clone_id, dtype=np.int64)
+        )
+        survives = len(hit_all) - len(moved) > 0
+        return (
+            removed,
+            added,
+            int(moved["src_key"].nunique()),
+            clone if len(moved) else None,
+            survives,
+        )
+    if style == "drop_tool_calls":
+        dropped = tc[(ti % 3 == 0).to_numpy(bool)]
+        survives = len(hit_all) - len(dropped) > 0
+        return _narrow(dropped), None, int(dropped["src_key"].nunique()), None, survives
+    # add_node: one decoy child of the target
+    decoy = f"decoy:{target}:r{round_no}"
+    added = pa.table(
+        {
+            "src": pa.array(hash_keys(np.array([target], dtype=object))),
+            "dst": pa.array(hash_keys(np.array([decoy], dtype=object))),
+            "weight": pa.array([1.0]),
+        }
+    )
+    return None, added, 1, None, True
+
+
+def _mutated_rich(
     edges: ray.data.Dataset, target: str, style: str, round_no: int
-) -> tuple[ray.data.Dataset, np.ndarray]:
-    """Apply one style; returns (mutated edges, delta src ids)."""
+) -> ray.data.Dataset:
+    """Apply one style to the rich edge table (lazy)."""
     clone = f"{target}__clone{round_no}"
+    decoy = f"decoy:{target}:r{round_no}"
+
+    if style == "add_node":
+        row = pa.table(
+            {
+                "src": pa.array(hash_keys(np.array([target], dtype=object))),
+                "dst": pa.array(hash_keys(np.array([decoy], dtype=object))),
+                "src_key": pa.array([target]),
+                "dst_key": pa.array([decoy]),
+                "edge_type": pa.array(["decoy"]),
+                "weight": pa.array([1], pa.int64()),
+                "conv_id": pa.array([""]),
+                "ts": pa.array([pd.Timestamp(0)], pa.timestamp("us")),
+            }
+        )
+        return edges.union(ray.data.from_arrow(row))
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
+        ti = _turn_idx(out["src_key"])
         hit = (out["dst_key"] == target) & (out["edge_type"] == "tool_call")
         if style == "split_tool":
-            parity = (out["src"].to_numpy(np.int64) % 2) == 1
-            move = hit & parity
+            move = (hit & (ti % 2 == 1)).to_numpy(bool)
             out.loc[move, "dst_key"] = clone
             out.loc[move, "dst"] = hash_keys(
                 out.loc[move, "dst_key"].to_numpy(dtype=object)
             )
         else:  # drop_tool_calls
-            drop = hit & ((out["src"].to_numpy(np.int64) % 3) == 0)
+            drop = (hit & (ti % 3 == 0)).to_numpy(bool)
             out = out[~drop]
         return out
 
-    def delta_src(df: pd.DataFrame) -> pd.DataFrame:
-        hit = (df["dst_key"] == target) & (df["edge_type"] == "tool_call")
-        return pd.DataFrame({"src": df.loc[hit, "src"].unique()})
+    return edges.map_batches(fn, batch_format="pandas")
 
-    delta = edges.map_batches(delta_src, batch_format="pandas").to_pandas()
-    return (
-        edges.map_batches(fn, batch_format="pandas").materialize(),
-        delta["src"].to_numpy(np.int64),
+
+def _layout_tool_scores(
+    layout_dir: str, num_parts: int, tool_keys: list[str]
+) -> pd.Series:
+    """Fixed-point PageRank over an existing engine layout, filtered
+    Ray-side to the tool vertices (only |tools| rows reach the driver)."""
+    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+
+    if not tool_keys:
+        raise ValueError("mutated graph lost every tool vertex")
+    ids = hash_keys(np.array(tool_keys, dtype=object))
+    id_set = np.sort(ids)
+    eng = GraphEngine(layout_dir, num_parts=num_parts)
+    try:
+        res = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE)
+        small = res.map_batches(
+            lambda t: t.filter(pc.is_in(t["vertex_id"], pa.array(id_set))),
+            batch_format="pyarrow",
+        ).to_pandas()
+    finally:
+        eng.shutdown()
+    by_id = small.set_index("vertex_id")["score_fp"]
+    return pd.Series(
+        [int(by_id.get(i, 0)) for i in ids], index=tool_keys, dtype=np.int64
     )
 
 
 def greedy_mutation(
-    edges: ray.data.Dataset, rounds: int = 3, num_parts: int = 8
+    edges: ray.data.Dataset, rounds: int = 3, num_parts: int | None = None
 ) -> pd.DataFrame:
-    """Run the loop; one row per (round, style) candidate plus the accept
-    decision.  All score columns are exact fixed-point ints."""
+    """Run the loop; one row per (round, style) candidate with the accept
+    decision.  All objective columns are exact fixed-point ints; the whole
+    frame is mirrored by ``greedy_mutation_sql`` (driver-oracle-checked)."""
     work_root = tempfile.mkdtemp(prefix="webgraph_greedy_")
+    cur_dir = os.path.join(work_root, "cur")
     try:
         cur = edges.materialize()
-        scores = _tool_scores(cur, os.path.join(work_root, "base"))
+        base_eng = GraphEngine(cur_dir, num_parts=num_parts)
+        base_eng.build(cur)
+        P = base_eng.P
+        tools = _tool_keys(cur)
+        scores = _layout_tool_scores(cur_dir, P, tools)
         obj = int(scores.max())
-        rows = []
+        rows: list[dict] = []
         for r in range(1, rounds + 1):
-            # deterministic target: max score, ties by key order
+            # deterministic target: max score, ties by smallest key
             target = scores.sort_index().idxmax()
-            best = None
+            hit_all = _hit_rows(cur, target)
+            best = None  # (obj, style, cand_dir, scores, tools)
             for style in STYLES:
-                cand, delta_ids = _mutate(cur, target, style, r)
-                cscores = _tool_scores(
-                    cand, os.path.join(work_root, f"r{r}_{style}")
+                removed, added, n_delta, new_tool, survives = _candidate_delta(
+                    hit_all, target, style, r
                 )
+                cand_tools = [t for t in tools if survives or t != target]
+                if new_tool:
+                    cand_tools = sorted(cand_tools + [new_tool])
+                cand_dir = os.path.join(work_root, f"r{r}_{style}")
+                if not delta_build(cur_dir, cand_dir, removed, added):
+                    # hub set changed (or layout mismatch): full rebuild
+                    GraphEngine(cand_dir, num_parts=P).build(
+                        _mutated_rich(cur, target, style, r)
+                    )
+                cscores = _layout_tool_scores(cand_dir, P, cand_tools)
                 cobj = int(cscores.max())
-                affected = np.unique(delta_ids % num_parts)
                 accepted = cobj < obj and (best is None or cobj < best[0])
                 rows.append(
                     {
@@ -134,22 +247,32 @@ def greedy_mutation(
                         "target_tool": target,
                         "obj_before_fp": np.int64(obj),
                         "obj_after_fp": np.int64(cobj),
-                        "affected_parts": np.int64(len(affected)),
-                        "total_parts": np.int64(num_parts),
+                        "n_delta_src": np.int64(n_delta),
                         "accepted": bool(accepted),
                     }
                 )
-                if cobj < obj and (best is None or cobj < best[0]):
-                    best = (cobj, cand, cscores, style)
+                if accepted:
+                    best = (cobj, style, cand_dir, cscores, cand_tools)
             if best is None:
                 break
-            obj, cur, scores = best[0], best[1], best[2]
+            obj, scores, tools = best[0], best[3], best[4]
+            # the accepted candidate's layout becomes the current build;
+            # unaccepted candidate layouts are discarded
+            cur = _mutated_rich(cur, target, best[1], r).materialize()
+            old = os.path.join(work_root, f"old{r}")
+            os.rename(cur_dir, old)
+            os.rename(best[2], cur_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            for style in STYLES:
+                if style != best[1]:
+                    shutil.rmtree(
+                        os.path.join(work_root, f"r{r}_{style}"),
+                        ignore_errors=True,
+                    )
             # only the best candidate stays accepted for the round
             for row in rows:
                 if row["round"] == r:
-                    row["accepted"] = (
-                        row["style"] == best[3] and row["obj_after_fp"] == obj
-                    )
+                    row["accepted"] = row["style"] == best[1]
         return pd.DataFrame(rows)
     finally:
         shutil.rmtree(work_root, ignore_errors=True)
