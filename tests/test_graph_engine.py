@@ -214,3 +214,77 @@ def test_labelprop_resume(graph_fixture, tmp_path):
         pd.testing.assert_frame_equal(got, ref)
     finally:
         eng2.shutdown()
+
+
+def test_symmetrized_from_matches_full(graph_fixture, tmp_path):
+    """build_symmetrized_from (reverse-and-append over the directed
+    layout's parquet) must be indistinguishable from build(symmetrize=True)
+    over the same edges: identical content fingerprint, identical
+    per-partition terms, bit-identical components."""
+    import json
+
+    edges, pdf = graph_fixture
+    P = 3
+    directed = _engine(tmp_path / "directed", edges, P, symmetrize=False)
+    directed.shutdown()
+    full = _engine(tmp_path / "full_sym", edges, P, symmetrize=True)
+    fast = GraphEngine(str(tmp_path / "fast_sym"), num_parts=P)
+    fast.build_symmetrized_from(str(tmp_path / "directed"))
+    try:
+        with open(os.path.join(full.work_dir, "build_manifest.json")) as f:
+            m_full = json.load(f)
+        with open(os.path.join(fast.work_dir, "build_manifest.json")) as f:
+            m_fast = json.load(f)
+        assert m_fast["content_hash"] == m_full["content_hash"]
+        assert m_fast["n_edges"] == m_full["n_edges"]
+        assert m_fast["num_hubs"] == m_full["num_hubs"]
+        assert {k: v[0] for k, v in m_fast["part_terms"].items()} == {
+            k: v[0] for k, v in m_full["part_terms"].items()
+        }
+        assert {k: v[2] for k, v in m_fast["part_terms"].items()} == {
+            k: v[2] for k, v in m_full["part_terms"].items()
+        }
+        # one live actor pool at a time: the 4-CPU test session cannot
+        # host two P=3 pools simultaneously
+        a = full.components().to_pandas().sort_values("vertex_id")
+        full.shutdown()
+        b = fast.components().to_pandas().sort_values("vertex_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+    finally:
+        full.shutdown()
+        fast.shutdown()
+
+
+def test_symmetrized_from_salted_hubs(graph_fixture, tmp_path):
+    """Same equivalence with a hub threshold low enough to salt: the fast
+    path must recompute the hub set from SYMMETRIZED strength."""
+    import json
+
+    edges, pdf = graph_fixture
+    P = 3
+    directed = _engine(
+        tmp_path / "directed_h", edges, P, symmetrize=False, hub_threshold=5
+    )
+    directed.shutdown()
+    full = _engine(tmp_path / "full_h", edges, P, symmetrize=True, hub_threshold=5)
+    fast = GraphEngine(str(tmp_path / "fast_h"), num_parts=P, hub_threshold=5)
+    fast.build_symmetrized_from(str(tmp_path / "directed_h"))
+    try:
+        with open(os.path.join(full.work_dir, "build_manifest.json")) as f:
+            m_full = json.load(f)
+        with open(os.path.join(fast.work_dir, "build_manifest.json")) as f:
+            m_fast = json.load(f)
+        assert m_full["num_hubs"] > 0, "fixture has no hubs to salt"
+        assert m_fast["content_hash"] == m_full["content_hash"]
+        assert m_fast["num_hubs"] == m_full["num_hubs"]
+        a = full.components().to_pandas().sort_values("vertex_id")
+        full.shutdown()
+        b = fast.components().to_pandas().sort_values("vertex_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+    finally:
+        full.shutdown()
+        fast.shutdown()

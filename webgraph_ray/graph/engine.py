@@ -238,6 +238,106 @@ def assemble_manifest(
 
 
 @ray.remote
+def _part_contribution_remote(part_dir: str):
+    return list(edges_part_contribution(part_dir))
+
+
+@ray.remote
+def _sym_strength_part(directed_dir: str, work_dir: str, part: int, num_parts: int):
+    """Phase 1 of the symmetrize-from-layout fast path, over ONE directed
+    edges/part=K: emit symmetrized out-strength partials (every edge
+    contributes its weight to BOTH endpoints) and vertex incidence-count
+    partials (2x per endpoint), each written per owner partition."""
+    d = os.path.join(directed_dir, "edges", f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    t = pq.read_table(d, columns=["src", "dst", "weight"])
+    if not t.num_rows:
+        return 0
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    vid = np.concatenate([src, dst])
+    ww = np.concatenate([w, w])
+    order = np.argsort(vid, kind="stable")
+    vid, ww = vid[order], ww[order]
+    uniq, starts, counts = np.unique(vid, return_index=True, return_counts=True)
+    strength = np.add.reduceat(ww, starts)
+    # symmetrized incidence: each appearance among directed src+dst becomes
+    # two appearances (once as src of a row, once as dst of its reverse)
+    cnt = (2 * counts).astype(np.int64)
+    owner = (uniq % num_parts).astype(np.int32)
+    tag = uuid.uuid4().hex[:8]
+    for p in np.unique(owner):
+        sel = owner == p
+        od = os.path.join(work_dir, "outdeg_partials", f"part={int(p)}")
+        os.makedirs(od, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vertex_id": pa.array(uniq[sel]),
+                    "out_strength": pa.array(strength[sel]),
+                }
+            ),
+            os.path.join(od, f"sym_{part}_{tag}.parquet"),
+        )
+        vd = os.path.join(work_dir, "verts_partials", f"part={int(p)}")
+        os.makedirs(vd, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"vertex_id": pa.array(uniq[sel]), "cnt": pa.array(cnt[sel])}
+            ),
+            os.path.join(vd, f"sym_{part}_{tag}.parquet"),
+        )
+    return int(len(uniq))
+
+
+@ray.remote
+def _sym_edges_part(
+    directed_dir: str,
+    work_dir: str,
+    part: int,
+    num_parts: int,
+    hub_ids: np.ndarray,
+):
+    """Phase 2 of the symmetrize-from-layout fast path: read ONE directed
+    edges/part=K, emit forward + reversed rows, and scatter them to their
+    symmetrized partitions (same src-owner / salted-hub rule as build)."""
+    d = os.path.join(directed_dir, "edges", f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    t = pq.read_table(d, columns=["src", "dst", "weight"])
+    if not t.num_rows:
+        return 0
+    s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dd = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    src = np.concatenate([s, dd])
+    dst = np.concatenate([dd, s])
+    ww = np.concatenate([w, w])
+    p_out = (src % num_parts).astype(np.int64)
+    if len(hub_ids):
+        is_hub = np.isin(src, hub_ids)
+        p_out[is_hub] = (src[is_hub] + dst[is_hub]) % num_parts
+    tag = uuid.uuid4().hex[:8]
+    for p in np.unique(p_out):
+        sel = p_out == p
+        od = os.path.join(work_dir, "edges", f"part={int(p)}")
+        os.makedirs(od, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "src": pa.array(src[sel]),
+                    "dst": pa.array(dst[sel]),
+                    "weight": pa.array(ww[sel]),
+                }
+            ),
+            os.path.join(od, f"sym_{part}_{tag}.parquet"),
+        )
+    return int(len(src))
+
+
+@ray.remote
 def _reduce_outdeg(partials_dir: str, out_dir: str, part: int, threshold: float):
     """Final per-owner out-degree reduce: sum partials with numpy (replaces
     a full sort-based groupby shuffle) and report this owner's hubs."""
@@ -864,6 +964,107 @@ class GraphEngine:
         }
         fingerprint = assemble_manifest(
             self.P, self.hub_threshold, bool(symmetrize), len(hub_ids), part_terms
+        )
+        with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
+            json.dump(fingerprint, f)
+        return self
+
+    def build_symmetrized_from(self, directed_dir: str) -> "GraphEngine":
+        """Derive the symmetrized (undirected-view) layout from an existing
+        DIRECTED build's partitioned parquet — one reverse-and-append pass
+        per partition, all raw Ray tasks over the layout files.
+
+        ``build(edges, symmetrize=True)`` re-runs the whole upstream Ray
+        Data pipeline (edge derivation + raw persist + three partitioned
+        passes); when a directed build of the SAME edge table already
+        exists (vertex_features runs PageRank on the directed graph and
+        components on the symmetrized one), that repeats work that is
+        fully determined by the directed layout.  This path instead reads
+        each ``edges/part=K`` once for strength/incidence partials and
+        once for the forward+reverse scatter — O(|E|) file I/O with zero
+        Ray Data overhead and zero upstream re-execution.
+
+        Produces a layout indistinguishable from
+        ``build(symmetrize=True)``: same partition rule (src-owner, salted
+        hubs — hub set recomputed from SYMMETRIZED strength), same
+        manifest schema, identical content fingerprint (pinned by
+        tests/test_graph_engine.py::test_symmetrized_from_matches_full)."""
+        with open(os.path.join(directed_dir, "build_manifest.json")) as f:
+            src_manifest = json.load(f)
+        if src_manifest.get("symmetrize"):
+            raise ValueError("source layout is already symmetrized")
+        src_parts = int(src_manifest["num_parts"])
+
+        for sub in ("outdeg_partials", "outdeg", "edges", "verts", "verts_partials"):
+            shutil.rmtree(os.path.join(self.work_dir, sub), ignore_errors=True)
+        for f_ in ("hubs.parquet", "build_manifest.json"):
+            try:
+                os.remove(os.path.join(self.work_dir, f_))
+            except FileNotFoundError:
+                pass
+        os.makedirs(self.work_dir, exist_ok=True)
+
+        # pass 1: symmetrized strength + incidence partials per owner
+        ray.get(
+            [
+                _sym_strength_part.remote(directed_dir, self.work_dir, k, self.P)
+                for k in range(src_parts)
+            ]
+        )
+        outdeg_dir = os.path.join(self.work_dir, "outdeg")
+        hub_lists = ray.get(
+            [
+                _reduce_outdeg.remote(
+                    os.path.join(self.work_dir, "outdeg_partials"),
+                    outdeg_dir,
+                    p,
+                    float(self.hub_threshold),
+                )
+                for p in range(self.P)
+            ]
+        )
+        hub_ids = np.sort(np.concatenate(hub_lists).astype(np.int64))
+        pq.write_table(
+            pa.table({"vertex_id": pa.array(hub_ids)}),
+            os.path.join(self.work_dir, "hubs.parquet"),
+        )
+
+        # pass 2: forward + reverse edge scatter with salted assignment
+        ray.get(
+            [
+                _sym_edges_part.remote(
+                    directed_dir, self.work_dir, k, self.P, hub_ids
+                )
+                for k in range(src_parts)
+            ]
+        )
+
+        # verts reduce + per-part fingerprint terms (parallel)
+        ray.get(
+            [
+                _reduce_verts.remote(
+                    os.path.join(self.work_dir, "verts_partials"),
+                    os.path.join(self.work_dir, "verts"),
+                    p,
+                )
+                for p in range(self.P)
+            ]
+        )
+        shutil.rmtree(
+            os.path.join(self.work_dir, "outdeg_partials"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(self.work_dir, "verts_partials"), ignore_errors=True
+        )
+        term_refs = {
+            str(p): _part_contribution_remote.remote(
+                os.path.join(self.work_dir, "edges", f"part={p}")
+            )
+            for p in range(self.P)
+        }
+        part_terms = {k: ray.get(r) for k, r in term_refs.items()}
+        fingerprint = assemble_manifest(
+            self.P, self.hub_threshold, True, len(hub_ids), part_terms
         )
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)

@@ -52,10 +52,20 @@ def attach_keys(
     return bucketed_join(scores, keys, keys=["vertex_id"], num_buckets=num_buckets)
 
 
-def run_flagship(sf_dir: str, work_dir: str | None = None) -> pd.DataFrame:
+def run_flagship(
+    sf_dir: str, work_dir: str | None = None, top_k: int = 1000
+) -> pd.DataFrame:
     """Full pass over one scale factor; returns a per-vertex summary frame
-    (vertex_key, score, component, triangles) for the top PageRank vertices.
-    """
+    (vertex_key, score, component, triangles) for the ``top_k`` PageRank
+    vertices.
+
+    Scale shape: the per-vertex tables (PageRank, components, triangles,
+    keys) are assembled Ray-side with ONE vertex-id bucket shuffle
+    (pad-union-pivot — the same single-shuffle assembly vertex_features
+    uses), the symmetrized components layout is derived from the directed
+    PageRank build's parquet (build_symmetrized_from — no second full
+    build), and only per-bucket top-k survivors ever reach the driver
+    (<= num_buckets * top_k rows), never a full per-vertex table."""
     if work_dir is None:
         work_dir = tempfile.mkdtemp(prefix="webgraph_flagship_")
     transcripts = transcripts_from_events(os.path.join(sf_dir, "events.parquet"))
@@ -65,31 +75,82 @@ def run_flagship(sf_dir: str, work_dir: str | None = None) -> pd.DataFrame:
 
     audit_vertex_ids(vertices)
 
-    eng = GraphEngine(os.path.join(work_dir, "pr"), num_parts=None)
+    pr_dir = os.path.join(work_dir, "pr")
+    eng = GraphEngine(pr_dir, num_parts=None)
     eng.build(edges)
     try:
-        pr = eng.pagerank(tol=1e-6).to_pandas()
+        pr = eng.pagerank(tol=1e-6).materialize()
     finally:
         eng.shutdown()
 
-    eng2 = GraphEngine(os.path.join(work_dir, "und"), num_parts=None)
-    eng2.build(edges, symmetrize=True)
+    eng2 = GraphEngine(os.path.join(work_dir, "und"), num_parts=eng.P)
+    eng2.build_symmetrized_from(pr_dir)
     try:
-        cc = eng2.components().to_pandas()
+        cc = eng2.components().materialize()
     finally:
         eng2.shutdown()
 
     total, per_vertex = triangle_counts(edges)
-    tri = per_vertex.to_pandas()
 
-    vk = vertices.to_pandas()[["vertex_id", "vertex_key"]]
-    out = (
-        pr.merge(cc, on="vertex_id")
-        .merge(tri, on="vertex_id", how="left")
-        .merge(vk, on="vertex_id")
+    # ONE vertex-id bucket shuffle assembles the summary (pad-union-pivot;
+    # chained hash joins would shuffle the accumulating table 3x).
+    # ``component`` rides as object dtype: labels are full-range 64-bit
+    # hashes, a float64 pad would round them past 2^53.
+    num_cols = ["score", "triangles"]
+    obj_cols = ["vertex_key", "component"]
+    all_cols = ["vertex_id", *obj_cols, *num_cols]
+
+    def padded(ds):
+        def pad(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.reindex(columns=all_cols)
+            for c in num_cols:
+                out[c] = out[c].astype(np.float64)
+            for c in obj_cols:
+                out[c] = out[c].astype(object)
+            return out
+
+        return ds.map_batches(pad, batch_format="pandas")
+
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+    unioned = (
+        padded(vertices.select_columns(["vertex_id", "vertex_key"]))
+        .union(padded(pr))
+        .union(padded(cc))
+        .union(padded(per_vertex))
     )
-    out["triangles"] = out["triangles"].fillna(0).astype(np.int64)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["vertex_id"].to_numpy(np.int64) % nb).astype(np.int32)
+        return df
+
+    def pivot_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("vertex_id", sort=False)[[*obj_cols, *num_cols]].first()
+        out["triangles"] = out["triangles"].fillna(0.0)
+        # only this bucket's top-k rows leave the worker; vertex_key
+        # tie-break keeps the selection deterministic at the k boundary
+        return (
+            out.sort_values(["score", "vertex_key"], ascending=[False, True])
+            .head(top_k)
+            .reset_index(drop=True)
+        )
+
+    small = (
+        unioned.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(pivot_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        small.sort_values(["score", "vertex_key"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    out["component"] = out["component"].astype(np.int64)
+    out["triangles"] = out["triangles"].astype(np.int64)
     out["total_triangles"] = total
-    return out.sort_values("score", ascending=False).reset_index(drop=True)[
+    return out[
         ["vertex_key", "score", "component", "triangles", "total_triangles"]
     ]

@@ -69,9 +69,18 @@ def pagerank_fp_keyed(
 
 
 def components_keyed(
-    edges: ray.data.Dataset, vertices: ray.data.Dataset, work_dir: str
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    work_dir: str,
+    directed_dir: str | None = None,
 ) -> ray.data.Dataset:
     """(vertex_key, component_key) — canonical min-key component labels.
+
+    When ``directed_dir`` points at an existing DIRECTED build of the same
+    edge table (vertex_features' PageRank layout), the symmetrized layout
+    is derived from its parquet with one reverse-and-append pass per
+    partition (GraphEngine.build_symmetrized_from) instead of re-running
+    the whole Ray Data build pipeline a second time.
 
     Canonicalization is ONE component-hash bucket shuffle with a C-path
     per-group ``transform('min')`` (an aggregate + re-join would shuffle
@@ -79,7 +88,10 @@ def components_keyed(
     from webgraph_ray.functions.shuffle import default_num_buckets
 
     eng = GraphEngine(os.path.join(work_dir, "cc"), num_parts=None)
-    eng.build(edges, symmetrize=True)
+    if directed_dir is not None:
+        eng.build_symmetrized_from(directed_dir)
+    else:
+        eng.build(edges, symmetrize=True)
     try:
         cc = attach_keys(eng.components(), vertices)
         nb = default_num_buckets()
@@ -138,10 +150,17 @@ def vertex_features(
     )
 
     try:
+        directed_dir = None
         if pr is None:
             pr = pagerank_fp_keyed(edges, vertices, work_dir)
+            # the directed layout the PR build left behind fully determines
+            # the symmetrized build components needs — reuse it (ONE
+            # reverse-and-append pass) instead of a second full build
+            directed_dir = os.path.join(work_dir, "pr")
         if comp is None:
-            comp = components_keyed(edges, vertices, work_dir)
+            comp = components_keyed(
+                edges, vertices, work_dir, directed_dir=directed_dir
+            )
 
         # ONE shuffle assembles the wide table: every ingredient is padded
         # to the common schema, unioned, and pivoted per vertex-key bucket
