@@ -1061,13 +1061,24 @@ def _build_training_oracles() -> dict[str, str]:
         SELECT d.doc_id, d.source, s.source_rank
         FROM documents d JOIN side s USING (source)
         """,
+        # mirrors the REAL header decode: to_media wraps each doc in a
+        # genuine PNG IHDR (doc_id%3=0, 33-byte header) / GIF89a descriptor
+        # (doc_id%3=1, 10 bytes) / raw 0x00 tag (doc_id%3=2, 1 byte);
+        # MediaDecoder parses those bytes back, so the oracle recomputes
+        # the encoded dimensions from the same construction formulas
         "media_meta": """
         SELECT doc_id,
-               CAST(strlen(text) AS BIGINT) AS n_bytes,
-               CAST(64 + strlen(text) % 512 AS BIGINT) AS width,
-               CAST(64 + (strlen(text) * 7) % 512 AS BIGINT) AS height,
-               CASE strlen(text) % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                    WHEN 2 THEN 'webp' ELSE 'gif' END AS format
+               CAST(octet_length(encode(text))
+                    + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 10
+                      ELSE 1 END AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+                    ELSE 64 + octet_length(encode(text)) % 512
+                    END AS BIGINT) AS width,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN -1
+                    ELSE 64 + (octet_length(encode(text)) * 7) % 512
+                    END AS BIGINT) AS height,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    ELSE 'unknown' END AS format
         FROM documents
         """,
     }

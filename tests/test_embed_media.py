@@ -111,14 +111,63 @@ def test_cosine_dup_pairs(emb_ds, emb_np):
 
 
 def test_media_pipeline(sf_dir):
+    """to_media wraps docs in REAL PNG/GIF/raw containers; media_meta must
+    parse the dimensions back out of the actual header bytes."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     m = media.media_meta(docs).to_pandas().set_index("doc_id")
     pdf = docs.to_pandas()
-    for r in pdf.head(20).itertuples():
+    hdr = {0: 33, 1: 10, 2: 1}  # png / gif / raw tag
+    for r in pdf.head(30).itertuples():
         nb = len(r.text.encode("utf-8"))
-        assert m.loc[r.doc_id, "n_bytes"] == nb
-        assert m.loc[r.doc_id, "width"] == 64 + nb % 512
-        assert m.loc[r.doc_id, "format"] in ("png", "jpeg", "webp", "gif")
+        kind = r.doc_id % 3
+        assert m.loc[r.doc_id, "n_bytes"] == nb + hdr[kind]
+        if kind == 2:
+            assert m.loc[r.doc_id, "format"] == "unknown"
+            assert m.loc[r.doc_id, "width"] == -1
+        else:
+            assert m.loc[r.doc_id, "format"] == ("png" if kind == 0 else "gif")
+            assert m.loc[r.doc_id, "width"] == 64 + nb % 512
+            assert m.loc[r.doc_id, "height"] == 64 + (nb * 7) % 512
+
+
+def test_media_decoder_parses_real_png():
+    """An externally constructed, spec-correct PNG (real CRC) must decode
+    — the kernel reads the bytes, not a side formula."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    ihdr = struct.pack(">II5B", 1920, 1080, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    gif = b"GIF87a" + struct.pack("<HH", 320, 200)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array([png, gif, b"\x00plain"], pa.binary()),
+        }
+    )
+    out = media.MediaDecoder()(t).to_pandas().set_index("doc_id")
+    assert (out.loc[1, "width"], out.loc[1, "height"], out.loc[1, "format"]) == (
+        1920, 1080, "png",
+    )
+    assert (out.loc[2, "width"], out.loc[2, "height"], out.loc[2, "format"]) == (
+        320, 200, "gif",
+    )
+    assert (out.loc[3, "width"], out.loc[3, "format"]) == (-1, "unknown")
+
+
+def test_media_pixel_decode_gated():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        media.MediaDecoder(decode_pixels=True)
 
 
 def test_media_binary_schema(sf_dir):

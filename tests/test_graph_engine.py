@@ -288,3 +288,33 @@ def test_symmetrized_from_salted_hubs(graph_fixture, tmp_path):
     finally:
         full.shutdown()
         fast.shutdown()
+
+
+def test_min_label_delta_exchange(graph_fixture, tmp_path):
+    """Delta exchange: components over BOTH exchange modes (fused single
+    object / sliced per-destination) matches the oracle, and the sparse
+    min-label scatter ships strictly fewer entries than the dense
+    every-dst-every-iteration protocol."""
+    edges, pdf = graph_fixture
+    eng = _engine(tmp_path / "fused", edges, 3, symmetrize=True)
+    try:
+        got = eng.components().to_pandas().sort_values("vertex_id")
+        m = eng.metrics["components"]
+        assert m.msgs_dense > 0
+        assert 0 < m.msgs_sent < m.msgs_dense  # the delta actually prunes
+    finally:
+        eng.shutdown()
+
+    sl = GraphEngine(str(tmp_path / "sliced"), num_parts=3, fused_exchange=False)
+    sl.build(edges, symmetrize=True)
+    try:
+        got_sl = sl.components().to_pandas().sort_values("vertex_id")
+    finally:
+        sl.shutdown()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got_sl.reset_index(drop=True)
+    )
+    exp = oracle.components_oracle(pdf)
+    g = got.set_index("vertex_id")["component"]
+    for vid, comp in exp.items():
+        assert g.loc[vid] == comp, vid

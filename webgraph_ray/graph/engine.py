@@ -431,13 +431,33 @@ class GraphPartition:
         else:
             self.hub_ids = np.array([], dtype=np.int64)
 
-        # Sort edge block by dst once; per-iteration combine is reduceat over
-        # static segments (the local groupby-aggregate on destination key).
-        order = np.argsort(edst, kind="stable")
+        # Sort the edge block ONCE by (destination partition, dst): the
+        # per-iteration combine is a reduceat over static segments (the
+        # local groupby-aggregate on destination key), and — because
+        # segments come out already grouped by destination partition — the
+        # combined message vector is born in routed order, so scatter
+        # slices it directly with NO per-iteration gather/permutation pass.
+        # (The stable secondary dst order keeps per-dst float summation
+        # order identical to a plain dst sort: bit-identical messages.)
+        order = np.lexsort((edst, edst % self.P))
         edst = edst[order]
         esrc = esrc[order]
         self.ew = ew[order]
-        self.udst, self.seg_starts = np.unique(edst, return_index=True)
+        if len(edst):
+            change = np.flatnonzero(np.diff(edst)) + 1
+            seg_starts = np.concatenate([[0], change])
+        else:
+            seg_starts = np.array([], dtype=np.int64)
+        self.udst = edst[seg_starts]
+
+        # Static index arrays ride as int32 where the partition-local range
+        # allows (always, until a single partition holds >=2^31 edges or
+        # vertices): per-iteration memory-bus traffic is the single-socket
+        # scaling ceiling, and halving index bytes directly widens it.
+        def _compact(a: np.ndarray, hi: int) -> np.ndarray:
+            return a.astype(np.int32) if hi < 2**31 else a
+
+        self.seg_starts = _compact(seg_starts, len(edst) + 1)
 
         # Map each edge's src to local state or broadcast hub slot.
         self.e_is_hub = (
@@ -448,17 +468,30 @@ class GraphPartition:
         assert len(local_src) == 0 or (
             (self.src_pos < n).all() and (self.owned[self.src_pos] == local_src).all()
         ), "non-hub edge src not owned by its partition: partitioner bug"
-        self.hub_pos = np.searchsorted(self.hub_ids, esrc[self.e_is_hub])
+        self.src_pos = _compact(self.src_pos, max(n, 1))
+        self.hub_pos = _compact(
+            np.searchsorted(self.hub_ids, esrc[self.e_is_hub]),
+            max(len(self.hub_ids), 1),
+        )
+        self._has_hub_edges = bool(self.e_is_hub.any())
 
-        # Destination routing: group unique dsts by destination partition.
-        dpart = (self.udst % self.P).astype(np.int64)
-        route = np.argsort(dpart, kind="stable")
-        self.route = route
-        bounds = np.searchsorted(dpart[route], np.arange(self.P + 1))
+        # integer-valued edge weights fit float32 exactly below 2^24: the
+        # float64 contrib * float32 weight product is then bit-identical to
+        # the float64-weight product at half the bus bytes per edge
+        if len(self.ew) and np.array_equal(self.ew, np.floor(self.ew)) and (
+            np.abs(self.ew) < 2**24
+        ).all():
+            self.ew = self.ew.astype(np.float32)
+
+        # Destination routing: udst is already grouped by destination
+        # partition (primary lexsort key), so the routed order IS the
+        # message order; bounds delimit each destination's slice.
+        dpart_u = self.udst % self.P
+        bounds = np.searchsorted(dpart_u, np.arange(self.P + 1))
         self.route_bounds = bounds
         # static per-destination-partition id arrays (shipped once)
         self.out_ids = [
-            self.udst[route[bounds[q] : bounds[q + 1]]] for q in range(self.P)
+            self.udst[bounds[q] : bounds[q + 1]] for q in range(self.P)
         ]
 
         # vertex state (filled by init_state / load_checkpoint)
@@ -467,6 +500,11 @@ class GraphPartition:
         self.frozen = np.zeros(n, dtype=bool)  # for seeded label propagation
         self.edges_count = len(esrc)
         self._inbox_maps: dict[int, np.ndarray] = {}
+        # delta-exchange state for min-label algorithms: last per-unique-dst
+        # message sent; only strictly-decreased entries are re-sent
+        self._prev_msg: np.ndarray | None = None
+        self._msgs_sent = 0
+        self._msgs_dense = 0
 
     # ---- build-time topology info ----
     def topology(self):
@@ -490,6 +528,8 @@ class GraphPartition:
             pos = np.searchsorted(self.owned, ids)
             assert (pos < len(self.owned)).all(), "routing bug: unowned vertex"
             assert (self.owned[pos] == ids).all(), "routing bug: unowned vertex"
+            if len(self.owned) < 2**31:
+                pos = pos.astype(np.int32)
             self._inbox_maps[p] = pos
         return True
 
@@ -503,6 +543,9 @@ class GraphPartition:
     ):
         n = len(self.owned)
         self.frozen = np.zeros(n, dtype=bool)
+        self._prev_msg = None
+        self._msgs_sent = 0
+        self._msgs_dense = 0
         if algo == "pagerank":
             # filled later once global N is known (set_uniform_state)
             self.state = np.full(n, init_value if init_value is not None else 0.0)
@@ -513,6 +556,10 @@ class GraphPartition:
                 "fixed-point pagerank requires integer edge weights"
             )
             self.ew_int = self.ew.astype(np.int64)
+            if len(self.ew_int) == 0 or np.abs(self.ew_int).max() < 2**31:
+                # int64 share * int32 weight promotes to int64: exact, half
+                # the per-edge weight bytes on the bus
+                self.ew_int = self.ew_int.astype(np.int32)
             self.out_int = np.maximum(self.out_strength.astype(np.int64), 1)
             self.labels = np.zeros(n, dtype=np.int64)
         elif algo in ("components", "labelprop"):
@@ -594,13 +641,21 @@ class GraphPartition:
 
     # ---- iteration: scatter ----
     def _compute_messages(self, algo: str, hub_vals: np.ndarray | None = None):
+        def gather(vals: np.ndarray, dtype) -> np.ndarray:
+            """Per-edge source values: straight fancy gather when the
+            partition has no hub edges (the common case — no masked
+            scatter pass); masked fill otherwise."""
+            if not self._has_hub_edges:
+                return vals[self.src_pos]
+            edge_vals = np.empty(self.edges_count, dtype=dtype)
+            edge_vals[~self.e_is_hub] = vals[self.src_pos]
+            edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            return edge_vals
+
         if algo == "pagerank":
             outs = self.out_strength
             contrib = np.where(outs > 0, self.state / np.maximum(outs, 1e-300), 0.0)
-            edge_vals = np.empty(self.edges_count, dtype=np.float64)
-            edge_vals[~self.e_is_hub] = contrib[self.src_pos]
-            if self.e_is_hub.any():
-                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            edge_vals = gather(contrib, np.float64)
             edge_vals *= self.ew
             if len(self.seg_starts):
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
@@ -610,45 +665,82 @@ class GraphPartition:
             # exact int64 arithmetic: contrib = ((s // out) * w * 17) // 20.
             # Bounds: share*w <= s <= scale (mass conservation), *17 < 2^63.
             share = self.labels // self.out_int
-            edge_vals = np.empty(self.edges_count, dtype=np.int64)
-            edge_vals[~self.e_is_hub] = share[self.src_pos]
-            if self.e_is_hub.any():
-                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            edge_vals = gather(share, np.int64)
             edge_vals = (edge_vals * self.ew_int * 17) // 20
             if len(self.seg_starts):
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:
                 msg = np.array([], dtype=np.int64)
         else:  # min-label over int64
-            edge_vals = np.empty(self.edges_count, dtype=np.int64)
-            edge_vals[~self.e_is_hub] = self.labels[self.src_pos]
-            if self.e_is_hub.any():
-                edge_vals[self.e_is_hub] = hub_vals[self.hub_pos]
+            edge_vals = gather(self.labels, np.int64)
             if len(self.seg_starts):
                 msg = np.minimum.reduceat(edge_vals, self.seg_starts)
             else:
                 msg = np.array([], dtype=np.int64)
         return msg
 
+    def _min_delta_mask(self, msg: np.ndarray) -> np.ndarray:
+        """Delta-exchange for min-label algorithms: labels only shrink, so
+        a per-unique-dst message that did not strictly decrease since the
+        last scatter is a no-op at the receiver (min is idempotent) and is
+        NOT re-sent.  After the frontier collapses this cuts exchanged
+        entries per iteration from O(unique dsts) to O(still-changing)."""
+        if self._prev_msg is None:
+            mask = np.ones(len(msg), dtype=bool)
+        else:
+            mask = msg < self._prev_msg
+        self._prev_msg = msg
+        self._msgs_sent += int(mask.sum())
+        self._msgs_dense += len(msg)
+        return mask
+
+    def exchange_stats(self):
+        """(entries actually sent, dense entries) since init_state."""
+        return int(self._msgs_sent), int(self._msgs_dense)
+
     def scatter(self, algo: str, hub_vals: np.ndarray | None = None):
         """Compute per-unique-dst combined messages; return P slices
-        (num_returns=P set at call site)."""
+        (num_returns=P set at call site).  Min-label algorithms send
+        sparse (uint32 local index, int64 value) deltas; dense-value
+        algorithms (pagerank) send the full slice."""
         msg = self._compute_messages(algo, hub_vals)
-        r, b = self.route, self.route_bounds
-        out = tuple(msg[r[b[q] : b[q + 1]]] for q in range(self.P))
+        b = self.route_bounds
+        if algo in ("components", "labelprop", "min"):
+            mask = self._min_delta_mask(msg)
+            out = []
+            for q in range(self.P):
+                m = mask[b[q] : b[q + 1]]
+                seg = msg[b[q] : b[q + 1]]
+                out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
+            return out[0] if self.P == 1 else tuple(out)
+        # msg is born in routed order (build-time lexsort): plain slices
+        out = tuple(msg[b[q] : b[q + 1]] for q in range(self.P))
         if self.P == 1:
             return out[0]
         return out
 
     def scatter_fused(self, algo: str, hub_vals: np.ndarray | None = None):
-        """Like scatter, but returns ONE (bounds, routed_messages) object
-        instead of P slices.  Receivers slice their own segment — on a
-        single node the object lives in shared-memory plasma, so every
-        reader maps it zero-copy and the object count per iteration drops
-        from P^2 to P.  On a multi-node cluster prefer the sliced scatter
-        (each slice ships only to its destination)."""
+        """Like scatter, but returns ONE routed object instead of P slices.
+        Receivers slice their own segment — on a single node the object
+        lives in shared-memory plasma, so every reader maps it zero-copy
+        and the object count per iteration drops from P^2 to P.  On a
+        multi-node cluster prefer the sliced scatter (each slice ships only
+        to its destination).
+
+        Dense algorithms emit (bounds, routed_msg); min-label algorithms
+        emit a 3-tuple (bounds, local_idx uint32, values) carrying only the
+        strictly-decreased entries (see _min_delta_mask)."""
         msg = self._compute_messages(algo, hub_vals)
-        return self.route_bounds, msg[self.route]
+        if algo in ("components", "labelprop", "min"):
+            mask = self._min_delta_mask(msg)
+            nz = np.flatnonzero(mask)
+            b = self.route_bounds
+            new_bounds = np.searchsorted(nz, b)
+            seg_of = np.searchsorted(b, nz, side="right") - 1
+            local_idx = (nz - b[seg_of]).astype(np.uint32)
+            return new_bounds, local_idx, msg[nz]
+        # msg is born in routed order (build-time lexsort): no gather pass
+        return self.route_bounds, msg
 
     # ---- iteration: apply ----
     def apply_pagerank(self, alpha: float, one_over_n: float, dangling_mass, *rest):
@@ -725,12 +817,27 @@ class GraphPartition:
         return item
 
     def apply_min(self, *incoming):
+        """Apply sparse min-label deltas.  Each incoming item is either a
+        3-tuple (bounds, local_idx, values) from scatter_fused (slice my
+        segment first) or a 2-tuple (local_idx, values) from the sliced
+        scatter; local_idx indexes into this source's static inbox map.
+        Entries absent from a delta were unchanged at the source and need
+        no re-application (min is idempotent)."""
         new = self.labels.copy()
-        for p, vals in enumerate(incoming):
-            vals = self._my_slice(vals)
-            if vals is None or len(vals) == 0:
+        for p, item in enumerate(incoming):
+            if item is None:
                 continue
-            pos = self._inbox_maps[p]
+            if len(item) == 3:  # fused: (bounds, idx, vals)
+                bounds, idx, vals = item
+                i0, i1 = bounds[self.pid], bounds[self.pid + 1]
+                idx, vals = idx[i0:i1], vals[i0:i1]
+            else:  # sliced: (idx, vals)
+                idx, vals = item
+            if len(vals) == 0:
+                continue
+            # idx entries are unique within one source's segment (messages
+            # are pre-combined per dst), so fancy indexing is safe
+            pos = self._inbox_maps[p][idx]
             new[pos] = np.minimum(new[pos], vals)
         new[self.frozen] = self.labels[self.frozen]
         changed = int((new != self.labels).sum())
@@ -760,6 +867,7 @@ class GraphPartition:
         return path
 
     def load_checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
+        self._prev_msg = None  # resumed run re-sends dense on first scatter
         path = os.path.join(
             ckpt_dir, algo, f"iter={iteration}", f"part={self.pid}.parquet"
         )
@@ -804,6 +912,10 @@ class RunMetrics:
     edges_traversed: int = 0
     wall_sec: float = 0.0
     history: list = field(default_factory=list)
+    # min-label delta exchange: entries actually shipped vs the dense
+    # (every-unique-dst-every-iteration) count the pre-delta engine sent
+    msgs_sent: int = 0
+    msgs_dense: int = 0
 
 
 class GraphEngine:
@@ -1530,6 +1642,9 @@ class GraphEngine:
             ):
                 self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
+        stats = ray.get([a.exchange_stats.remote() for a in self.actors])
+        m.msgs_sent = int(sum(s[0] for s in stats))
+        m.msgs_dense = int(sum(s[1] for s in stats))
         self.metrics[algo] = m
         if require_convergence and not m.converged:
             # a silently-capped min-label run returns stale/UNLABELED
