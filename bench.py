@@ -97,6 +97,14 @@ def run_suite() -> dict:
     eng2.shutdown()
     queries["components"] = round(time.time() - t0, 3)
     extras["components_edges_per_sec"] = round(mc.edges_traversed / mc.wall_sec, 1)
+    # min-label delta exchange: entries actually shipped vs the dense
+    # every-unique-dst-every-iteration protocol (scale evidence: exchanged
+    # bytes/iteration shrink once the label frontier collapses)
+    extras["components_msg_entries_sent"] = mc.msgs_sent
+    extras["components_msg_entries_dense"] = mc.msgs_dense
+    extras["components_msg_reduction"] = round(
+        mc.msgs_dense / max(mc.msgs_sent, 1), 2
+    )
 
     # 5. triangle counting
     t0 = time.time()
