@@ -501,8 +501,13 @@ class GraphPartition:
         self.edges_count = len(esrc)
         self._inbox_maps: dict[int, np.ndarray] = {}
         # delta-exchange state for min-label algorithms: last per-unique-dst
-        # message sent; only strictly-decreased entries are re-sent
+        # message sent; only strictly-decreased entries are re-sent.
+        # _dirty tracks whether the last apply changed any owned label and
+        # _last_hub the last hub broadcast seen — when neither moved, the
+        # whole O(edges) message recompute is skipped (quiescent partition).
         self._prev_msg: np.ndarray | None = None
+        self._dirty = True
+        self._last_hub: np.ndarray | None = None
         self._msgs_sent = 0
         self._msgs_dense = 0
 
@@ -544,6 +549,8 @@ class GraphPartition:
         n = len(self.owned)
         self.frozen = np.zeros(n, dtype=bool)
         self._prev_msg = None
+        self._dirty = True
+        self._last_hub = None
         self._msgs_sent = 0
         self._msgs_dense = 0
         if algo == "pagerank":
@@ -694,6 +701,26 @@ class GraphPartition:
         self._msgs_dense += len(msg)
         return mask
 
+    def _min_quiescent(self, hub_vals: np.ndarray | None) -> bool:
+        """True when this partition's messages CANNOT have changed since
+        the last scatter: no owned label moved in the last apply and the
+        hub broadcast (the only external input to _compute_messages) is
+        unchanged.  The O(edges) message recompute is then skipped — the
+        converged-partition fast path of a long-diameter run."""
+        if self._prev_msg is None or self._dirty:
+            return False
+        if hub_vals is None:
+            hub_same = self._last_hub is None
+        else:
+            hub_same = self._last_hub is not None and np.array_equal(
+                hub_vals, self._last_hub
+            )
+        return hub_same
+
+    def _min_track_inputs(self, hub_vals: np.ndarray | None):
+        self._dirty = False  # set again by apply_min when labels change
+        self._last_hub = None if hub_vals is None else np.array(hub_vals, copy=True)
+
     def exchange_stats(self):
         """(entries actually sent, dense entries) since init_state."""
         return int(self._msgs_sent), int(self._msgs_dense)
@@ -703,9 +730,14 @@ class GraphPartition:
         (num_returns=P set at call site).  Min-label algorithms send
         sparse (uint32 local index, int64 value) deltas; dense-value
         algorithms (pagerank) send the full slice."""
-        msg = self._compute_messages(algo, hub_vals)
         b = self.route_bounds
         if algo in ("components", "labelprop", "min"):
+            if self._min_quiescent(hub_vals):
+                self._msgs_dense += len(self._prev_msg)
+                empty = (np.array([], np.uint32), np.array([], np.int64))
+                return empty if self.P == 1 else tuple([empty] * self.P)
+            self._min_track_inputs(hub_vals)
+            msg = self._compute_messages(algo, hub_vals)
             mask = self._min_delta_mask(msg)
             out = []
             for q in range(self.P):
@@ -713,6 +745,7 @@ class GraphPartition:
                 seg = msg[b[q] : b[q + 1]]
                 out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
             return out[0] if self.P == 1 else tuple(out)
+        msg = self._compute_messages(algo, hub_vals)
         # msg is born in routed order (build-time lexsort): plain slices
         out = tuple(msg[b[q] : b[q + 1]] for q in range(self.P))
         if self.P == 1:
@@ -730,8 +763,13 @@ class GraphPartition:
         Dense algorithms emit (bounds, routed_msg); min-label algorithms
         emit a 3-tuple (bounds, local_idx uint32, values) carrying only the
         strictly-decreased entries (see _min_delta_mask)."""
-        msg = self._compute_messages(algo, hub_vals)
         if algo in ("components", "labelprop", "min"):
+            if self._min_quiescent(hub_vals):
+                self._msgs_dense += len(self._prev_msg)
+                z = np.zeros(self.P + 1, dtype=np.int64)
+                return z, np.array([], np.uint32), np.array([], np.int64)
+            self._min_track_inputs(hub_vals)
+            msg = self._compute_messages(algo, hub_vals)
             mask = self._min_delta_mask(msg)
             nz = np.flatnonzero(mask)
             b = self.route_bounds
@@ -739,6 +777,7 @@ class GraphPartition:
             seg_of = np.searchsorted(b, nz, side="right") - 1
             local_idx = (nz - b[seg_of]).astype(np.uint32)
             return new_bounds, local_idx, msg[nz]
+        msg = self._compute_messages(algo, hub_vals)
         # msg is born in routed order (build-time lexsort): no gather pass
         return self.route_bounds, msg
 
@@ -841,6 +880,8 @@ class GraphPartition:
             new[pos] = np.minimum(new[pos], vals)
         new[self.frozen] = self.labels[self.frozen]
         changed = int((new != self.labels).sum())
+        if changed:
+            self._dirty = True  # next scatter must recompute messages
         self.labels = new
         return changed, self.hub_values("min")[1]
 
@@ -868,6 +909,8 @@ class GraphPartition:
 
     def load_checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
         self._prev_msg = None  # resumed run re-sends dense on first scatter
+        self._dirty = True
+        self._last_hub = None
         path = os.path.join(
             ckpt_dir, algo, f"iter={iteration}", f"part={self.pid}.parquet"
         )
