@@ -450,6 +450,49 @@ def q_media_meta(sf_dir: str):
     return media_meta(_docs(sf_dir))
 
 
+def _raw_events(sf_dir: str):
+    import ray.data as _rd
+
+    return _rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def q_tumbling_user_activity(sf_dir: str):
+    """Tumbling 60-minute window aggregate per user over the raw event
+    stream (map-side combine -> one low-cardinality bucket groupby)."""
+    from webgraph_ray.stages.windows import tumbling_user_activity
+
+    return tumbling_user_activity(_raw_events(sf_dir), every_minutes=60)
+
+
+def q_asof_last_purchase(sf_dir: str):
+    """As-of self-join: each event gets the most recent preceding (or
+    same-row) purchase value of the same user, as exact integer cents
+    (one user-hash bucket shuffle + vectorized per-bucket ffill)."""
+    from webgraph_ray.stages.windows import asof_last_match
+
+    return asof_last_match(_raw_events(sf_dir), match_type="purchase")
+
+
+def q_sliding_window_stats(sf_dir: str):
+    """Range join (sliding 10-minute lookback) of the event stream against
+    itself: per event, count and cents-sum of the same user's events in
+    [ts - 10min, ts] — one user-hash bucket shuffle, searchsorted kernel."""
+    from webgraph_ray.stages.windows import sliding_window_stats
+
+    return sliding_window_stats(_raw_events(sf_dir), lookback_minutes=10)
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    one row per (user, session) with count / cents / time bounds."""
+    from webgraph_ray.stages.windows import sessionize
+
+    return sessionize(_raw_events(sf_dir), gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # Graph-feature operators (reference feature-family analogs)
 # ---------------------------------------------------------------------------
@@ -725,6 +768,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "doc_source_rank": q_doc_source_rank,
         "media_meta": q_media_meta,
+        # time-window operators over the raw event stream
+        "tumbling_user_activity": q_tumbling_user_activity,
+        "asof_last_purchase": q_asof_last_purchase,
+        "sliding_window_stats": q_sliding_window_stats,
+        "sessions": q_sessions,
     }
 
 
@@ -1080,6 +1128,57 @@ def _build_training_oracles() -> dict[str, str]:
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
                     ELSE 'unknown' END AS format
         FROM documents
+        """,
+        # --- time-window operators (exact integer cents; order-insensitive
+        # sums so the hash compare is bit-stable across partitionings) ---
+        "tumbling_user_activity": """
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events GROUP BY 1, 2
+        """,
+        "asof_last_purchase": """
+        SELECT event_id,
+               coalesce(
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                              END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING),
+                   -1) AS last_match_cents
+        FROM events
+        """,
+        "sliding_window_stats": """
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_window,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS window_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                           AND CURRENT ROW)
+        """,
+        "sessions": """
+        WITH brk AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CASE WHEN ts - lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b
+            FROM events
+        ), lab AS (
+            SELECT user_id, ts, event_id, cents,
+                   sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM brk
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents,
+               min(ts) AS t_start, max(ts) AS t_end
+        FROM lab GROUP BY 1, 2
         """,
     }
 

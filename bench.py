@@ -180,6 +180,28 @@ def run_suite() -> dict:
         best = dt if best is None or dt < best else best
     extras["fingerprint_bytes_per_sec"] = round(len(corpus) / best, 1)
 
+    # 7. time-window family over the raw event stream: tumbling aggregate,
+    # as-of self-join, range join, sessionization — one stage, four ops,
+    # each ONE user-hash bucket shuffle (or map-side combine + tiny
+    # groupby), so the stage measures the shuffle+kernel cost directly.
+    from webgraph_ray.stages.windows import (
+        asof_last_match,
+        sessionize,
+        sliding_window_stats,
+        tumbling_user_activity,
+    )
+
+    events_raw = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    t0 = time.time()
+    tumbling_user_activity(events_raw, every_minutes=60).count()
+    asof_last_match(events_raw, match_type="purchase").count()
+    sliding_window_stats(events_raw, lookback_minutes=10).count()
+    sessionize(events_raw, gap_minutes=30).count()
+    queries["windows"] = round(time.time() - t0, 3)
+
     value = round(time.time() - t_suite, 3)
     out = {
         "metric": "graph_suite_e2e",
