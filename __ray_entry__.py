@@ -485,6 +485,23 @@ def q_sliding_window_stats(sf_dir: str):
     return sliding_window_stats(_raw_events(sf_dir), lookback_minutes=10)
 
 
+def q_grouped_topk(sf_dir: str):
+    """Per-user top-3 events by value (map-side partial top-k so the one
+    user-hash shuffle moves O(k·users) rows, not O(events))."""
+    from webgraph_ray.stages.windows import grouped_topk
+
+    return grouped_topk(_raw_events(sf_dir), k=3)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete per-event-type value quantiles via a distributed
+    (type, cents) histogram — shuffled bytes are O(distinct values),
+    independent of row count."""
+    from webgraph_ray.stages.windows import value_quantiles
+
+    return value_quantiles(_raw_events(sf_dir))
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization (30-minute inactivity closes a session):
     one row per (user, session) with count / cents / time bounds."""
@@ -773,6 +790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": q_asof_last_purchase,
         "sliding_window_stats": q_sliding_window_stats,
         "sessions": q_sessions,
+        "grouped_topk": q_grouped_topk,
+        "value_quantiles": q_value_quantiles,
     }
 
 
@@ -1149,6 +1168,45 @@ def _build_training_oracles() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING),
                    -1) AS last_match_cents
         FROM events
+        """,
+        "grouped_topk": """
+        WITH ranked AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                                event_id) AS rank
+            FROM events
+        )
+        SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id, cents
+        FROM ranked WHERE rank <= 3
+        """,
+        "value_quantiles": """
+        WITH src AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_type, CAST(25 AS BIGINT) AS quantile_pct,
+               CAST(quantile_disc(cents, 0.25) AS BIGINT) AS value_cents
+        FROM src GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(50 AS BIGINT),
+               CAST(quantile_disc(cents, 0.50) AS BIGINT)
+        FROM src GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(75 AS BIGINT),
+               CAST(quantile_disc(cents, 0.75) AS BIGINT)
+        FROM src GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(90 AS BIGINT),
+               CAST(quantile_disc(cents, 0.90) AS BIGINT)
+        FROM src GROUP BY event_type
+        UNION ALL
+        SELECT event_type, CAST(99 AS BIGINT),
+               CAST(quantile_disc(cents, 0.99) AS BIGINT)
+        FROM src GROUP BY event_type
         """,
         "sliding_window_stats": """
         SELECT event_id,

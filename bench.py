@@ -186,9 +186,11 @@ def run_suite() -> dict:
     # groupby), so the stage measures the shuffle+kernel cost directly.
     from webgraph_ray.stages.windows import (
         asof_last_match,
+        grouped_topk,
         sessionize,
         sliding_window_stats,
         tumbling_user_activity,
+        value_quantiles,
     )
 
     events_raw = rd.read_parquet(
@@ -200,6 +202,8 @@ def run_suite() -> dict:
     asof_last_match(events_raw, match_type="purchase").count()
     sliding_window_stats(events_raw, lookback_minutes=10).count()
     sessionize(events_raw, gap_minutes=30).count()
+    grouped_topk(events_raw, k=3).count()
+    value_quantiles(events_raw)
     queries["windows"] = round(time.time() - t0, 3)
 
     value = round(time.time() - t_suite, 3)

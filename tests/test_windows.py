@@ -9,9 +9,11 @@ import ray.data
 
 from webgraph_ray.stages.windows import (
     asof_last_match,
+    grouped_topk,
     sessionize,
     sliding_window_stats,
     tumbling_user_activity,
+    value_quantiles,
 )
 
 T0 = pd.Timestamp("2024-01-01 00:00:00")
@@ -134,6 +136,57 @@ def test_sliding_window_boundary_and_ties():
     assert list(got["window_cents"]) == [100, 700, 700, 800]
 
 
+def test_grouped_topk(tiny_events):
+    """k=2: rank by cents DESC then event_id ASC; partial top-k across
+    batches must not drop a globally-ranked row."""
+    got = (
+        grouped_topk(tiny_events, k=2)
+        .to_pandas()
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # user 1 values: 10.00(e0), 1.00(e1), 20.00(e2) -> top2 = e2, e0
+    # user 2 values: 2,3,4 -> top2 = e5(400), e4(300); user 3 -> e6
+    assert list(zip(got["user_id"], got["rank"], got["event_id"])) == [
+        (1, 1, 2), (1, 2, 0), (2, 1, 5), (2, 2, 4), (3, 1, 6),
+    ]
+
+
+def test_grouped_topk_partial_is_safe():
+    """Rows for one user split across many input blocks: map-side top-k
+    partials must still yield the exact global top-k."""
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Series([T0] * n).astype("datetime64[us]"),
+            "user_id": np.zeros(n, dtype=np.int64) + 9,
+            "event_type": ["view"] * n,
+            "value": (np.arange(n) % 97).astype(np.float64),
+        }
+    )
+    ds = ray.data.from_pandas([df.iloc[i : i + 50] for i in range(0, n, 50)])
+    got = grouped_topk(ds, k=3).to_pandas().sort_values("rank")
+    # max value 96.0 occurs at event_ids 96, 193, 290, ... -> smallest ids win
+    assert list(got["event_id"]) == [96, 193, 290]
+    assert list(got["cents"]) == [9600, 9600, 9600]
+
+
+def test_value_quantiles(tiny_events):
+    got = value_quantiles(tiny_events, quantiles=(0.5, 1.0))
+    got = got.sort_values(["event_type", "quantile_pct"]).reset_index(drop=True)
+    # purchase cents: [555, 1000, 2000] -> median 1000, max 2000
+    # view cents: [100, 200, 300, 400] -> disc median = 2nd = 200, max 400
+    exp = pd.DataFrame(
+        {
+            "event_type": ["purchase", "purchase", "view", "view"],
+            "quantile_pct": [50, 100, 50, 100],
+            "value_cents": [1000, 2000, 200, 400],
+        }
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_windows_match_duckdb(sf_dir):
     """Full-table parity at sf0.001 against the registered oracles (the
     exact comparison the driver gate runs)."""
@@ -149,8 +202,12 @@ def test_windows_match_duckdb(sf_dir):
         "asof_last_purchase",
         "sliding_window_stats",
         "sessions",
+        "grouped_topk",
+        "value_quantiles",
     ):
-        rdf = entrymod.queries()[name](sf_dir).to_pandas()
+        rdf = entrymod.queries()[name](sf_dir)
+        if hasattr(rdf, "to_pandas"):
+            rdf = rdf.to_pandas()
         odf = con.execute(entrymod.oracle_sql()[name]).fetchdf()
         cols = sorted(rdf.columns)
         a = rdf[cols].sort_values(cols).reset_index(drop=True)

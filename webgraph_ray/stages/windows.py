@@ -220,6 +220,109 @@ def sliding_window_stats(
     )
 
 
+def grouped_topk(
+    events: ray.data.Dataset,
+    k: int = 3,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-user top-k events by value (cents), rank 1 = highest; ties
+    broken by smaller event_id (deterministic, mirrors SQL
+    ``row_number() OVER (... ORDER BY cents DESC, event_id)``).
+
+    Scale shape: each input batch keeps at most k rows per user seen in
+    that batch (map-side partial top-k — the pre-aggregate-before-shuffle
+    rule), so the ONE user-hash bucket shuffle moves O(k · users) rows,
+    not O(events).  Per-bucket combine is a C-path sort + groupby.head(k)
+    + rank assignment; no per-row Python anywhere.
+    """
+    nb = num_buckets or default_num_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "cents": _cents(df["value"]),
+            }
+        )
+        out = out.sort_values(
+            ["user_id", "cents", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = out.groupby("user_id", sort=False).head(k)
+        out["__b"] = (out["user_id"].to_numpy(np.int64) % nb).astype(np.int32)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "cents", "event_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("user_id", sort=False).head(k)
+        g = g.assign(rank=g.groupby("user_id", sort=False).cumcount() + 1)
+        return g[["user_id", "rank", "event_id", "cents"]].astype(
+            {"rank": np.int64}
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def value_quantiles(
+    events: ray.data.Dataset,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> pd.DataFrame:
+    """EXACT discrete quantiles of the value column (cents) per event_type,
+    via a distributed value histogram: per-batch (event_type, cents) ->
+    count partials, ONE tiny groupby over the distinct-value domain, then
+    a driver-side cumulative walk over the (small) histogram.
+
+    Matches SQL ``quantile_disc``: the q-quantile is the value at
+    1-based position ceil(q*n) in sorted order.
+
+    Scale contract: the shuffled/collected table is O(types × distinct
+    cent values), independent of row count — exact quantiles at 100 TB
+    are only feasible when the value domain is bounded (money in cents
+    is); for unbounded domains use a sketch and drop the exact oracle.
+    Returns a small pandas DataFrame (type, quantile_pct, value_cents).
+    """
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "cents": _cents(df["value"]),
+            }
+        )
+        g = out.groupby(["event_type", "cents"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    h = (
+        events.map_batches(hist, batch_format="pandas")
+        .groupby(["event_type", "cents"])
+        .sum("n")
+        .to_pandas()
+    )
+    n_col = "sum(n)" if "sum(n)" in h.columns else "n"
+    h = h.sort_values(["event_type", "cents"], kind="mergesort")
+    rows = []
+    for etype, grp in h.groupby("event_type", sort=True):
+        counts = grp["n" if n_col == "n" else n_col].to_numpy(np.int64)
+        vals = grp["cents"].to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        for q in quantiles:
+            pos = int(np.ceil(q * total))  # 1-based quantile_disc position
+            idx = int(np.searchsorted(cum, max(pos, 1), side="left"))
+            rows.append((etype, int(round(q * 100)), int(vals[idx])))
+    return pd.DataFrame(rows, columns=["event_type", "quantile_pct", "value_cents"])
+
+
 def sessionize(
     events: ray.data.Dataset,
     gap_minutes: int = 30,
