@@ -1113,7 +1113,8 @@ def _build_training_oracles() -> dict[str, str]:
         )
         SELECT query_id,
                CAST(row_number() OVER (PARTITION BY query_id
-                    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+                    ORDER BY round(sim, 9) DESC, neighbor_id) AS BIGINT)
+                   AS rank,
                neighbor_id
         FROM s
         QUALIFY rank <= 10

@@ -84,7 +84,11 @@ def ann_topk(
             )
         m = _normalize(_matrix(t))
         vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ qm.T  # (batch, nq)
+        # rank on sims rounded to 9 decimals: DuckDB's list_cosine_similarity
+        # and this numpy dot associate floats in different orders (~1e-16
+        # divergence), so ranking on raw doubles is fragile for near-tied
+        # neighbors; both sides round before ordering (ties -> neighbor_id)
+        sims = np.round(m @ qm.T, 9)  # (batch, nq)
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(len(qids)):
             s = sims[:, qi]
@@ -398,7 +402,8 @@ def _score_candidates(
                 continue
             # a vector may match the query in several tables: dedup
             v, first_pos = np.unique(vids[mask], return_index=True)
-            s = (m[mask] @ qm[qi])[first_pos]
+            # rounded to 9 decimals before ranking (see ann_topk partial)
+            s = np.round((m[mask] @ qm[qi])[first_pos], 9)
             top = min(k, len(v))
             idx_ = np.lexsort((v, -s))[:top]
             rows_q.append(np.full(top, qids[qi], dtype=np.int64))
@@ -488,7 +493,7 @@ WITH lsh_b AS MATERIALIZED (
 )
 SELECT query_id,
        CAST(row_number() OVER (PARTITION BY query_id
-            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+            ORDER BY round(sim, 9) DESC, neighbor_id) AS BIGINT) AS rank,
        neighbor_id
 FROM lsh_s
 QUALIFY rank <= {k}"""
