@@ -485,6 +485,23 @@ def q_sliding_window_stats(sf_dir: str):
     return sliding_window_stats(_raw_events(sf_dir), lookback_minutes=10)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed exact fixed-point k-means (8 clusters, 3 Lloyd rounds):
+    per-iteration cost is one streaming pass + a k*d-row groupby; mirrored
+    bit-exactly by unrolled DuckDB CTEs."""
+    from webgraph_ray.stages.cluster import kmeans_clusters
+
+    return kmeans_clusters(_embs(sf_dir), k=8, iters=3)
+
+
+def q_ivf_ann_topk(sf_dir: str):
+    """IVF ANN: k-means coarse quantizer, index hive-partitioned by
+    cluster, probe reads ONLY the nprobe nearest cluster directories."""
+    from webgraph_ray.stages.cluster import ivf_ann_topk
+
+    return ivf_ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)
+
+
 def q_grouped_topk(sf_dir: str):
     """Per-user top-3 events by value (map-side partial top-k so the one
     user-hash shuffle moves O(k·users) rows, not O(events))."""
@@ -792,6 +809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "grouped_topk": q_grouped_topk,
         "value_quantiles": q_value_quantiles,
+        "kmeans_clusters": q_kmeans_clusters,
+        "ivf_ann_topk": q_ivf_ann_topk,
     }
 
 
@@ -1037,6 +1056,7 @@ def _lsh_ann_sql_oracle() -> str:
 
 def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
+    from webgraph_ray.stages import cluster as _cl
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
 
     en = _sql_list(STOPWORDS["en"])
@@ -1093,6 +1113,8 @@ def _build_training_oracles() -> dict[str, str]:
         "minhash_dup_pairs": _th.minhash_pairs_sql(MINHASH_THRESHOLD),
         "jaccard_dup_pairs": _th.jaccard_pairs_sql(MINHASH_THRESHOLD),
         "lsh_ann_topk": _lsh_ann_sql_oracle(),
+        "kmeans_clusters": _cl.kmeans_sql(k=8, iters=3),
+        "ivf_ann_topk": _cl.ivf_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

@@ -1,0 +1,485 @@
+"""Distributed k-means (Lloyd's) in exact fixed-point arithmetic, and an
+IVF (inverted-file) ANN index built on top of it — the coarse-quantizer
+scale path complementing the hyperplane-LSH index in ``stages/embed.py``.
+
+Reference analog: the content-store keyed lookup
+(/root/reference/code/features/structure.py:37-46) is the reference's only
+"index"; k-means/IVF is part of the beyond-reference training-data surface
+(cluster-then-search is the standard sub-linear ANN at 10^9+ vectors).
+
+Scale shape (the part that must survive 100 TB):
+
+- Each Lloyd iteration is ONE streaming pass: ``map_batches`` computes
+  per-batch per-cluster per-dimension partial sums (k*d long rows per
+  batch, independent of batch row count), a tiny ``groupby(cid, dim)``
+  reduces them, and the k*d centroid table updates on the driver.
+  Centroids broadcast via ``ray.put`` once per iteration — never
+  re-shipped per batch.
+- The IVF index is hive-partitioned parquet (one directory per cluster);
+  a probe computes its ``nprobe`` nearest centroids driver-side (k tiny)
+  and READS ONLY those directories — block pruning, same contract as the
+  LSH index; ``stats_out`` reports true bytes-read fraction.
+
+Exactness contract (what makes the DuckDB oracle bit-stable):
+
+- Coordinates are fixed-point: ``floor(float64(x) * 2^20)`` as int64.
+  floor (not round) because float32 values scaled by a power of two are
+  exactly representable in float64 and land on exact .5 fractions often
+  enough that numpy's half-even vs DuckDB's half-away rounding would
+  diverge; floor is unambiguous in both engines.
+- Squared L2 distances and per-cluster sums are exact int64 (unit-norm
+  64-dim inputs: |coord| < 2^20, d2 < 2^46 — no overflow).
+- Centroid update is truncating integer division (DuckDB ``//``
+  semantics, which truncate toward zero unlike numpy's floor division);
+  empty clusters keep their previous centroid.
+- Assignment ties (equal d2) break to the smaller cluster id; the final
+  labeling is one more assignment pass against the post-update centroids.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+SCALE_BITS = 20
+SCALE = 1 << SCALE_BITS
+EMB_DIM = 64
+
+
+def _scaled_matrix(t: pa.Table) -> np.ndarray:
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    return np.floor(m * SCALE).astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Elementwise integer division truncating toward zero (DuckDB //)."""
+    q = np.abs(s) // n
+    return np.where(s < 0, -q, q)
+
+
+def _assign_ids(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||^2 with ties to the smaller cid — exact int64."""
+    # d2[n,k] = |x|^2 - 2 x.c + |c|^2 ; all int64 exact at these magnitudes
+    d2 = (
+        (X * X).sum(axis=1, dtype=np.int64)[:, None]
+        - 2 * (X @ C.T)
+        + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+    )
+    return np.argmin(d2, axis=1).astype(np.int64)  # first min = smallest cid
+
+
+def _init_centroids(embeddings: ray.data.Dataset, k: int) -> np.ndarray:
+    """Scaled vectors of the k smallest vec_ids (deterministic; per-batch
+    partial min-k so no global sort)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.argsort(ids, kind="stable")[:k]
+        return t.select(["vec_id", "embedding"]).take(pa.array(keep))
+
+    parts = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("vec_id", kind="mergesort").head(k)
+    return np.floor(
+        np.stack(parts["embedding"].to_numpy()).astype(np.float64) * SCALE
+    ).astype(np.int64)
+
+
+def kmeans_fit(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Run ``iters`` exact Lloyd rounds; return (final centroids int64
+    (k, d), final-assignment Dataset (vec_id, cluster))."""
+    C = _init_centroids(embeddings, k)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            Ct = ray.get(ref)
+            kk, dd = Ct.shape
+            if len(t) == 0:
+                empty = pa.array([], pa.int64())
+                return pa.table({"cid": empty, "dim": empty, "s": empty, "n": empty})
+            X = _scaled_matrix(t)
+            a = _assign_ids(X, Ct)
+            S = np.zeros((kk, dd), dtype=np.int64)
+            np.add.at(S, a, X)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            cid = np.repeat(np.arange(kk, dtype=np.int64), dd)
+            dims = np.tile(np.arange(1, dd + 1, dtype=np.int64), kk)
+            return pa.table(
+                {
+                    "cid": pa.array(cid),
+                    "dim": pa.array(dims),
+                    "s": pa.array(S.reshape(-1)),
+                    "n": pa.array(np.repeat(counts, dd)),
+                }
+            )
+
+        agg = (
+            embeddings.map_batches(
+                partial_sums, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["cid", "dim"])
+            .sum(["s", "n"])
+            .to_pandas()
+        )
+        s_col = "sum(s)" if "sum(s)" in agg.columns else "s"
+        n_col = "sum(n)" if "sum(n)" in agg.columns else "n"
+        agg = agg.sort_values(["cid", "dim"], kind="mergesort")
+        newC = C.copy()
+        for cid, grp in agg.groupby("cid", sort=True):
+            n = int(grp[n_col].iloc[0])
+            if n > 0:
+                newC[int(cid)] = _trunc_div(
+                    grp[s_col].to_numpy(np.int64), np.int64(n)
+                )
+        C = newC
+
+    def final_assign(t: pa.Table) -> pa.Table:
+        Ct = ray.get(final_ref)
+        if len(t) == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"vec_id": empty, "cluster": empty})
+        X = _scaled_matrix(t)
+        a = _assign_ids(X, Ct)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(a),
+            }
+        )
+
+    final_ref = ray.put(C)
+    assign = embeddings.map_batches(
+        final_assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return C, assign
+
+
+def kmeans_clusters(
+    embeddings: ray.data.Dataset, k: int = 8, iters: int = 3
+) -> ray.data.Dataset:
+    """(vec_id, cluster) after ``iters`` exact fixed-point Lloyd rounds."""
+    return kmeans_fit(embeddings, k=k, iters=iters)[1]
+
+
+# ---------------------------------------------------------------------------
+# IVF index: cluster-partitioned parquet, probe reads only matching dirs
+# ---------------------------------------------------------------------------
+
+
+def ivf_ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+    index_dir: str | None = None,
+    stats_out: dict | None = None,
+) -> pd.DataFrame:
+    """(query_id, rank, neighbor_id): cosine top-k among vectors whose
+    k-means cluster is one of the query's ``nprobe`` nearest clusters
+    (ties by cid).  Rank on similarities rounded to 9 decimals, then
+    neighbor_id — identical to ann_topk's contract.
+
+    The index is written hive-partitioned by cluster and the probe READS
+    ONLY the probed cluster directories (block pruning, not a row filter);
+    ``stats_out`` reports files/bytes read vs total."""
+    C, _assign = kmeans_fit(embeddings, k=nlist, iters=iters)
+
+    own_tmp = None
+    if index_dir is None:
+        own_tmp = tempfile.mkdtemp(prefix="ivf_index_")
+        index_dir = own_tmp
+    try:
+        # vectors + cluster label, partitioned by cluster.  Labels are
+        # recomputed per batch against the broadcast final centroids (no
+        # driver-side materialization of the assignment table); `cl` is a
+        # data-column copy of the partition key because hive partitioning
+        # moves `cluster` into the directory name.
+        c_ref = ray.put(C)
+
+        def attach(t: pa.Table) -> pa.Table:
+            Ct = ray.get(c_ref)
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "embedding": pa.array([], pa.list_(pa.float32())),
+                        "cl": pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                    }
+                )
+            a = _assign_ids(_scaled_matrix(t), Ct)
+            return pa.table(
+                {
+                    "vec_id": t["vec_id"],
+                    "embedding": t["embedding"],
+                    "cl": pa.array(a),
+                    "cluster": pa.array(a),
+                }
+            )
+
+        embeddings.map_batches(attach, batch_format="pyarrow").write_parquet(
+            index_dir, partition_cols=["cluster"]
+        )
+
+        # driver-side probe selection: nprobe nearest centroids per query
+        qtab = embeddings.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(
+                    t["vec_id"], value_set=pa.array(list(query_ids), pa.int64())
+                )
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        qtab = qtab.sort_values("vec_id", kind="mergesort")
+        q_ids = qtab["vec_id"].to_numpy(np.int64)
+        Qs = np.floor(
+            np.stack(qtab["embedding"].to_numpy()).astype(np.float64) * SCALE
+        ).astype(np.int64)
+        d2 = (
+            (Qs * Qs).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (Qs @ C.T)
+            + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        probe = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # ties -> cid
+
+        probed_clusters = sorted({int(c) for row in probe for c in row})
+        dirs = {
+            c: os.path.join(index_dir, f"cluster={c}") for c in probed_clusters
+        }
+        read_dirs = [d for d in dirs.values() if os.path.isdir(d)]
+
+        def _files(root):
+            out = []
+            for dp, _, fns in os.walk(root):
+                out += [os.path.join(dp, f) for f in fns if f.endswith(".parquet")]
+            return out
+
+        read_files = [f for d in read_dirs for f in _files(d)]
+        if not read_files:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                }
+            )
+        cand = ray.data.read_parquet(
+            read_files, columns=["vec_id", "embedding", "cl"]
+        )
+
+        if stats_out is not None:
+            all_files = _files(index_dir)
+            stats_out["files_read"] = len(read_files)
+            stats_out["files_total"] = len(all_files)
+            stats_out["bytes_read"] = sum(os.path.getsize(f) for f in read_files)
+            stats_out["bytes_total"] = sum(os.path.getsize(f) for f in all_files)
+            stats_out["scan_fraction"] = stats_out["bytes_read"] / max(
+                stats_out["bytes_total"], 1
+            )
+            stats_out["scanned_rows"] = sum(
+                pq.read_metadata(f).num_rows for f in read_files
+            )
+
+        # per-query allowed clusters; normalized float64 queries for cosine
+        def _norm(m):
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return m / n
+
+        Qf = _norm(np.stack(qtab["embedding"].to_numpy()).astype(np.float64))
+        q_allow = {int(q_ids[i]): set(int(c) for c in probe[i]) for i in range(len(q_ids))}
+        b_ref = ray.put((q_ids, Qf, q_allow))
+
+        def score(t: pa.Table) -> pa.Table:
+            qids, qm, allow = ray.get(b_ref)
+            empty = pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+            if len(t) == 0:
+                return empty
+            m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            m = _norm(m)
+            vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cl = t["cl"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rows_q, rows_v, rows_s = [], [], []
+            for qi in range(len(qids)):
+                mask = (
+                    np.isin(cl, np.fromiter(allow[int(qids[qi])], dtype=np.int64))
+                    & (vids != qids[qi])
+                )
+                if not mask.any():
+                    continue
+                v = vids[mask]
+                s = np.round(m[mask] @ qm[qi], 9)
+                top = min(k, len(v))
+                idx = np.lexsort((v, -s))[:top]
+                rows_q.append(np.full(top, qids[qi], dtype=np.int64))
+                rows_v.append(v[idx])
+                rows_s.append(s[idx])
+            if not rows_q:
+                return empty
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(rows_q)),
+                    "neighbor_id": pa.array(np.concatenate(rows_v)),
+                    "sim": pa.array(np.concatenate(rows_s)),
+                }
+            )
+
+        parts = cand.map_batches(
+            score, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        out_rows = []
+        for qid in q_ids:
+            g = parts[parts["query_id"] == qid]
+            g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(g), qid, dtype=np.int64),
+                        "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                        "neighbor_id": g["neighbor_id"].to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out_rows, ignore_index=True)
+    finally:
+        if own_tmp is not None:
+            import shutil
+
+            shutil.rmtree(own_tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — machine-generated unrolled Lloyd iterations
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_ctes(k: int, iters: int, dim: int) -> tuple[str, str]:
+    """Shared CTE chain: returns (cte_sql, final_assign_name).  Mirrors
+    kmeans_fit exactly: floor fixed-point scaling, int64 d2, ties to
+    smaller cid, truncating-division centroid update, empty clusters keep
+    previous centroids, final labels = one assignment pass after the last
+    update."""
+    ctes = [
+        f"""scaled AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {SCALE}.0) AS BIGINT)) AS e
+    FROM embeddings
+)""",
+        f"""cen0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+           e AS c
+    FROM (SELECT vec_id, e FROM scaled ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    for t in range(iters + 1):
+        ctes.append(
+            f"""d{t} AS (
+    SELECT s.vec_id, c.cid,
+           list_sum(list_transform(list_zip(s.e, c.c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+    FROM scaled s CROSS JOIN cen{t} c
+)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{t}) WHERE rn = 1
+)"""
+        )
+        if t == iters:
+            break
+        ctes.append(
+            f"""s{t} AS (
+    SELECT a.cid, r.i AS dim,
+           sum(s.e[CAST(r.i AS INT)]) AS sm, count(*) AS n
+    FROM a{t} a JOIN scaled s USING (vec_id)
+         CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY a.cid, r.i
+)"""
+        )
+        ctes.append(
+            f"""cen{t + 1} AS (
+    SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+    FROM cen{t} c0 LEFT JOIN (
+        SELECT cid, list(sm // n ORDER BY dim) AS c FROM s{t} GROUP BY cid
+    ) u USING (cid)
+)"""
+        )
+    return "WITH " + ",\n".join(ctes), f"a{iters}"
+
+
+def kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMB_DIM) -> str:
+    cte, final = _kmeans_ctes(k, iters, dim)
+    return f"""{cte}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final}"""
+
+
+def ivf_ann_sql(
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+    dim: int = EMB_DIM,
+) -> str:
+    cte, final = _kmeans_ctes(nlist, iters, dim)
+    ids = "(" + ", ".join(str(int(i)) for i in query_ids) + ")"
+    return f"""{cte},
+qd AS (
+    SELECT s.vec_id AS query_id, c.cid,
+           list_sum(list_transform(list_zip(s.e, c.c),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+    FROM scaled s CROSS JOIN cen{iters} c
+    WHERE s.vec_id IN {ids}
+),
+qprobe AS (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+        FROM qd) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM qprobe p JOIN {final} a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+),
+sims AS (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_cosine_similarity(qa.embedding, nb.embedding), 9) AS sim
+    FROM cand c
+    JOIN embeddings qa ON qa.vec_id = c.query_id
+    JOIN embeddings nb ON nb.vec_id = c.neighbor_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+       neighbor_id
+FROM sims
+QUALIFY rank <= {k}"""
