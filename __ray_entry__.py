@@ -502,6 +502,23 @@ def q_ivf_ann_topk(sf_dir: str):
     return ivf_ann_topk(_embs(sf_dir), ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)
 
 
+def q_kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch of the corpus token universe: per-batch
+    k-smallest partial sketches (<= k rows each), exact integer-floor
+    estimator so the estimate itself is bit-stable vs SQL."""
+    from webgraph_ray.stages.sketch import kmv_distinct
+
+    return kmv_distinct(_docs(sf_dir), k=256)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-event_type uniform sample (n smallest affine id
+    hashes): map-side partial top-n, reproducible membership."""
+    from webgraph_ray.stages.sketch import stratified_sample
+
+    return stratified_sample(_raw_events(sf_dir), n=5)
+
+
 def q_grouped_topk(sf_dir: str):
     """Per-user top-3 events by value (map-side partial top-k so the one
     user-hash shuffle moves O(k·users) rows, not O(events))."""
@@ -811,6 +828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "kmeans_clusters": q_kmeans_clusters,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "kmv_distinct": q_kmv_distinct,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1057,6 +1076,7 @@ def _lsh_ann_sql_oracle() -> str:
 def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
     from webgraph_ray.stages import cluster as _cl
+    from webgraph_ray.stages import sketch as _sk
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
 
     en = _sql_list(STOPWORDS["en"])
@@ -1115,6 +1135,8 @@ def _build_training_oracles() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_sql_oracle(),
         "kmeans_clusters": _cl.kmeans_sql(k=8, iters=3),
         "ivf_ann_topk": _cl.ivf_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2),
+        "kmv_distinct": _sk.kmv_distinct_sql(k=256),
+        "stratified_sample": _sk.stratified_sample_sql(n=5),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

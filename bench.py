@@ -158,7 +158,31 @@ def run_suite() -> dict:
     extras["lsh_ann_recall_at_10"] = round(hits / 50.0, 3)
     extras["lsh_ann_scan_fraction"] = round(stats.get("scan_fraction", 1.0), 4)
 
-    # 6b. fingerprint micro-bench: winnowed char-gram fingerprints are the
+    # 6b. clustering + IVF ANN (coarse-quantizer scale path): 3 exact Lloyd
+    # rounds (one streaming pass + k*d-row groupby each), then an IVF index
+    # hive-partitioned by cluster whose probe reads ONLY nprobe cluster
+    # directories — report recall vs exact and the true bytes-read fraction.
+    from webgraph_ray.stages.cluster import ivf_ann_topk, kmeans_clusters
+
+    t0 = time.time()
+    kmeans_clusters(embs, k=8, iters=3).count()
+    ivf_stats: dict = {}
+    ivf = ivf_ann_topk(
+        embs, [0, 1, 2, 3, 4], k=10, nlist=32, nprobe=4, stats_out=ivf_stats
+    )
+    queries["clustering"] = round(time.time() - t0, 3)
+    hits = 0
+    for q in (0, 1, 2, 3, 4):
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        ap = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        hits += len(ex & ap)
+    extras["ivf_ann_recall_at_10"] = round(hits / 50.0, 3)
+    # union bytes over the 5-query batch (the actual probe I/O); a single
+    # query touches nprobe/nlist of the index (0.125 here)
+    extras["ivf_ann_scan_fraction"] = round(ivf_stats.get("scan_fraction", 1.0), 4)
+    extras["ivf_ann_per_query_scan_fraction"] = round(4 / 32, 4)
+
+    # 6c. fingerprint micro-bench: winnowed char-gram fingerprints are the
     # text-scan bound; report bytes/s (round 1's per-byte python rolling
     # hash ran at ~1.5 MB/s/core — the vectorized rewrite must be >>)
     from webgraph_ray.stages.text import fingerprints

@@ -1,0 +1,102 @@
+"""KMV distinct sketch + deterministic stratified sampling."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from webgraph_ray.functions.texthash import M
+from webgraph_ray.stages.sketch import (
+    SAMPLE_A,
+    SAMPLE_B,
+    kmv_distinct,
+    kmv_distinct_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
+
+
+def _docs_ds(n_docs=400, vocab=5000, seed=7, blocks=8):
+    rng = np.random.default_rng(seed)
+    texts = [
+        " ".join(f"tok{v}" for v in rng.integers(0, vocab, size=40))
+        for _ in range(n_docs)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64), "text": texts})
+    return ray.data.from_pandas(df).repartition(blocks), df
+
+
+def test_kmv_estimator_accuracy_and_oracle():
+    ds, df = _docs_ds()
+    out = kmv_distinct(ds, k=128)
+    exact = len({t for s in df["text"] for t in s.split()})
+    assert exact > 128  # the real estimator path, not the exact-set fallback
+    est = int(out["est_distinct"].iloc[0])
+    # KMV relative error ~ 1/sqrt(k) ~ 9%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.27, (est, exact)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(kmv_distinct_sql(k=128)).df()
+    assert int(exp["est_distinct"].iloc[0]) == est
+    assert int(exp["kth_hash"].iloc[0]) == int(out["kth_hash"].iloc[0])
+
+
+def test_kmv_merge_invariant_under_blocking():
+    ds1, df = _docs_ds(blocks=2)
+    ds2 = ray.data.from_pandas(df).repartition(16)
+    a = kmv_distinct(ds1, k=64)
+    b = kmv_distinct(ds2, k=64)
+    assert a.equals(b)
+
+
+def test_kmv_below_k_is_exact():
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "b c d"]})
+    out = kmv_distinct(ray.data.from_pandas(df), k=256)
+    assert int(out["est_distinct"].iloc[0]) == 4
+
+
+def test_stratified_sample_matches_bruteforce_and_oracle():
+    rng = np.random.default_rng(3)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": rng.permutation(n).astype(np.int64),
+            "event_type": rng.choice(["a", "b", "c"], size=n),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "value": np.zeros(n),
+        }
+    )
+    got = stratified_sample(ray.data.from_pandas(df).repartition(7), n=4)
+
+    # brute force
+    bf = df[["event_type", "event_id"]].copy()
+    bf["h"] = (SAMPLE_A * bf["event_id"].to_numpy(np.int64) + SAMPLE_B) % M
+    bf = bf.sort_values(["h", "event_id"]).groupby("event_type").head(4)
+    bf = bf.sort_values(["event_type", "h", "event_id"])
+    bf["sample_rank"] = bf.groupby("event_type").cumcount() + 1
+    exp = bf[["event_type", "sample_rank", "event_id"]].reset_index(drop=True)
+    assert got.reset_index(drop=True).equals(exp)
+
+    con = duckdb.connect()
+    con.register("events", df)
+    sql = con.execute(stratified_sample_sql(n=4)).df()
+    sql = sql.sort_values(["event_type", "sample_rank"]).reset_index(drop=True)
+    assert (sql["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+
+
+def test_stratified_sample_membership_independent_of_blocking():
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "event_type": rng.choice(["x", "y"], size=n),
+        }
+    )
+    a = stratified_sample(ray.data.from_pandas(df).repartition(3), n=6)
+    b = stratified_sample(ray.data.from_pandas(df).repartition(13), n=6)
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
