@@ -213,3 +213,63 @@ def test_windows_match_duckdb(sf_dir):
         a = rdf[cols].sort_values(cols).reset_index(drop=True)
         b = odf[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_shared_bucket_layout_equivalence():
+    """Every user-keyed window op over bucket_events(ev) must equal the
+    same op over the raw stream (the shuffle-free fast path)."""
+    from webgraph_ray.stages.windows import bucket_events
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+            "user_id": rng.integers(0, 50, n).astype(np.int64),
+            "event_type": rng.choice(["view", "purchase", "click"], n),
+            "value": rng.integers(0, 5000, n) / 100.0,
+        }
+    )
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    ev = ray.data.from_pandas(df).repartition(6)
+    b = bucket_events(ev, num_buckets=7)
+
+    def norm(ds, keys):
+        out = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+        return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+    for op, keys in [
+        (lambda e: tumbling_user_activity(e, every_minutes=60), ["user_id", "window_id"]),
+        (lambda e: asof_last_match(e, match_type="purchase"), ["event_id"]),
+        (lambda e: sliding_window_stats(e, lookback_minutes=10), ["event_id"]),
+        (lambda e: sessionize(e, gap_minutes=30), ["user_id", "session_id"]),
+        (lambda e: grouped_topk(e, k=3), ["user_id", "rank"]),
+    ]:
+        raw = norm(op(ev), keys)
+        fast = norm(op(b), keys)
+        pd.testing.assert_frame_equal(raw, fast)
+
+
+def test_bucket_events_validation_contract():
+    from webgraph_ray.stages.windows import bucket_events
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "ts": pd.Series([pd.Timestamp("2024-01-01")] * 10).astype(
+                "datetime64[us]"
+            ),
+            "user_id": np.arange(10, dtype=np.int64) % 3,
+            "event_type": ["view"] * 10,
+            "value": np.ones(10),
+        }
+    )
+    b = bucket_events(ray.data.from_pandas(df).repartition(4), num_buckets=3)
+    got = b.to_pandas()
+    assert set(got.columns) >= {"event_id", "user_id", "ts_us", "event_type", "cents", "__b"}
+    # each bucket's users are disjoint and complete
+    for bb, grp in got.groupby("__b"):
+        assert (grp["user_id"].to_numpy() % 3 == bb).all()
+    assert len(got) == 10

@@ -18,6 +18,13 @@ pipeline:
   cardinality is fixed at ~4x cluster CPUs, so group overhead is
   independent of user count).
 
+``bucket_events`` materializes the user-hash layout ONCE (one block per
+bucket, contract validated); every op in the family detects the shared
+layout via its ``__b`` column and runs shuffle-free as a per-block
+``map_batches`` — N window ops over the same stream pay ONE all-to-all
+exchange instead of N.  This is the reuse-one-partitioning-key rule made
+concrete.
+
 Money columns ride as exact integer cents (``round(value*100)``) so sums
 are associative and every query is bit-reproducible against its DuckDB
 oracle (float sums would differ in the last ulp across partitionings).
@@ -47,6 +54,73 @@ def _epoch_us(ts: pd.Series) -> np.ndarray:
     return ts.to_numpy("datetime64[us]").view(np.int64)
 
 
+def bucket_events(
+    events: ray.data.Dataset,
+    num_buckets: int | None = None,
+    validate: bool = True,
+) -> ray.data.Dataset:
+    """Materialize the event stream user-hash-bucketed ONCE so every
+    user-keyed window operator (as-of join, range join, sessionization,
+    grouped top-k, tumbling aggregate) can then run as a shuffle-free
+    per-block ``map_batches`` over the shared layout — N ops pay ONE
+    all-to-all exchange instead of N.
+
+    Layout contract (what the shuffle-free fast paths rely on): a ``__b``
+    bucket — hence every row of a user — is never split across blocks
+    (several small buckets sharing one block is fine).  ``validate=True``
+    checks it with a cheap map-only pass over the materialized blocks
+    (one row per distinct bucket per block) and fails loudly if the
+    runtime ever splits a bucket — the same "bucket fits a task" memory
+    assumption the kernels already make."""
+    nb = num_buckets or default_num_buckets()
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "ts_us": _epoch_us(df["ts"]),
+                "event_type": df["event_type"].astype(str),
+                "cents": _cents(df["value"]),
+            }
+        )
+        out["__b"] = (out["user_id"].to_numpy(np.int64) % nb).astype(np.int32)
+        return out
+
+    def ident(g: pd.DataFrame) -> pd.DataFrame:
+        return g
+
+    bucketed = (
+        events.map_batches(prep, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(ident, batch_format="pandas")
+        .materialize()
+    )
+    if validate:
+        # several buckets sharing a block is harmless (kernels handle any
+        # number of complete users per batch); ONE bucket split across two
+        # blocks is the contract violation — flag exactly that
+        def block_buckets(df: pd.DataFrame) -> pd.DataFrame:
+            vc = df["__b"].value_counts()
+            return pd.DataFrame({"b": vc.index.to_numpy(np.int32)})
+
+        spans = bucketed.map_batches(
+            block_buckets, batch_format="pandas", batch_size=None
+        ).to_pandas()
+        if spans["b"].duplicated().any():
+            raise RuntimeError(
+                "bucket_events: a user bucket was split across blocks; "
+                "raise DataContext.target_max_block_size or num_buckets "
+                "so each bucket fits one block"
+            )
+    return bucketed
+
+
+def _is_bucketed(events: ray.data.Dataset) -> bool:
+    schema = events.schema(fetch_if_missing=False)
+    return schema is not None and "__b" in schema.names
+
+
 def tumbling_user_activity(
     events: ray.data.Dataset,
     every_minutes: int = 60,
@@ -57,6 +131,26 @@ def tumbling_user_activity(
     combine first, then one small bucket groupby."""
     nb = num_buckets or default_num_buckets()
     win_us = every_minutes * US_PER_MIN
+
+    if _is_bucketed(events):
+        # shared layout: every (user, window) group is block-local, so the
+        # aggregate is exact per block with NO further shuffle
+        def per_block(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "window_id": df["ts_us"].to_numpy(np.int64) // win_us,
+                    "n_events": np.ones(len(df), dtype=np.int64),
+                    "value_cents": df["cents"].to_numpy(np.int64),
+                }
+            )
+            return out.groupby(
+                ["user_id", "window_id"], sort=False, as_index=False
+            ).sum()
+
+        return events.map_batches(
+            per_block, batch_format="pandas", batch_size=None
+        )
 
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -109,6 +203,8 @@ def asof_last_match(
         return out
 
     def ffill(g: pd.DataFrame) -> pd.DataFrame:
+        if "is_match" not in g.columns:  # shared bucket_events layout
+            g = g.assign(is_match=(g["event_type"] == match_type))
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         n = len(g)
         if n == 0:
@@ -139,6 +235,8 @@ def asof_last_match(
             }
         )
 
+    if _is_bucketed(events):
+        return events.map_batches(ffill, batch_format="pandas", batch_size=None)
     return (
         events.map_batches(bucket, batch_format="pandas")
         .groupby("__b")
@@ -181,7 +279,7 @@ def sliding_window_stats(
         out["__b"] = (out["user_id"].to_numpy(np.int64) % nb).astype(np.int32)
         return out
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
+    def window(g: pd.DataFrame) -> pd.DataFrame:  # shared-layout compatible
         g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
         n = len(g)
         if n == 0:
@@ -213,6 +311,8 @@ def sliding_window_stats(
             }
         )
 
+    if _is_bucketed(events):
+        return events.map_batches(window, batch_format="pandas", batch_size=None)
     return (
         events.map_batches(bucket, batch_format="pandas")
         .groupby("__b")
@@ -266,6 +366,8 @@ def grouped_topk(
             {"rank": np.int64}
         )
 
+    if _is_bucketed(events):
+        return events.map_batches(combine, batch_format="pandas", batch_size=None)
     return (
         events.map_batches(partial, batch_format="pandas")
         .groupby("__b")
@@ -292,6 +394,8 @@ def value_quantiles(
     Returns a small pandas DataFrame (type, quantile_pct, value_cents).
     """
 
+    nb = default_num_buckets()
+
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
             {
@@ -300,12 +404,25 @@ def value_quantiles(
             }
         )
         g = out.groupby(["event_type", "cents"], sort=False).size()
-        return g.rename("n").reset_index()
+        g = g.rename("n").reset_index()
+        # single int32 bucket key: Ray's sort shuffle on a composite
+        # (string, int) key is an order of magnitude slower than one small
+        # int groupby + per-bucket pandas combine (measured 17 s vs 1 s on
+        # a 50k-cell histogram)
+        g["__b"] = (
+            (g["cents"].to_numpy(np.int64) * 1_000_003) % nb
+        ).astype(np.int32)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "cents"], sort=False, as_index=False)[
+            "n"
+        ].sum()
 
     h = (
         events.map_batches(hist, batch_format="pandas")
-        .groupby(["event_type", "cents"])
-        .sum("n")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
         .to_pandas()
     )
     n_col = "sum(n)" if "sum(n)" in h.columns else "n"
@@ -349,6 +466,8 @@ def sessionize(
         return out
 
     def sess(g: pd.DataFrame) -> pd.DataFrame:
+        if "ts" not in g.columns:  # shared bucket_events layout
+            g = g.assign(ts=g["ts_us"].to_numpy(np.int64).view("datetime64[us]"))
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy(np.int64)
         ts_us = g["ts"].to_numpy("datetime64[us]").view(np.int64)
@@ -377,6 +496,8 @@ def sessionize(
         )
         return out.reset_index()
 
+    if _is_bucketed(events):
+        return events.map_batches(sess, batch_format="pandas", batch_size=None)
     return (
         events.map_batches(bucket, batch_format="pandas")
         .groupby("__b")
