@@ -519,6 +519,35 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(_raw_events(sf_dir), n=5)
 
 
+KCORE_K = 10
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition on the BSP engine (synchronous peeling,
+    sparse removal messages): vertices of the k-core with within-core
+    degrees.  Input is the DISTINCT undirected neighbor graph."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.kcore import kcore_keyed
+
+    work = tempfile.mkdtemp(prefix="webgraph_kcore_")
+    try:
+        return kcore_keyed(_edges(sf_dir), _vertices(sf_dir), work, k=KCORE_K)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_cms_hot_keys(sf_dir: str):
+    """Count-min-sketch hot-key detection over the edge stream's dst_key
+    (the hub-discovery pre-pass the engine's salted splits need at scale):
+    linear sketch merged by addition, distinct-key probe against the
+    broadcast sketch, >= threshold filter."""
+    from webgraph_ray.stages.sketch import cms_hot_keys
+
+    return cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
+
+
 def q_grouped_topk(sf_dir: str):
     """Per-user top-3 events by value (map-side partial top-k so the one
     user-hash shuffle moves O(k·users) rows, not O(events))."""
@@ -830,6 +859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "kmv_distinct": q_kmv_distinct,
         "stratified_sample": q_stratified_sample,
+        "cms_hot_keys": q_cms_hot_keys,
+        "kcore": q_kcore,
     }
 
 
@@ -1075,6 +1106,7 @@ def _lsh_ann_sql_oracle() -> str:
 
 def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
+    from webgraph_ray.graph import kcore as _kc
     from webgraph_ray.stages import cluster as _cl
     from webgraph_ray.stages import sketch as _sk
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
@@ -1137,6 +1169,8 @@ def _build_training_oracles() -> dict[str, str]:
         "ivf_ann_topk": _cl.ivf_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2),
         "kmv_distinct": _sk.kmv_distinct_sql(k=256),
         "stratified_sample": _sk.stratified_sample_sql(n=5),
+        "cms_hot_keys": _sk.cms_hot_keys_sql(_CTE_MAT, key_col="dst_key", min_count=500),
+        "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

@@ -100,3 +100,49 @@ def test_stratified_sample_membership_independent_of_blocking():
     a = stratified_sample(ray.data.from_pandas(df).repartition(3), n=6)
     b = stratified_sample(ray.data.from_pandas(df).repartition(13), n=6)
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def _edges_df(seed=5, n=4000):
+    rng = np.random.default_rng(seed)
+    # skewed destinations: 3 hubs soak up ~60% of edges
+    hubs = np.array(["tool:alpha", "tool:beta", "tool:gamma"])
+    cold = np.array([f"conv{i:05d}#{i % 40}" for i in range(800)])
+    pick_hub = rng.random(n) < 0.6
+    dst = np.where(pick_hub, hubs[rng.integers(0, 3, n)], cold[rng.integers(0, 800, n)])
+    return pd.DataFrame({"dst_key": dst})
+
+
+def test_cms_superset_of_true_heavy_hitters_and_overcount_only():
+    from webgraph_ray.stages.sketch import cms_hot_keys
+
+    df = _edges_df()
+    got = cms_hot_keys(ray.data.from_pandas(df).repartition(9), min_count=300)
+    true = df["dst_key"].value_counts()
+    heavy = set(true[true >= 300].index)
+    assert heavy  # the fixture actually has hubs
+    assert heavy <= set(got["vertex_key"])  # CMS never misses a heavy hitter
+    est = dict(zip(got["vertex_key"], got["est_count"]))
+    for k, e in est.items():
+        assert e >= true.get(k, 0)  # estimates only over-count
+
+
+def test_cms_blocking_invariance():
+    from webgraph_ray.stages.sketch import cms_hot_keys
+
+    df = _edges_df(seed=12)
+    a = cms_hot_keys(ray.data.from_pandas(df).repartition(2), min_count=200)
+    b = cms_hot_keys(ray.data.from_pandas(df).repartition(17), min_count=200)
+    assert a.equals(b)
+
+
+def test_cms_sql_oracle_bit_exact():
+    from webgraph_ray.stages.sketch import cms_hot_keys, cms_hot_keys_sql
+
+    df = _edges_df(seed=21, n=2500)
+    got = cms_hot_keys(ray.data.from_pandas(df).repartition(5), min_count=250)
+    con = duckdb.connect()
+    con.register("edges_tbl", df)
+    sql = cms_hot_keys_sql("WITH edges AS (SELECT * FROM edges_tbl)", min_count=250)
+    exp = con.execute(sql).df()
+    assert got["vertex_key"].tolist() == exp["vertex_key"].tolist()
+    assert got["est_count"].tolist() == exp["est_count"].tolist()

@@ -545,6 +545,7 @@ class GraphPartition:
         seed_prefix_ids=None,
         init_value: float | None = None,
         seed_labels=None,
+        kcore_k: int | None = None,
     ):
         n = len(self.owned)
         self.frozen = np.zeros(n, dtype=bool)
@@ -588,6 +589,14 @@ class GraphPartition:
                     pos = pos[ok]
                     self.labels[pos] = lab
                     self.frozen[pos] = True
+        elif algo == "kcore":
+            # k-core peeling: labels carries the current degree (filled by
+            # the degree round), active/removed_now drive the peel.  All
+            # integer — the unrolled-CTE oracle reproduces it exactly.
+            self.labels = np.zeros(n, dtype=np.int64)
+            self.kc_active = np.ones(n, dtype=bool)
+            self.kc_removed_now = np.zeros(n, dtype=bool)
+            self.kcore_k = int(kcore_k)
         else:
             raise ValueError(algo)
         return int(n)
@@ -642,6 +651,11 @@ class GraphPartition:
         elif algo == "pagerank_fp":
             # broadcast the integer per-unit-weight share s // out
             vals = self.labels[pos] // self.out_int[pos]
+        elif algo == "kcore":
+            # removed-this-round indicator: hub out-edges live in OTHER
+            # partitions (salted splits), which learn of a hub's removal
+            # through this broadcast
+            vals = self.kc_removed_now[pos].astype(np.int64)
         else:
             vals = self.labels[pos]
         return ids, vals
@@ -674,6 +688,23 @@ class GraphPartition:
             share = self.labels // self.out_int
             edge_vals = gather(share, np.int64)
             edge_vals = (edge_vals * self.ew_int * 17) // 20
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
+        elif algo == "kcore_deg":
+            # degree round: every edge contributes 1 to its dst — the
+            # per-unique-dst message is just the static segment length
+            # (no gather at all)
+            if len(self.seg_starts):
+                ss = self.seg_starts.astype(np.int64)
+                ends = np.append(ss[1:], self.edges_count)
+                msg = ends - ss
+            else:
+                msg = np.array([], dtype=np.int64)
+        elif algo == "kcore":
+            # peel round: per-dst count of just-removed in-neighbors
+            edge_vals = gather(self.kc_removed_now.astype(np.int64), np.int64)
             if len(self.seg_starts):
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:
@@ -725,12 +756,41 @@ class GraphPartition:
         """(entries actually sent, dense entries) since init_state."""
         return int(self._msgs_sent), int(self._msgs_dense)
 
+    def _kcore_sparse(self, hub_vals: np.ndarray | None):
+        """(msg, nonzero-mask) for a peel round, or (None, None) when this
+        partition provably sends nothing: no owned vertex was removed last
+        round and no hub was either (the only two message sources)."""
+        if not self.kc_removed_now.any() and (
+            hub_vals is None or not hub_vals.any()
+        ):
+            self._msgs_dense += len(self.udst)
+            return None, None
+        msg = self._compute_messages("kcore", hub_vals)
+        mask = msg != 0
+        self._msgs_sent += int(mask.sum())
+        self._msgs_dense += len(msg)
+        return msg, mask
+
     def scatter(self, algo: str, hub_vals: np.ndarray | None = None):
         """Compute per-unique-dst combined messages; return P slices
         (num_returns=P set at call site).  Min-label algorithms send
         sparse (uint32 local index, int64 value) deltas; dense-value
         algorithms (pagerank) send the full slice."""
         b = self.route_bounds
+        if algo == "kcore":
+            # removal counts are zero almost everywhere once the frontier
+            # passes: send only nonzero entries (same sparse wire format as
+            # the min-label delta path, ADD applied at the receiver)
+            msg, mask = self._kcore_sparse(hub_vals)
+            if msg is None:
+                empty = (np.array([], np.uint32), np.array([], np.int64))
+                return empty if self.P == 1 else tuple([empty] * self.P)
+            out = []
+            for q in range(self.P):
+                m = mask[b[q] : b[q + 1]]
+                seg = msg[b[q] : b[q + 1]]
+                out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
+            return out[0] if self.P == 1 else tuple(out)
         if algo in ("components", "labelprop", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
@@ -763,6 +823,17 @@ class GraphPartition:
         Dense algorithms emit (bounds, routed_msg); min-label algorithms
         emit a 3-tuple (bounds, local_idx uint32, values) carrying only the
         strictly-decreased entries (see _min_delta_mask)."""
+        if algo == "kcore":
+            msg, mask = self._kcore_sparse(hub_vals)
+            if msg is None:
+                z = np.zeros(self.P + 1, dtype=np.int64)
+                return z, np.array([], np.uint32), np.array([], np.int64)
+            nz = np.flatnonzero(mask)
+            b = self.route_bounds
+            new_bounds = np.searchsorted(nz, b)
+            seg_of = np.searchsorted(b, nz, side="right") - 1
+            local_idx = (nz - b[seg_of]).astype(np.uint32)
+            return new_bounds, local_idx, msg[nz]
         if algo in ("components", "labelprop", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
@@ -885,6 +956,46 @@ class GraphPartition:
         self.labels = new
         return changed, self.hub_values("min")[1]
 
+    def apply_kcore_deg(self, *incoming):
+        """Degree round: sum per-dst edge counts into labels, then peel the
+        first layer (degree < k).  Dense wire format (every dst gets a
+        count)."""
+        agg = np.zeros(len(self.owned), dtype=np.int64)
+        for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
+            if vals is None or len(vals) == 0:
+                continue
+            pos = self._inbox_maps[p]
+            agg[pos] += vals
+        self.labels = agg
+        newly = self.kc_active & (self.labels < self.kcore_k)
+        self.kc_removed_now = newly
+        self.kc_active &= ~newly
+        return int(newly.sum()), self.hub_values("kcore")[1]
+
+    def apply_kcore(self, *incoming):
+        """Peel round: subtract removed-in-neighbor counts, then remove any
+        active vertex whose degree dropped below k.  Sparse wire format
+        (same shapes as apply_min)."""
+        for p, item in enumerate(incoming):
+            if item is None:
+                continue
+            if len(item) == 3:  # fused: (bounds, idx, vals)
+                bounds, idx, vals = item
+                i0, i1 = bounds[self.pid], bounds[self.pid + 1]
+                idx, vals = idx[i0:i1], vals[i0:i1]
+            else:  # sliced: (idx, vals)
+                idx, vals = item
+            if len(vals) == 0:
+                continue
+            # idx unique within one source (messages pre-combined per dst)
+            pos = self._inbox_maps[p][idx]
+            self.labels[pos] -= vals
+        newly = self.kc_active & (self.labels < self.kcore_k)
+        self.kc_removed_now = newly
+        self.kc_active &= ~newly
+        return int(newly.sum()), self.hub_values("kcore")[1]
+
     # ---- checkpoint / results ----
     def checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
         d = os.path.join(ckpt_dir, algo, f"iter={iteration}")
@@ -935,6 +1046,15 @@ class GraphPartition:
                 {
                     "vertex_id": pa.array(self.owned),
                     "score_fp": pa.array(self.labels),
+                }
+            )
+        if algo == "kcore":
+            # survivors only, with their within-core degree (the peel's
+            # decrements leave exactly the active-neighbor count)
+            return pa.table(
+                {
+                    "vertex_id": pa.array(self.owned[self.kc_active]),
+                    "core_degree": pa.array(self.labels[self.kc_active]),
                 }
             )
         col = "component" if algo == "components" else "label"
@@ -1780,6 +1900,82 @@ class GraphEngine:
             seed_labels=seed_labels,
             require_convergence=require_convergence,
         )
+
+    def kcore(self, k: int, max_iter: int = 100000) -> ray.data.Dataset:
+        """k-core decomposition by synchronous peeling: repeatedly remove
+        every vertex with fewer than ``k`` neighbors still present; the
+        survivors (with their within-core degrees) are the k-core.
+
+        Scale shape: one dense degree exchange (segment lengths — no
+        gather), then peel rounds whose messages are the per-dst counts of
+        JUST-removed in-neighbors — sparse by construction (a vertex is
+        removed once), so total bytes exchanged across ALL peel rounds is
+        O(E) amortized, not O(E * rounds).  Hub removals ride the existing
+        broadcast channel.  Requires a symmetrized build; for the standard
+        distinct-neighbor degree semantics feed one row per undirected
+        pair (the ``kcore_input`` helper in pipelines does this).
+
+        Extends the engine's algorithm family the same way closeness ->
+        PageRank and eccentricity -> components did (reference analog:
+        per-node structural features,
+        /root/reference/code/features/structure.py:129-177).  Peeling is
+        monotone, so it always terminates; max_iter is a safety rail only.
+        """
+        try:
+            symmetrized = self._build_fingerprint().get("symmetrize")
+        except FileNotFoundError:
+            raise ValueError(
+                "no build found in this work_dir: call build(edges, "
+                "symmetrize=True) first"
+            ) from None
+        if not symmetrized:
+            raise ValueError("kcore() needs an undirected (symmetrized) build")
+        self.start()
+        t0 = time.time()
+        m = RunMetrics()
+        ray.get(
+            [a.init_state.remote("kcore", kcore_k=int(k)) for a in self.actors]
+        )
+        hub_ref = self._initial_hub_ref("kcore")  # all-zero indicator
+
+        def one_round(algo: str, apply_name: str, hub):
+            outs = self._exchange(algo, hub)
+            applies = [
+                getattr(self.actors[q], apply_name)
+                .options(num_returns=2)
+                .remote(*[outs[p][q] for p in range(self.P)])
+                for q in range(self.P)
+            ]
+            changed = sum(ray.get([a[0] for a in applies]))
+            new_hub = None
+            if self.has_hubs:
+                new_hub = _assemble_hub_remote.remote(
+                    self._hub_pos_ref,
+                    len(self.hub_ids_global),
+                    *[a[1] for a in applies],
+                )
+            return changed, new_hub
+
+        changed, hub_ref = one_round("kcore_deg", "apply_kcore_deg", None)
+        m.iterations = 1
+        m.edges_traversed = self.total_edges
+        m.history.append({"iter": 1, "removed": changed})
+        while changed > 0 and m.iterations < max_iter:
+            changed, hub_ref = one_round("kcore", "apply_kcore", hub_ref)
+            m.iterations += 1
+            m.edges_traversed += self.total_edges
+            m.history.append({"iter": m.iterations, "removed": changed})
+        m.converged = changed == 0
+        m.wall_sec = time.time() - t0
+        stats = ray.get([a.exchange_stats.remote() for a in self.actors])
+        m.msgs_sent = int(sum(s[0] for s in stats))
+        m.msgs_dense = int(sum(s[1] for s in stats))
+        self.metrics["kcore"] = m
+        if not m.converged:
+            raise RuntimeError(
+                f"kcore did not finish peeling within max_iter={max_iter}"
+            )
+        return self._results("kcore")
 
     # ---- results ----
     def _results(self, algo: str) -> ray.data.Dataset:

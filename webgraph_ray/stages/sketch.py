@@ -40,7 +40,7 @@ import pyarrow as pa
 
 import ray.data
 
-from webgraph_ray.functions.texthash import M, sql_token_hash_expr
+from webgraph_ray.functions.texthash import M, hash_token_list, sql_token_hash_expr
 from webgraph_ray.stages.text import TOKEN_RE
 
 KMV_K = 256
@@ -184,3 +184,147 @@ FROM (
            ) AS rn
     FROM {table})
 WHERE rn <= {n}"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: hot-key (heavy-hitter) detection over an edge stream.
+#
+# The engine's hub handling (salted splits for high fan-in vertices,
+# graph/engine.py) needs to KNOW the hot keys before it partitions; an exact
+# per-key count is a full all-to-all groupby over every edge.  A count-min
+# sketch is the linear-sketch answer: a depth x width int64 counter array
+# where every occurrence increments one counter per row.  Linearity is the
+# whole point — per-batch partial sketches merge by elementwise ADDITION, so
+# the result is independent of batch boundaries and reduction order, and a
+# block contributes at most depth*width counters no matter how many rows it
+# holds.  Estimates only ever OVER-count (min over depth rows of colliding
+# sums), so a >= threshold scan never misses a true heavy hitter.
+#
+# Reference analog: WebGraph hard-codes its hub set implicitly (one visit's
+# graph fits in pandas); at 10^12 edges hot-key discovery must be a
+# streaming pre-pass, which is exactly this sketch.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 4096
+# (a, b) per row: a*g + b stays < 2^62 for g < M, exact in int64 on both
+# engines (same argument as the affine sample hash above).
+CMS_PARAMS = (
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+    (747_796_405, 743_852_806),
+    (1_103_515_245, 12_345),
+)
+
+
+def _cms_buckets(g: np.ndarray, j: int, width: int) -> np.ndarray:
+    a, b = CMS_PARAMS[j]
+    return ((a * g + b) % M) % width
+
+
+def cms_hot_keys(
+    edges: "ray.data.Dataset",
+    key_col: str = "dst_key",
+    width: int = CMS_WIDTH,
+    min_count: int = 500,
+) -> pd.DataFrame:
+    """Keys of ``key_col`` whose count-min estimate is >= ``min_count``
+    (superset of the true heavy hitters), with their estimates.
+
+    Two passes, neither materializing per-key counts globally:
+
+    1. sketch: ``map_batches`` emits each block's nonzero CMS counters
+       (<= depth*width rows/block); the driver streams the partials and
+       elementwise-adds them into one (depth, width) array — the same
+       bounded-partial reduction as ``cluster.kmeans_clusters``.
+    2. probe: distinct keys (``bucket_distinct`` — map-side combine, one
+       bucket shuffle) are estimated against the broadcast sketch
+       (``ray.put`` once, plasma-local in every task) and filtered.
+
+    At production scale the probe set would come from candidate generation
+    (e.g. per-block local top-C) instead of a full distinct — the sketch
+    itself never changes; the full-distinct probe here is what makes the
+    DuckDB mirror exact.
+
+    Key hashing uses the shared capped polynomial token hash, so the SQL
+    mirror reuses ``sql_token_hash_expr``; hash collisions (same g for two
+    keys) only inflate estimates identically on both engines."""
+    from webgraph_ray.functions.shuffle import bucket_distinct
+
+    keys_only = edges.select_columns([key_col])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = hash_token_list(df[key_col].tolist())
+        js, buckets, counts = [], [], []
+        for j in range(CMS_DEPTH):
+            cnt = np.bincount(_cms_buckets(g, j, width), minlength=width)
+            nz = np.nonzero(cnt)[0]
+            js.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            counts.append(cnt[nz].astype(np.int64))
+        return pd.DataFrame(
+            {
+                "j": np.concatenate(js) if js else np.empty(0, np.int64),
+                "bucket": np.concatenate(buckets) if buckets else np.empty(0, np.int64),
+                "cnt": np.concatenate(counts) if counts else np.empty(0, np.int64),
+            }
+        )
+
+    cms = np.zeros((CMS_DEPTH, width), dtype=np.int64)
+    for part in keys_only.map_batches(partial, batch_format="pandas").iter_batches(
+        batch_format="pandas", batch_size=None
+    ):
+        np.add.at(cms, (part["j"].to_numpy(np.int64), part["bucket"].to_numpy(np.int64)),
+                  part["cnt"].to_numpy(np.int64))
+
+    import ray as _ray
+
+    cms_ref = _ray.put(cms)
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        sk = _ray.get(cms_ref)
+        g = hash_token_list(df[key_col].tolist())
+        est = np.minimum.reduce(
+            [sk[j][_cms_buckets(g, j, width)] for j in range(CMS_DEPTH)]
+        ) if len(g) else np.empty(0, np.int64)
+        out = pd.DataFrame({"vertex_key": df[key_col].to_numpy(), "est_count": est})
+        return out[out["est_count"] >= min_count]
+
+    hot = (
+        bucket_distinct(keys_only, [key_col])
+        .map_batches(estimate, batch_format="pandas")
+        .to_pandas()
+    )
+    return hot.sort_values(
+        ["est_count", "vertex_key"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def cms_hot_keys_sql(
+    edges_cte: str,
+    key_col: str = "dst_key",
+    width: int = CMS_WIDTH,
+    min_count: int = 500,
+) -> str:
+    """DuckDB mirror: same key hash, same per-row affine bucket maps, same
+    integer counter sums, same min-over-rows estimator and threshold.
+    ``edges_cte`` must be a complete WITH clause defining ``edges``."""
+    vals = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(CMS_PARAMS))
+    ghash = sql_token_hash_expr(key_col)
+    return f"""{edges_cte}, occ AS MATERIALIZED (
+    SELECT {key_col} AS key, {ghash} AS g FROM edges
+),
+params(j, a, b) AS (VALUES {vals}),
+cms AS (
+    SELECT j, ((a * g + b) % {M}) % {width} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM occ, params GROUP BY 1, 2
+),
+probes AS (SELECT DISTINCT key, g FROM occ)
+SELECT key AS vertex_key, CAST(min(c.c) AS BIGINT) AS est_count
+FROM probes p
+CROSS JOIN params pr
+JOIN cms c ON c.j = pr.j AND c.bucket = ((pr.a * p.g + pr.b) % {M}) % {width}
+GROUP BY 1
+HAVING min(c.c) >= {min_count}
+ORDER BY est_count DESC, vertex_key"""
