@@ -521,6 +521,49 @@ def q_stratified_sample(sf_dir: str):
 
 KCORE_K = 10
 
+# seed set for personalized PageRank: the tool vertices (same selector as
+# labelprop's seeds — any vertex whose key marks it as a tool, whichever
+# edge side it appears on)
+PPR_SEEDS_SQL = (
+    "SELECT DISTINCT vertex_key FROM ("
+    "SELECT src_key AS vertex_key FROM edges "
+    "UNION ALL SELECT dst_key FROM edges"
+    ") WHERE vertex_key LIKE 'tool:%'"
+)
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart to the tool seed
+    set) in exact int64 fixed-point: relevance-to-the-tools score for
+    every vertex.  Same engine run as `pagerank`, seeded teleport."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
+    from webgraph_ray.graph.engine import GraphEngine
+    from webgraph_ray.pipelines.flagship import attach_keys
+
+    edges = _edges(sf_dir)
+    vertices = _vertices(sf_dir)
+    work = tempfile.mkdtemp(prefix="webgraph_ppr_")
+    eng = GraphEngine(os.path.join(work, "ppr"), num_parts=None)
+    try:
+        eng.build(edges, symmetrize=False)
+        seeds = _tool_seed_frame(vertices)["vertex_id"].to_numpy()
+        res = eng.pagerank_fixed(
+            iters=PR_FP_ITERS, scale=PR_FP_SCALE, seeds=seeds
+        )
+        return (
+            attach_keys(res, vertices)
+            .select_columns(["vertex_key", "score_fp"])
+            .to_pandas()
+            .sort_values("vertex_key", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
+        shutil.rmtree(work, ignore_errors=True)
+
 
 def q_kcore(sf_dir: str):
     """k-core decomposition on the BSP engine (synchronous peeling,
@@ -535,6 +578,51 @@ def q_kcore(sf_dir: str):
     try:
         return kcore_keyed(_edges(sf_dir), _vertices(sf_dir), work, k=KCORE_K)
     finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# unrolled BFS rounds in the hop-distance oracle: >= the largest finite
+# distance from the tool seeds at the gate scale (measured 6 at sf0.01 —
+# tools are hubs; headroom is cheap no-op rounds, and rounds=16 was
+# verified identical to rounds=24)
+HOPDIST_SQL_ROUNDS = 16
+
+
+def q_hop_distance(sf_dir: str):
+    """Multi-source BFS hop distance from the tool seed set (min-plus on
+    the symmetrized build; delta exchange — distances only shrink).
+    Unreached vertices report -1."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.engine import UNLABELED, GraphEngine
+    from webgraph_ray.pipelines.flagship import attach_keys
+
+    edges = _edges(sf_dir)
+    vertices = _vertices(sf_dir)
+    work = tempfile.mkdtemp(prefix="webgraph_hd_")
+    eng = GraphEngine(os.path.join(work, "hd"), num_parts=None)
+    try:
+        eng.build(edges, symmetrize=True)
+        seeds = _tool_seed_frame(vertices)["vertex_id"].to_numpy()
+        res = eng.hopdist(seeds)
+
+        def unreached_to_minus1(df: pd.DataFrame) -> pd.DataFrame:
+            df["distance"] = df["distance"].where(
+                df["distance"] != UNLABELED, -1
+            )
+            return df
+
+        return (
+            attach_keys(res, vertices)
+            .select_columns(["vertex_key", "distance"])
+            .map_batches(unreached_to_minus1, batch_format="pandas")
+            .to_pandas()
+            .sort_values("vertex_key", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -861,6 +949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "cms_hot_keys": q_cms_hot_keys,
         "kcore": q_kcore,
+        "ppr": q_ppr,
+        "hop_distance": q_hop_distance,
     }
 
 
@@ -1062,6 +1152,10 @@ def oracle_sql() -> dict[str, str]:
         "scored_vertices": _classify_sql("scored_vertices"),
         "fold_metrics": _classify_sql("fold_metrics"),
         "pagerank": _graph_oracles.pagerank_fp_sql(_CTE_MAT),
+        "ppr": _graph_oracles.ppr_fp_sql(_CTE_MAT, PPR_SEEDS_SQL),
+        "hop_distance": _graph_oracles.hopdist_sql(
+            _CTE_MAT, PPR_SEEDS_SQL, rounds=HOPDIST_SQL_ROUNDS
+        ),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
         "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),

@@ -318,3 +318,54 @@ def test_min_label_delta_exchange(graph_fixture, tmp_path):
     g = got.set_index("vertex_id")["component"]
     for vid, comp in exp.items():
         assert g.loc[vid] == comp, vid
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance (min-plus propagation)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_hopdist_matches_networkx(graph_fixture, tmp_path, num_parts):
+    import networkx as nx
+
+    edges, pdf = graph_fixture
+    eng = _engine(tmp_path / f"hd{num_parts}", edges, num_parts, symmetrize=True)
+    try:
+        verts = np.unique(
+            np.concatenate(
+                [pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)]
+            )
+        )
+        seeds = verts[:3]
+        got = eng.hopdist(seeds).to_pandas()
+        g = nx.Graph()
+        g.add_edges_from(zip(pdf["src"], pdf["dst"]))
+        dist = nx.multi_source_dijkstra_path_length(g, set(seeds.tolist()), weight=None)
+        got_map = dict(zip(got["vertex_id"].tolist(), got["distance"].tolist()))
+        for v in verts:
+            exp = dist.get(int(v))
+            if exp is None:
+                assert got_map[int(v)] == UNLABELED  # unreached sentinel
+            else:
+                assert got_map[int(v)] == exp, v
+        assert eng.metrics["hopdist"].converged
+        # distances only shrink: the delta exchange must have fired
+        m = eng.metrics["hopdist"]
+        assert m.msgs_sent <= m.msgs_dense
+    finally:
+        eng.shutdown()
+
+
+def test_hopdist_delta_exchange_and_seed_zero(graph_fixture, tmp_path):
+    edges, pdf = graph_fixture
+    eng = _engine(tmp_path / "hd_seed", edges, 2, symmetrize=True)
+    try:
+        verts = np.unique(pdf["src"].to_numpy(np.int64))
+        seeds = verts[-2:]
+        got = eng.hopdist(seeds).to_pandas()
+        g = dict(zip(got["vertex_id"].tolist(), got["distance"].tolist()))
+        for s in seeds:
+            assert g[int(s)] == 0
+    finally:
+        eng.shutdown()

@@ -117,3 +117,75 @@ def test_labelprop_seed_labels(graph_fixture, tmp_path):
     # labels are ranks or the sentinel
     valid = set(ranks.tolist()) | {int(UNLABELED), -1}
     assert set(got.unique().tolist()) <= valid
+
+
+# ---------------------------------------------------------------------------
+# Personalized (seeded) fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+
+def _ppr_reference(pdf, seeds, iters, scale):
+    """numpy mirror of the engine's exact seeded int64 arithmetic."""
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["weight"].to_numpy(np.int64)
+    verts = np.unique(np.concatenate([src, dst]))
+    pos = {int(v): i for i, v in enumerate(verts)}
+    si = np.array([pos[int(v)] for v in src])
+    di = np.array([pos[int(v)] for v in dst])
+    out = np.zeros(len(verts), dtype=np.int64)
+    np.add.at(out, si, w)
+    out_div = np.maximum(out, 1)
+    seed_idx = np.array([pos[int(v)] for v in seeds])
+    S = len(seed_idx)
+    x = np.zeros(len(verts), dtype=np.int64)
+    x[seed_idx] = scale // S
+    for _ in range(iters):
+        dang = int(x[out == 0].sum())
+        contrib = ((x // out_div)[si] * w * 17) // 20
+        agg = np.zeros(len(verts), dtype=np.int64)
+        np.add.at(agg, di, contrib)
+        agg[seed_idx] += (3 * scale) // (20 * S) + (17 * dang) // (20 * S)
+        x = agg
+    return dict(zip(verts.tolist(), x.tolist()))
+
+
+def _run_ppr(tmp_path, edges, seeds, num_parts, hub_threshold=1 << 17):
+    eng = GraphEngine(
+        str(tmp_path), num_parts=num_parts, hub_threshold=hub_threshold
+    )
+    eng.build(edges)
+    try:
+        res = eng.pagerank_fixed(
+            iters=12, scale=PR_FP_SCALE, seeds=np.asarray(seeds, dtype=np.int64)
+        ).to_pandas()
+    finally:
+        eng.shutdown()
+    return res.sort_values("vertex_id").reset_index(drop=True)
+
+
+def test_ppr_matches_numpy_reference(graph_fixture, tmp_path):
+    edges, pdf = graph_fixture
+    verts = np.unique(
+        np.concatenate([pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)])
+    )
+    seeds = verts[:5]
+    got = _run_ppr(tmp_path / "ref", edges, seeds, 3)
+    exp = _ppr_reference(pdf, seeds, iters=12, scale=PR_FP_SCALE)
+    g = dict(zip(got["vertex_id"].tolist(), got["score_fp"].tolist()))
+    assert g == exp
+    # mass stays concentrated: non-seed-reachable vertices hold zero
+    assert min(g.values()) >= 0
+
+
+def test_ppr_partition_and_salting_invariant(graph_fixture, tmp_path):
+    edges, pdf = graph_fixture
+    verts = np.unique(
+        np.concatenate([pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64)])
+    )
+    seeds = verts[-4:]
+    a = _run_ppr(tmp_path / "p1", edges, seeds, 1)
+    b = _run_ppr(tmp_path / "p4", edges, seeds, 4)
+    c = _run_ppr(tmp_path / "hub", edges, seeds, 4, hub_threshold=4)
+    assert np.array_equal(a["score_fp"].to_numpy(), b["score_fp"].to_numpy())
+    assert np.array_equal(a["score_fp"].to_numpy(), c["score_fp"].to_numpy())

@@ -106,6 +106,142 @@ def pagerank_fp_sql(base_cte: str) -> str:
     )
 
 
+def hopdist_sql(
+    base_cte: str,
+    seeds_sql: str,
+    rounds: int,
+    prefix: str = "hd",
+) -> str:
+    """Multi-source undirected BFS oracle: unrolled min-plus rounds
+    d_{i+1}(v) = min(d_i(v), 1 + min over neighbors d_i(u)), seeds at 0.
+    ``rounds`` must be >= the largest finite distance (extra rounds are
+    no-ops; the Ray run's convergence guard pins the real diameter).
+    Unreached vertices report -1.  Every round CTE is MATERIALIZED — d_i
+    is referenced twice and would otherwise inline exponentially."""
+    x = prefix
+    parts = [
+        f"""
+, {x}_und AS MATERIALIZED (
+    SELECT DISTINCT least(src_key, dst_key) AS a,
+                    greatest(src_key, dst_key) AS b
+    FROM edges WHERE src_key <> dst_key
+), {x}_adj AS MATERIALIZED (
+    SELECT a AS s, b AS d FROM {x}_und
+    UNION ALL SELECT b AS s, a AS d FROM {x}_und
+), {x}_verts AS MATERIALIZED (
+    SELECT DISTINCT vertex_key FROM (
+        SELECT src_key AS vertex_key FROM edges
+        UNION ALL SELECT dst_key FROM edges
+    )
+), {x}_seeds AS MATERIALIZED ({seeds_sql})
+, {x}0 AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN sd.vertex_key IS NOT NULL THEN 0 ELSE NULL END AS dist
+    FROM {x}_verts v LEFT JOIN {x}_seeds sd ON sd.vertex_key = v.vertex_key
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""
+, {x}{i} AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN v.dist IS NULL AND nb.m IS NULL THEN NULL
+                ELSE least(coalesce(v.dist, 9223372036854775807),
+                           coalesce(nb.m, 9223372036854775807)) END AS dist
+    FROM {x}{p} v
+    LEFT JOIN (
+        SELECT a.d AS vertex_key, min(s.dist) + 1 AS m
+        FROM {x}_adj a JOIN {x}{p} s ON s.vertex_key = a.s
+        WHERE s.dist IS NOT NULL
+        GROUP BY 1
+    ) nb ON nb.vertex_key = v.vertex_key
+)"""
+        )
+    return (
+        base_cte
+        + "".join(parts)
+        + f"""
+SELECT vertex_key,
+       CAST(coalesce(dist, -1) AS BIGINT) AS distance
+FROM {x}{rounds}
+ORDER BY 1"""
+    )
+
+
+def ppr_fp_ctes(
+    seeds_sql: str,
+    iters: int = PR_FP_ITERS,
+    scale: int = PR_FP_SCALE,
+    edges_cte: str = "edges",
+    prefix: str = "ppr",
+) -> str:
+    """Personalized-PageRank mirror of ``pagerank_fp_ctes``: initial mass,
+    teleport base, and dangling redistribution land only on the seed set
+    (``seeds_sql``: a SELECT producing one ``vertex_key`` column).  Ends in
+    ``{prefix}{iters}`` (vertex_key, val)."""
+    E, x = edges_cte, prefix
+    parts = [
+        f"""
+, {x}_verts AS MATERIALIZED (
+    SELECT DISTINCT vertex_key FROM (
+        SELECT src_key AS vertex_key FROM {E}
+        UNION ALL SELECT dst_key FROM {E}
+    )
+), {x}_outdeg AS MATERIALIZED (
+    SELECT src_key, CAST(sum(weight) AS BIGINT) AS outw FROM {E} GROUP BY 1
+), {x}_dangset AS MATERIALIZED (
+    SELECT v.vertex_key FROM {x}_verts v
+    LEFT JOIN {x}_outdeg o ON o.src_key = v.vertex_key
+    WHERE o.src_key IS NULL
+), {x}_seeds AS MATERIALIZED ({seeds_sql})
+, {x}_s AS (SELECT CAST(count(*) AS BIGINT) AS s FROM {x}_seeds)
+, {x}0 AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN sd.vertex_key IS NOT NULL THEN {scale} // n.s
+                ELSE 0 END AS val
+    FROM {x}_verts v CROSS JOIN {x}_s n
+    LEFT JOIN {x}_seeds sd ON sd.vertex_key = v.vertex_key
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+, {x}{i} AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN sd.vertex_key IS NOT NULL THEN
+               (3 * {scale}) // (20 * n.s)
+               + (17 * (SELECT coalesce(sum(s.val), 0) FROM {x}{p} s
+                        JOIN {x}_dangset g ON g.vertex_key = s.vertex_key))
+                 // (20 * n.s)
+           ELSE 0 END
+           + coalesce(a.agg, 0) AS val
+    FROM {x}_verts v CROSS JOIN {x}_s n
+    LEFT JOIN {x}_seeds sd ON sd.vertex_key = v.vertex_key
+    LEFT JOIN (
+        SELECT e.dst_key AS vertex_key,
+               sum(((s.val // o.outw) * e.weight * 17) // 20) AS agg
+        FROM {E} e
+        JOIN {x}{p} s ON s.vertex_key = e.src_key
+        JOIN {x}_outdeg o ON o.src_key = e.src_key
+        GROUP BY 1
+    ) a ON a.vertex_key = v.vertex_key
+)"""
+        )
+    return "".join(parts)
+
+
+def ppr_fp_sql(base_cte: str, seeds_sql: str) -> str:
+    """Full personalized-PageRank oracle: (vertex_key, score_fp)."""
+    return (
+        base_cte
+        + ppr_fp_ctes(seeds_sql)
+        + f"\nSELECT vertex_key, CAST(val AS BIGINT) AS score_fp"
+        f" FROM ppr{PR_FP_ITERS}"
+    )
+
+
 def _doubling_rounds(prefix: str, und: str, verts: str, rounds: int) -> str:
     """Min-label propagation + pointer doubling over ``und(a, b)`` edges and
     ``verts(vertex_key)``; ends in ``{prefix}{rounds}`` (vertex_key, lbl)."""

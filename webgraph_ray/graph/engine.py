@@ -570,11 +570,21 @@ class GraphPartition:
                 self.ew_int = self.ew_int.astype(np.int32)
             self.out_int = np.maximum(self.out_strength.astype(np.int64), 1)
             self.labels = np.zeros(n, dtype=np.int64)
-        elif algo in ("components", "labelprop"):
+            # personalized teleport set: owned positions of the seed ids
+            # (None = uniform teleport, the classic PageRank)
+            self.ppr_pos = None
+            if n and seed_prefix_ids is not None and len(seed_prefix_ids):
+                seeds = np.asarray(seed_prefix_ids, dtype=np.int64)
+                pos = np.searchsorted(self.owned, seeds)
+                ok = (pos < n) & (
+                    np.take(self.owned, np.minimum(pos, n - 1)) == seeds
+                )
+                self.ppr_pos = pos[ok]
+        elif algo in ("components", "labelprop", "hopdist"):
             self.state = self.owned.astype(np.float64)  # placeholder, see below
             # min-label algorithms keep int64 labels in a separate array
             self.labels = self.owned.copy()
-            if algo == "labelprop":
+            if algo in ("labelprop", "hopdist"):
                 self.labels = np.full(n, UNLABELED, dtype=np.int64)
                 if n and seed_prefix_ids is not None and len(seed_prefix_ids):
                     seeds = np.asarray(seed_prefix_ids, dtype=np.int64)
@@ -605,6 +615,14 @@ class GraphPartition:
         """Uniform fixed-point init (``scale // N`` units per vertex);
         returns this partition's dangling mass (int units)."""
         self.labels = np.full(len(self.owned), int(value_int), dtype=np.int64)
+        return int(self.labels[self.out_strength == 0].sum())
+
+    def set_seeded_fp(self, value_int: int):
+        """Personalized init: ``scale // |S|`` units on each owned seed,
+        zero elsewhere; returns this partition's dangling mass."""
+        self.labels = np.zeros(len(self.owned), dtype=np.int64)
+        if self.ppr_pos is not None:
+            self.labels[self.ppr_pos] = int(value_int)
         return int(self.labels[self.out_strength == 0].sum())
 
     def set_uniform_state(self, value: float, hist_cap: int | None = None):
@@ -709,8 +727,14 @@ class GraphPartition:
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:
                 msg = np.array([], dtype=np.int64)
-        else:  # min-label over int64
+        else:  # min-label over int64 (components / labelprop / hopdist)
             edge_vals = gather(self.labels, np.int64)
+            if algo == "hopdist":
+                # min-PLUS step: crossing an edge costs one hop; the
+                # unreached sentinel saturates (int64-max must not wrap)
+                edge_vals = np.where(
+                    edge_vals == UNLABELED, edge_vals, edge_vals + 1
+                )
             if len(self.seg_starts):
                 msg = np.minimum.reduceat(edge_vals, self.seg_starts)
             else:
@@ -791,7 +815,7 @@ class GraphPartition:
                 seg = msg[b[q] : b[q + 1]]
                 out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
             return out[0] if self.P == 1 else tuple(out)
-        if algo in ("components", "labelprop", "min"):
+        if algo in ("components", "labelprop", "hopdist", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
                 empty = (np.array([], np.uint32), np.array([], np.int64))
@@ -834,7 +858,7 @@ class GraphPartition:
             seg_of = np.searchsorted(b, nz, side="right") - 1
             local_idx = (nz - b[seg_of]).astype(np.uint32)
             return new_bounds, local_idx, msg[nz]
-        if algo in ("components", "labelprop", "min"):
+        if algo in ("components", "labelprop", "hopdist", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
                 z = np.zeros(self.P + 1, dtype=np.int64)
@@ -904,7 +928,15 @@ class GraphPartition:
                 continue
             pos = self._inbox_maps[p]
             agg[pos] += vals
-        x = base_int + agg + (17 * int(dangling_mass)) // (20 * n_global)
+        if self.ppr_pos is not None:
+            # personalized teleport: base and dangling mass land ONLY on
+            # seeds (n_global carries |S| in this mode)
+            x = agg
+            x[self.ppr_pos] += base_int + (17 * int(dangling_mass)) // (
+                20 * n_global
+            )
+        else:
+            x = base_int + agg + (17 * int(dangling_mass)) // (20 * n_global)
         changed = int((x != self.labels).sum())
         self.labels = x
         dangling_next = int(x[self.out_strength == 0].sum())
@@ -1057,7 +1089,9 @@ class GraphPartition:
                     "core_degree": pa.array(self.labels[self.kc_active]),
                 }
             )
-        col = "component" if algo == "components" else "label"
+        col = {"components": "component", "hopdist": "distance"}.get(
+            algo, "label"
+        )
         return pa.table(
             {"vertex_id": pa.array(self.owned), col: pa.array(self.labels)}
         )
@@ -1620,6 +1654,7 @@ class GraphEngine:
         checkpoint_every: int = 0,
         resume: bool = False,
         chain: int = 8,
+        seeds: np.ndarray | None = None,
     ) -> ray.data.Dataset:
         """PageRank in exact int64 fixed-point arithmetic (alpha = 17/20,
         mass carried in units of ``1/scale``).  Every operation is integer
@@ -1634,17 +1669,34 @@ class GraphEngine:
         all of its scatter/exchange/hub/checkpoint machinery.
 
         Runs exactly ``iters`` iterations (no convergence cut) so the SQL
-        oracle can mirror the iteration count."""
+        oracle can mirror the iteration count.
+
+        With ``seeds`` (an int64 array of vertex ids) the run is
+        PERSONALIZED PageRank: initial mass, the teleport base, and the
+        dangling redistribution all land only on the seed set (random walk
+        with restart to the seeds) — the relevance-to-a-set score used for
+        seed-expansion / neighborhood ranking.  Same exchange machinery,
+        same exact-int64 arithmetic, same unrolled-CTE oracle shape."""
         self.start()
         algo = "pagerank_fp"
         t0 = time.time()
         m = RunMetrics()
         start_iter = 0
-        base = (3 * scale) // (20 * max(self.N, 1))
+        seeds_sorted = None
+        denom = max(self.N, 1)
+        if seeds is not None:
+            seeds_sorted = np.unique(np.asarray(seeds, dtype=np.int64))
+            denom = max(len(seeds_sorted), 1)
+        base = (3 * scale) // (20 * denom)
         if resume and (ck := self.latest_checkpoint(algo)):
             start_iter = ck[0]
             # init first (builds ew_int/out_int), then restore labels
-            ray.get([a.init_state.remote(algo) for a in self.actors])
+            ray.get(
+                [
+                    a.init_state.remote(algo, seed_prefix_ids=seeds_sorted)
+                    for a in self.actors
+                ]
+            )
             ray.get(
                 [
                     a.load_checkpoint.remote(
@@ -1658,13 +1710,20 @@ class GraphEngine:
             shutil.rmtree(
                 os.path.join(self.work_dir, "ckpt", algo), ignore_errors=True
             )
-            ray.get([a.init_state.remote(algo) for a in self.actors])
-            dangling_parts = ray.get(
+            ray.get(
                 [
-                    a.set_uniform_fp.remote(scale // max(self.N, 1))
+                    a.init_state.remote(algo, seed_prefix_ids=seeds_sorted)
                     for a in self.actors
                 ]
             )
+            if seeds_sorted is None:
+                dangling_parts = ray.get(
+                    [a.set_uniform_fp.remote(scale // denom) for a in self.actors]
+                )
+            else:
+                dangling_parts = ray.get(
+                    [a.set_seeded_fp.remote(scale // denom) for a in self.actors]
+                )
             dangling_mass = int(sum(dangling_parts))
 
         hub_ref = self._initial_hub_ref(algo)
@@ -1685,7 +1744,7 @@ class GraphEngine:
                     .apply_pagerank_fp.options(num_returns=3)
                     .remote(
                         base,
-                        self.N,
+                        denom,
                         dangling_arg,
                         *dangl_refs,
                         *[outs[p][q] for p in range(self.P)],
@@ -1898,6 +1957,37 @@ class GraphEngine:
             checkpoint_every,
             resume,
             seed_labels=seed_labels,
+            require_convergence=require_convergence,
+        )
+
+    def hopdist(
+        self,
+        seeds: np.ndarray,
+        max_iter: int = 5000,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        require_convergence: bool = True,
+    ) -> ray.data.Dataset:
+        """Multi-source BFS hop distance from the seed set: min-PLUS label
+        propagation (each edge crossing costs 1), seeds frozen at 0.
+        Unreached vertices keep the UNLABELED sentinel.  Shares the whole
+        min-label stack — delta exchange (distances only shrink), quiescent
+        partitions, checkpoints — so total exchanged entries across the run
+        are O(V) amortized, not O(V * diameter).
+
+        Run on a symmetrized build for undirected distance.  This is the
+        scalable stand-in for the reference's per-node
+        eccentricity/closeness features
+        (/root/reference/code/features/structure.py:129-177): per-seed-set
+        distances instead of per-node all-pairs sweeps."""
+        seeds = np.sort(np.asarray(seeds, dtype=np.int64))
+        return self._min_label_run(
+            "hopdist",
+            seeds,
+            max_iter,
+            checkpoint_every,
+            resume,
+            seed_labels=np.zeros(len(seeds), dtype=np.int64),
             require_convergence=require_convergence,
         )
 

@@ -295,6 +295,14 @@ def cms_hot_keys(
         .map_batches(estimate, batch_format="pandas")
         .to_pandas()
     )
+    if hot.empty:
+        # typed empty frame (an all-filtered Ray result can lose columns)
+        hot = pd.DataFrame(
+            {
+                "vertex_key": pd.Series([], dtype=object),
+                "est_count": pd.Series([], dtype=np.int64),
+            }
+        )
     return hot.sort_values(
         ["est_count", "vertex_key"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
