@@ -343,6 +343,15 @@ def q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir))
 
 
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 characteristic terms per document by the exact-integer tf/df
+    score (tf-idf analog with no float log): df partials reduced once,
+    broadcast to a shuffle-free per-batch scoring pass."""
+    from webgraph_ray.stages.text import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=3)
+
+
 def q_bpe_token_stats(sf_dir: str):
     from webgraph_ray.stages.text import bpe_token_stats
 
@@ -922,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convs_missing_tool": q_convs_missing_tool,
         # training-data operators
         "token_stats": q_token_stats,
+        "tfidf_topk": q_tfidf_topk,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1213,7 +1223,10 @@ def _build_training_oracles() -> dict[str, str]:
     ann_ids = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
     from webgraph_ray.stages.text import BPE_TOKEN_PATTERN
 
+    from webgraph_ray.stages.text import tfidf_topk_sql
+
     return {
+        "tfidf_topk": tfidf_topk_sql(k=3),
         "token_stats": """
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,

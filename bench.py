@@ -295,15 +295,28 @@ def run_pr_throughput() -> dict:
     from webgraph_ray.sources.transcripts import generate_transcripts
     from webgraph_ray.stages.edges import derive_edges
 
-    edges = derive_edges(generate_transcripts(n_convs, seed=42)).materialize()
-    # GRAFT_SCALING_PARTS pins the partition count (the execution plan)
-    # across CPU levels — strong scaling of ONE plan, the single-box analog
-    # of growing a cluster under a fixed sharding.  Unset, each level uses
-    # its natural ncpu//2 (each "node" hosts two partitions), which also
-    # changes the message-entry count between levels.
+    # GRAFT_SCALING_PARTS overrides the partition count.  CAUTION: on a
+    # single box P must stay <= ncpu — above that the engine's actors fall
+    # back to num_cpus=0 and escape Ray's logical CPU limit (they run on
+    # every physical core), so the leg no longer measures the requested
+    # parallelism.  run_scaling always passes each level's natural ncpu//2.
     num_parts = int(os.environ.get("GRAFT_SCALING_PARTS", max(1, ncpu // 2)))
-    eng = GraphEngine(tempfile.mkdtemp(prefix="bench_scaling_"), num_parts=num_parts)
-    eng.build(edges)
+    # GRAFT_SCALING_LAYOUT: a persistent work_dir holding the partitioned
+    # build.  When it already contains a build (same num_parts), the leg
+    # skips derive+build entirely and times ONLY the iteration phase over
+    # the identical on-disk layout — every CPU level measures the same
+    # bytes, and a --scaling rep costs ~1 min instead of ~5.
+    layout = os.environ.get("GRAFT_SCALING_LAYOUT", "")
+    work = layout or tempfile.mkdtemp(prefix="bench_scaling_")
+    eng = GraphEngine(work, num_parts=num_parts)
+    if not (layout and os.path.exists(os.path.join(work, "build_manifest.json"))):
+        edges = derive_edges(generate_transcripts(n_convs, seed=42)).materialize()
+        eng.build(edges)
+    if os.environ.get("GRAFT_BENCH_MODE") == "pr_build":
+        out = {"metric": "pr_build", "value": eng.P, "unit": "parts",
+               "layout": work}
+        ray.shutdown()
+        return out
     eng.pagerank(tol=0.0, max_iter=5)  # warm-up (code paths, plasma, actors)
     eng.pagerank(tol=0.0, max_iter=20)
     m = eng.metrics["pagerank"]
@@ -322,16 +335,56 @@ def run_pr_throughput() -> dict:
 
 def run_scaling() -> dict:
     """Same PageRank job at 8 and 32 CPUs in fresh interpreters (the
-    sandbox evidence for the N vs 4N cluster criterion).  Each level runs
+    sandbox evidence for the N vs 4N cluster criterion).  Each level's
+    partitioned layout (P = ncpu//2) is built ONCE at full parallelism and
+    every rep of that level reuses it, so reps time only the iteration
+    phase over identical on-disk bytes.  Each level runs
     ``GRAFT_SCALING_REPS`` times (default 3) and reports the best — the
     shared sandbox shows up to 2x run-to-run noise in the 8-CPU leg."""
+    import shutil
+    import tempfile
+
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    base_dir = tempfile.mkdtemp(prefix="bench_scaling_layouts_")
     results: dict[int, dict] = {}
     all_eps: dict[int, list] = {8: [], 32: []}
     for ncpu in (8, 32):
+        # Each level runs its NATURAL plan: P = ncpu//2 single-threaded
+        # partition actors (each "node" hosts two partitions).  The actor
+        # count is the real parallelism lever — actors hold num_cpus=1, so
+        # Ray schedules exactly P concurrent workers.  Do NOT pin one P
+        # across levels on a single box: when P exceeds the logical CPU
+        # count the engine falls back to zero-CPU actors, which escape the
+        # logical limit entirely and run on every physical core (measured:
+        # a "2-CPU" session with 16 zero-CPU actors matched the 32-CPU
+        # session), so a fixed-plan leg measures nothing here.
+        parts = str(max(1, ncpu // 2))
+        layout = os.path.join(base_dir, f"p{parts}")
+        prep_env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS="32",  # build fast; only iterations are timed
+            GRAFT_BENCH_MODE="pr_build",
+            GRAFT_SCALING_LAYOUT=layout,
+            GRAFT_SCALING_PARTS=parts,
+        )
+        prep = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=prep_env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if prep.returncode != 0:
+            raise RuntimeError(
+                f"scaling layout build failed: {prep.stderr[-500:]}"
+            )
         for _ in range(reps):
             env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="pr_throughput"
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                GRAFT_BENCH_MODE="pr_throughput",
+                GRAFT_SCALING_LAYOUT=layout,
+                GRAFT_SCALING_PARTS=parts,
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
@@ -350,6 +403,7 @@ def run_scaling() -> dict:
                 results[ncpu] = r
         if ncpu not in results:
             raise RuntimeError(f"all {reps} scaling reps failed at {ncpu} CPUs")
+    shutil.rmtree(base_dir, ignore_errors=True)
     eps8 = results[8]["value"]
     eps32 = results[32]["value"]
     eff = (eps32 / eps8) / (32 / 8)
@@ -369,7 +423,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
-    elif os.environ.get("GRAFT_BENCH_MODE") == "pr_throughput":
+    elif os.environ.get("GRAFT_BENCH_MODE") in ("pr_throughput", "pr_build"):
         print(json.dumps(run_pr_throughput()))
     else:
         print(json.dumps(run_suite()))

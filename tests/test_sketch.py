@@ -146,3 +146,49 @@ def test_cms_sql_oracle_bit_exact():
     exp = con.execute(sql).df()
     assert got["vertex_key"].tolist() == exp["vertex_key"].tolist()
     assert got["est_count"].tolist() == exp["est_count"].tolist()
+
+
+def test_tfidf_topk_matches_oracle_and_bruteforce():
+    from webgraph_ray.stages.text import TFIDF_SCALE, tfidf_topk, tfidf_topk_sql
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(120)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": texts})
+    got = tfidf_topk(ray.data.from_pandas(df).repartition(6), k=3)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(tfidf_topk_sql(k=3)).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["score_fp"].tolist() == exp["score_fp"].tolist()
+
+    # brute-force spot check of one doc
+    doc = df.iloc[7]
+    toks = pd.Series(doc["text"].split())
+    tf = toks.value_counts()
+    dfreq = {
+        t: sum(t in set(x.split()) for x in df["text"]) for t in tf.index
+    }
+    scores = {t: (int(tf[t]) * TFIDF_SCALE) // dfreq[t] for t in tf.index}
+    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    mine = got[got["doc_id"] == 7][["term", "score_fp"]].to_records(index=False)
+    assert [(t, s) for t, s in mine] == best
+
+
+def test_tfidf_blocking_invariance():
+    from webgraph_ray.stages.text import tfidf_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [f"a b c d{i % 5} e{i % 7}" for i in range(40)],
+        }
+    )
+    a = tfidf_topk(ray.data.from_pandas(df).repartition(2), k=2)
+    b = tfidf_topk(ray.data.from_pandas(df).repartition(11), k=2)
+    assert a.equals(b)

@@ -151,3 +151,119 @@ quality_scores = _stage(quality_batch)
 lang_id = _stage(lang_id_batch)
 doc_hashes = _stage(doc_hashes_batch)
 fingerprints = _stage(fingerprint_batch)
+
+
+# ---------------------------------------------------------------------------
+# tf/df relevance: top-k characteristic terms per document.
+#
+# Integer-exact tf-idf analog: score_fp = (tf * TFIDF_SCALE) // df — for a
+# fixed corpus this orders terms identically to tf-idf's tf * log(N/df)
+# wherever df differs, and being pure integer floor arithmetic it is
+# bit-stable against the DuckDB mirror (no float log association issues).
+# Two stages, both mergeable:
+#   1. document frequency: per-batch (term, #docs-containing) partials —
+#      bounded by the batch vocabulary — reduced on the driver (at corpus
+#      scale this reduce becomes a bucket-hash groupby; the partial shape
+#      is what matters: one row per distinct term per block, never one per
+#      occurrence).
+#   2. scoring: df rides as a ray.put broadcast; each batch computes term
+#      frequencies and keeps its own docs' top-k — no shuffle at all,
+#      because a document's tf is local to its row.
+# ---------------------------------------------------------------------------
+
+TFIDF_SCALE = 1 << 20
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
+    """(doc_id, term_rank, term, score_fp): each document's ``k`` most
+    characteristic terms by the exact-integer tf/df score (ties broken by
+    term text)."""
+    import ray as _ray
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            df[["doc_id"]]
+            .assign(term=df["text"].str.findall(TOKEN_RE))
+            .explode("term")
+            .dropna(subset=["term"])
+            .drop_duplicates(["doc_id", "term"])
+        )
+        vc = pairs["term"].value_counts()
+        return pd.DataFrame(
+            {"term": vc.index.to_numpy(), "cnt": vc.to_numpy(np.int64)}
+        )
+
+    parts = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    dfreq = parts.groupby("term", sort=False)["cnt"].sum()
+    df_ref = _ray.put(dfreq)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfr = _ray.get(df_ref)
+        tf = (
+            batch[["doc_id"]]
+            .assign(term=batch["text"].str.findall(TOKEN_RE))
+            .explode("term")
+            .dropna(subset=["term"])
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        if tf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "term_rank": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "score_fp": pd.Series([], dtype=np.int64),
+                }
+            )
+        tf["score_fp"] = (
+            tf["tf"].to_numpy(np.int64) * TFIDF_SCALE
+        ) // dfr.reindex(tf["term"]).to_numpy(np.int64)
+        tf = tf.sort_values(
+            ["doc_id", "score_fp", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(k).copy()
+        top["term_rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return top[["doc_id", "term_rank", "term", "score_fp"]].astype(
+            {"doc_id": np.int64, "term_rank": np.int64, "score_fp": np.int64}
+        )
+
+    out = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(
+        ["doc_id", "term_rank"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def tfidf_topk_sql(k: int = 3, doc_table: str = "documents") -> str:
+    """DuckDB mirror: same tokenization, same integer floor score, same
+    (score desc, term asc) tie-break."""
+    return f"""
+WITH occ AS MATERIALIZED (
+    SELECT doc_id, t AS term
+    FROM {doc_table}, unnest(regexp_extract_all(text, '\\S+')) AS u(t)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM occ GROUP BY 1),
+scored AS (
+    SELECT tf.doc_id, tf.term, (tf.tf * {TFIDF_SCALE}) // dfreq.df AS score_fp,
+           row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (tf.tf * {TFIDF_SCALE}) // dfreq.df DESC, tf.term
+           ) AS rn
+    FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS term_rank, term,
+       CAST(score_fp AS BIGINT) AS score_fp
+FROM scored WHERE rn <= {k}
+ORDER BY doc_id, term_rank"""
