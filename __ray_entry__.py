@@ -635,6 +635,22 @@ def q_hop_distance(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities: exact-int64 alternating power iteration
+    over forward + reversed layouts with L1 normalization (see
+    webgraph_ray/graph/hits.py)."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.hits import hits_keyed
+
+    work = tempfile.mkdtemp(prefix="webgraph_hits_")
+    try:
+        return hits_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_cms_hot_keys(sf_dir: str):
     """Count-min-sketch hot-key detection over the edge stream's dst_key
     (the hub-discovery pre-pass the engine's salted splits need at scale):
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "ppr": q_ppr,
         "hop_distance": q_hop_distance,
+        "hits": q_hits,
     }
 
 
@@ -1166,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "hop_distance": _graph_oracles.hopdist_sql(
             _CTE_MAT, PPR_SEEDS_SQL, rounds=HOPDIST_SQL_ROUNDS
         ),
+        "hits": _hits_sql_oracle(),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
         "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),
@@ -1206,6 +1224,12 @@ def _lsh_ann_sql_oracle() -> str:
     from webgraph_ray.stages.embed import lsh_ann_sql
 
     return lsh_ann_sql(ANN_QUERY_IDS, k=10)
+
+
+def _hits_sql_oracle() -> str:
+    from webgraph_ray.graph.hits import hits_sql
+
+    return hits_sql(_CTE_MAT)
 
 
 def _build_training_oracles() -> dict[str, str]:

@@ -118,3 +118,85 @@ def test_kcore_sql_oracle_on_transcript_graph(tmp_path):
     exp = con.execute(sql).df()
     assert got["vertex_key"].tolist() == exp["vertex_key"].tolist()
     assert got["core_degree"].tolist() == exp["core_degree"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# HITS (lives here to reuse the module's graph fixtures)
+# ---------------------------------------------------------------------------
+
+
+def test_hits_matches_integer_reference(tmp_path):
+    """Engine HITS vs a direct numpy int64 mirror of the alternating
+    normalized half-steps, plus direction sanity (pure source has hub>0,
+    auth=0)."""
+    from webgraph_ray.graph.hits import HITS_SCALE, hits
+
+    pdf = pd.DataFrame(
+        {
+            "src": np.array([1, 1, 2, 3, 3, 4, 5, 5, 5], dtype=np.int64),
+            "dst": np.array([2, 3, 3, 4, 2, 2, 2, 3, 4], dtype=np.int64),
+            "weight": np.array([1, 2, 1, 1, 1, 3, 1, 1, 1], dtype=np.float64),
+        }
+    )
+    got = (
+        hits(ray.data.from_pandas(pdf).repartition(3), str(tmp_path / "h"), iters=7)
+        .to_pandas()
+        .sort_values("vertex_id")
+        .reset_index(drop=True)
+    )
+
+    verts = np.unique(np.concatenate([pdf["src"], pdf["dst"]]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    si = np.array([idx[int(v)] for v in pdf["src"]])
+    di = np.array([idx[int(v)] for v in pdf["dst"]])
+    w = pdf["weight"].to_numpy(np.int64)
+    scale = HITS_SCALE
+    h = np.full(len(verts), scale // len(verts), dtype=np.int64)
+    for _ in range(7):
+        a = np.zeros(len(verts), dtype=np.int64)
+        np.add.at(a, di, h[si] * w)
+        a = (a * scale) // max(int(a.sum()), 1)
+        h = np.zeros(len(verts), dtype=np.int64)
+        np.add.at(h, si, a[di] * w)
+        h = (h * scale) // max(int(h.sum()), 1)
+    exp_auth = dict(zip(verts.tolist(), a.tolist()))
+    exp_hub = dict(zip(verts.tolist(), h.tolist()))
+    g_auth = dict(zip(got["vertex_id"].tolist(), got["auth_fp"].tolist()))
+    g_hub = dict(zip(got["vertex_id"].tolist(), got["hub_fp"].tolist()))
+    assert g_auth == exp_auth
+    assert g_hub == exp_hub
+    assert g_auth[1] == 0 and g_hub[1] > 0  # vertex 1 is a pure source
+
+
+def test_hits_partition_invariant_and_sql(tmp_path):
+    from webgraph_ray.graph.hits import hits, hits_sql
+
+    pdf = _random_edges(seed=17, n=80, m=400)
+    pdf["weight"] = 1.0
+    a = (
+        hits(ray.data.from_pandas(pdf).repartition(2), str(tmp_path / "p1"),
+             iters=5, num_parts=1)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    b = (
+        hits(ray.data.from_pandas(pdf).repartition(5), str(tmp_path / "p4"),
+             iters=5, num_parts=4)
+        .to_pandas().sort_values("vertex_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+    # SQL mirror over string keys
+    epdf = pdf.copy()
+    epdf["src_key"] = "v" + epdf["src"].astype(str).str.zfill(4)
+    epdf["dst_key"] = "v" + epdf["dst"].astype(str).str.zfill(4)
+    con = duckdb.connect()
+    con.register("edges_tbl", epdf)
+    sql = hits_sql("WITH edges AS (SELECT * FROM edges_tbl)", iters=5)
+    exp = con.execute(sql).df()
+    key_of = {int(r.src): f"v{int(r.src):04d}" for r in pdf.itertuples()}
+    key_of.update({int(r.dst): f"v{int(r.dst):04d}" for r in pdf.itertuples()})
+    a["vertex_key"] = a["vertex_id"].map(key_of)
+    merged = a.merge(exp, on="vertex_key", suffixes=("", "_sql"))
+    assert len(merged) == len(exp) == len(a)
+    assert (merged["auth_fp"] == merged["auth_fp_sql"]).all()
+    assert (merged["hub_fp"] == merged["hub_fp_sql"]).all()

@@ -599,6 +599,18 @@ class GraphPartition:
                     pos = pos[ok]
                     self.labels[pos] = lab
                     self.frozen[pos] = True
+        elif algo == "hits":
+            # HITS half-steps: labels carries the current hub (on the
+            # forward layout) or authority (on the reversed layout) score
+            # in integer units; messages are gather(labels)*w sums.  The
+            # driver-side orchestrator (graph/hits.py) alternates layouts.
+            assert np.array_equal(self.ew, np.floor(self.ew)), (
+                "hits requires integer edge weights"
+            )
+            self.ew_int = self.ew.astype(np.int64)
+            if len(self.ew_int) == 0 or np.abs(self.ew_int).max() < 2**31:
+                self.ew_int = self.ew_int.astype(np.int32)
+            self.labels = np.zeros(n, dtype=np.int64)
         elif algo == "kcore":
             # k-core peeling: labels carries the current degree (filled by
             # the degree round), active/removed_now drive the peel.  All
@@ -706,6 +718,15 @@ class GraphPartition:
             share = self.labels // self.out_int
             edge_vals = gather(share, np.int64)
             edge_vals = (edge_vals * self.ew_int * 17) // 20
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
+        elif algo == "hits":
+            # per-dst sum of src values * weight, exact int64 (the raw
+            # power-iteration half-step; normalization happens in apply)
+            vals = gather(self.labels, np.int64)
+            edge_vals = vals * self.ew_int
             if len(self.seg_starts):
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:
@@ -987,6 +1008,40 @@ class GraphPartition:
             self._dirty = True  # next scatter must recompute messages
         self.labels = new
         return changed, self.hub_values("min")[1]
+
+    def apply_sum(self, *incoming):
+        """HITS half-step apply: labels <- per-dst aggregated sums; returns
+        the partition's total (for the driver's global L1 normalization)
+        and this owner's hub label values."""
+        agg = np.zeros(len(self.owned), dtype=np.int64)
+        for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
+            if vals is None or len(vals) == 0:
+                continue
+            pos = self._inbox_maps[p]
+            agg[pos] += vals
+        self.labels = agg
+        return int(agg.sum())
+
+    def scale_labels(self, scale: int, total: int):
+        """labels <- labels * scale // total (exact int64; caller ensures
+        labels * scale < 2^63)."""
+        if total > 0:
+            self.labels = (self.labels * int(scale)) // int(total)
+        return True
+
+    def get_labels(self):
+        return self.labels
+
+    def set_labels(self, arr):
+        arr = np.asarray(arr, dtype=np.int64)
+        assert len(arr) == len(self.owned), "label transfer length mismatch"
+        self.labels = arr.copy()
+        return True
+
+    def set_uniform_labels(self, value_int: int):
+        self.labels = np.full(len(self.owned), int(value_int), dtype=np.int64)
+        return True
 
     def apply_kcore_deg(self, *incoming):
         """Degree round: sum per-dst edge counts into labels, then peel the
