@@ -120,6 +120,14 @@ def run_suite() -> dict:
     extras["kcore_rounds"] = mk.iterations
     extras["kcore_msg_reduction"] = round(mk.msgs_dense / max(mk.msgs_sent, 1), 2)
 
+    # 4c. HITS hubs/authorities (fwd + reversed layouts, exact int64)
+    from webgraph_ray.graph.hits import hits as run_hits
+
+    t0 = time.time()
+    hres = run_hits(edges, os.path.join(work, "hits"))
+    extras["hits_vertices"] = hres.count()
+    queries["hits"] = round(time.time() - t0, 3)
+
     # 5. triangle counting
     t0 = time.time()
     total, tri_pv = triangle_counts(edges)
