@@ -354,6 +354,15 @@ def run_scaling() -> dict:
 
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     base_dir = tempfile.mkdtemp(prefix="bench_scaling_layouts_")
+    try:
+        return _run_scaling_levels(base_dir, reps)
+    finally:
+        # two ~48M-edge partitioned layouts; never leak them on a failed
+        # rep or prep build
+        shutil.rmtree(base_dir, ignore_errors=True)
+
+
+def _run_scaling_levels(base_dir: str, reps: int) -> dict:
     results: dict[int, dict] = {}
     all_eps: dict[int, list] = {8: [], 32: []}
     for ncpu in (8, 32):
@@ -411,7 +420,6 @@ def run_scaling() -> dict:
                 results[ncpu] = r
         if ncpu not in results:
             raise RuntimeError(f"all {reps} scaling reps failed at {ncpu} CPUs")
-    shutil.rmtree(base_dir, ignore_errors=True)
     eps8 = results[8]["value"]
     eps32 = results[32]["value"]
     eff = (eps32 / eps8) / (32 / 8)

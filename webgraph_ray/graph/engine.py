@@ -830,12 +830,7 @@ class GraphPartition:
             if msg is None:
                 empty = (np.array([], np.uint32), np.array([], np.int64))
                 return empty if self.P == 1 else tuple([empty] * self.P)
-            out = []
-            for q in range(self.P):
-                m = mask[b[q] : b[q + 1]]
-                seg = msg[b[q] : b[q + 1]]
-                out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
-            return out[0] if self.P == 1 else tuple(out)
+            return self._pack_sparse_sliced(msg, mask)
         if algo in ("components", "labelprop", "hopdist", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
@@ -844,12 +839,7 @@ class GraphPartition:
             self._min_track_inputs(hub_vals)
             msg = self._compute_messages(algo, hub_vals)
             mask = self._min_delta_mask(msg)
-            out = []
-            for q in range(self.P):
-                m = mask[b[q] : b[q + 1]]
-                seg = msg[b[q] : b[q + 1]]
-                out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
-            return out[0] if self.P == 1 else tuple(out)
+            return self._pack_sparse_sliced(msg, mask)
         msg = self._compute_messages(algo, hub_vals)
         # msg is born in routed order (build-time lexsort): plain slices
         out = tuple(msg[b[q] : b[q + 1]] for q in range(self.P))
@@ -873,12 +863,7 @@ class GraphPartition:
             if msg is None:
                 z = np.zeros(self.P + 1, dtype=np.int64)
                 return z, np.array([], np.uint32), np.array([], np.int64)
-            nz = np.flatnonzero(mask)
-            b = self.route_bounds
-            new_bounds = np.searchsorted(nz, b)
-            seg_of = np.searchsorted(b, nz, side="right") - 1
-            local_idx = (nz - b[seg_of]).astype(np.uint32)
-            return new_bounds, local_idx, msg[nz]
+            return self._pack_sparse_fused(msg, mask)
         if algo in ("components", "labelprop", "hopdist", "min"):
             if self._min_quiescent(hub_vals):
                 self._msgs_dense += len(self._prev_msg)
@@ -887,12 +872,7 @@ class GraphPartition:
             self._min_track_inputs(hub_vals)
             msg = self._compute_messages(algo, hub_vals)
             mask = self._min_delta_mask(msg)
-            nz = np.flatnonzero(mask)
-            b = self.route_bounds
-            new_bounds = np.searchsorted(nz, b)
-            seg_of = np.searchsorted(b, nz, side="right") - 1
-            local_idx = (nz - b[seg_of]).astype(np.uint32)
-            return new_bounds, local_idx, msg[nz]
+            return self._pack_sparse_fused(msg, mask)
         msg = self._compute_messages(algo, hub_vals)
         # msg is born in routed order (build-time lexsort): no gather pass
         return self.route_bounds, msg
@@ -913,15 +893,7 @@ class GraphPartition:
         else:
             incoming = rest
         xlast = self.state
-        agg = np.zeros(len(self.owned), dtype=np.float64)
-        for p, vals in enumerate(incoming):
-            vals = self._my_slice(vals)
-            if vals is None or len(vals) == 0:
-                continue
-            # positions are unique within one source partition's message
-            # (messages are pre-combined per dst), so fancy indexing is safe
-            pos = self._inbox_maps[p]
-            agg[pos] += vals
+        agg = self._agg_dense_incoming(incoming, np.float64)
         x = alpha * (agg + dangling_mass * one_over_n) + (1.0 - alpha) * one_over_n
         delta = float(np.abs(x - xlast).sum())
         self.state = x
@@ -942,13 +914,7 @@ class GraphPartition:
             incoming = rest[self.P :]
         else:
             incoming = rest
-        agg = np.zeros(len(self.owned), dtype=np.int64)
-        for p, vals in enumerate(incoming):
-            vals = self._my_slice(vals)
-            if vals is None or len(vals) == 0:
-                continue
-            pos = self._inbox_maps[p]
-            agg[pos] += vals
+        agg = self._agg_dense_incoming(incoming, np.int64)
         if self.ppr_pos is not None:
             # personalized teleport: base and dangling mass land ONLY on
             # seeds (n_global carries |S| in this mode)
@@ -979,6 +945,56 @@ class GraphPartition:
             return msg[bounds[self.pid] : bounds[self.pid + 1]]
         return item
 
+    def _agg_dense_incoming(self, incoming, dtype) -> np.ndarray:
+        """Sum dense per-source message slices into an owned-aligned array
+        (positions are unique within one source: messages are pre-combined
+        per dst, so fancy indexing is safe)."""
+        agg = np.zeros(len(self.owned), dtype=dtype)
+        for p, vals in enumerate(incoming):
+            vals = self._my_slice(vals)
+            if vals is None or len(vals) == 0:
+                continue
+            agg[self._inbox_maps[p]] += vals
+        return agg
+
+    def _iter_sparse_incoming(self, incoming):
+        """Yield (owned positions, values) per source for sparse wire
+        formats: 3-tuples (bounds, idx, vals) from scatter_fused (slice my
+        segment first) or 2-tuples (idx, vals) from the sliced scatter."""
+        for p, item in enumerate(incoming):
+            if item is None:
+                continue
+            if len(item) == 3:
+                bounds, idx, vals = item
+                i0, i1 = bounds[self.pid], bounds[self.pid + 1]
+                idx, vals = idx[i0:i1], vals[i0:i1]
+            else:
+                idx, vals = item
+            if len(vals) == 0:
+                continue
+            yield self._inbox_maps[p][idx], vals
+
+    def _pack_sparse_sliced(self, msg: np.ndarray, mask: np.ndarray):
+        """Per-destination (local idx, values) pairs of the masked entries
+        (the sliced scatter's wire format)."""
+        b = self.route_bounds
+        out = []
+        for q in range(self.P):
+            m = mask[b[q] : b[q + 1]]
+            seg = msg[b[q] : b[q + 1]]
+            out.append((np.flatnonzero(m).astype(np.uint32), seg[m]))
+        return out[0] if self.P == 1 else tuple(out)
+
+    def _pack_sparse_fused(self, msg: np.ndarray, mask: np.ndarray):
+        """(bounds, local idx, values) of the masked entries (the fused
+        scatter's wire format)."""
+        nz = np.flatnonzero(mask)
+        b = self.route_bounds
+        new_bounds = np.searchsorted(nz, b)
+        seg_of = np.searchsorted(b, nz, side="right") - 1
+        local_idx = (nz - b[seg_of]).astype(np.uint32)
+        return new_bounds, local_idx, msg[nz]
+
     def apply_min(self, *incoming):
         """Apply sparse min-label deltas.  Each incoming item is either a
         3-tuple (bounds, local_idx, values) from scatter_fused (slice my
@@ -987,20 +1003,7 @@ class GraphPartition:
         Entries absent from a delta were unchanged at the source and need
         no re-application (min is idempotent)."""
         new = self.labels.copy()
-        for p, item in enumerate(incoming):
-            if item is None:
-                continue
-            if len(item) == 3:  # fused: (bounds, idx, vals)
-                bounds, idx, vals = item
-                i0, i1 = bounds[self.pid], bounds[self.pid + 1]
-                idx, vals = idx[i0:i1], vals[i0:i1]
-            else:  # sliced: (idx, vals)
-                idx, vals = item
-            if len(vals) == 0:
-                continue
-            # idx entries are unique within one source's segment (messages
-            # are pre-combined per dst), so fancy indexing is safe
-            pos = self._inbox_maps[p][idx]
+        for pos, vals in self._iter_sparse_incoming(incoming):
             new[pos] = np.minimum(new[pos], vals)
         new[self.frozen] = self.labels[self.frozen]
         changed = int((new != self.labels).sum())
@@ -1013,13 +1016,7 @@ class GraphPartition:
         """HITS half-step apply: labels <- per-dst aggregated sums; returns
         the partition's total (for the driver's global L1 normalization)
         and this owner's hub label values."""
-        agg = np.zeros(len(self.owned), dtype=np.int64)
-        for p, vals in enumerate(incoming):
-            vals = self._my_slice(vals)
-            if vals is None or len(vals) == 0:
-                continue
-            pos = self._inbox_maps[p]
-            agg[pos] += vals
+        agg = self._agg_dense_incoming(incoming, np.int64)
         self.labels = agg
         return int(agg.sum())
 
@@ -1047,14 +1044,7 @@ class GraphPartition:
         """Degree round: sum per-dst edge counts into labels, then peel the
         first layer (degree < k).  Dense wire format (every dst gets a
         count)."""
-        agg = np.zeros(len(self.owned), dtype=np.int64)
-        for p, vals in enumerate(incoming):
-            vals = self._my_slice(vals)
-            if vals is None or len(vals) == 0:
-                continue
-            pos = self._inbox_maps[p]
-            agg[pos] += vals
-        self.labels = agg
+        self.labels = self._agg_dense_incoming(incoming, np.int64)
         newly = self.kc_active & (self.labels < self.kcore_k)
         self.kc_removed_now = newly
         self.kc_active &= ~newly
@@ -1064,19 +1054,7 @@ class GraphPartition:
         """Peel round: subtract removed-in-neighbor counts, then remove any
         active vertex whose degree dropped below k.  Sparse wire format
         (same shapes as apply_min)."""
-        for p, item in enumerate(incoming):
-            if item is None:
-                continue
-            if len(item) == 3:  # fused: (bounds, idx, vals)
-                bounds, idx, vals = item
-                i0, i1 = bounds[self.pid], bounds[self.pid + 1]
-                idx, vals = idx[i0:i1], vals[i0:i1]
-            else:  # sliced: (idx, vals)
-                idx, vals = item
-            if len(vals) == 0:
-                continue
-            # idx unique within one source (messages pre-combined per dst)
-            pos = self._inbox_maps[p][idx]
+        for pos, vals in self._iter_sparse_incoming(incoming):
             self.labels[pos] -= vals
         newly = self.kc_active & (self.labels < self.kcore_k)
         self.kc_removed_now = newly
@@ -2081,7 +2059,9 @@ class GraphEngine:
         ray.get(
             [a.init_state.remote("kcore", kcore_k=int(k)) for a in self.actors]
         )
-        hub_ref = self._initial_hub_ref("kcore")  # all-zero indicator
+        # (no initial hub broadcast needed: the degree round does no
+        # gather, and the first peel round's hub indicator is piggybacked
+        # on apply_kcore_deg's returns)
 
         def one_round(algo: str, apply_name: str, hub):
             outs = self._exchange(algo, hub)

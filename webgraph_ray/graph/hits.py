@@ -53,14 +53,24 @@ def hits(
     half-steps with L1 normalization."""
     import pyarrow.compute as pc
 
+    assert iters >= 1, "hits needs at least one iteration"
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        # three consumers below (weight scan, forward build, reversed
+        # build) — a lazy input would re-execute its upstream each time
+        edges = edges.materialize()
     max_w = 0
     for batch in edges.select_columns(["weight"]).iter_batches(
         batch_format="pyarrow"
     ):
         if len(batch):
-            max_w = max(max_w, abs(pc.max(batch["weight"]).as_py() or 0))
+            mm = pc.min_max(batch["weight"]).as_py()
+            max_w = max(
+                max_w, abs(mm["min"] or 0), abs(mm["max"] or 0)
+            )
     assert scale * scale * max(max_w, 1) < 2**62, (
-        f"hits overflow bound violated: scale={scale}, max weight={max_w}"
+        f"hits overflow bound violated: scale={scale}, max |weight|={max_w}"
     )
 
     # Both engines are alive at once: with the default num_cpus=1 per

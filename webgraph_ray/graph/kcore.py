@@ -114,6 +114,10 @@ def kcore_sql(edges_cte: str, k: int, rounds: int = KCORE_SQL_ROUNDS) -> str:
     GROUP BY s HAVING count(*) >= {k}
 )"""
         )
+    # act sets only shrink, so equal counts in the last two rounds prove
+    # the fixpoint was reached; otherwise emit a poison row that fails any
+    # comparison loudly and names the oracle (not the engine) as the side
+    # that was under-unrolled.
     return (
         edges_cte
         + ", "
@@ -123,5 +127,9 @@ SELECT s AS vertex_key, CAST(count(*) AS BIGINT) AS core_degree
 FROM adj
 WHERE s IN (SELECT v FROM act{rounds}) AND d IN (SELECT v FROM act{rounds})
 GROUP BY 1
+UNION ALL
+SELECT '__KCORE_ORACLE_NOT_CONVERGED_RAISE_ROUNDS__', CAST(-1 AS BIGINT)
+WHERE (SELECT count(*) FROM act{rounds - 1})
+      <> (SELECT count(*) FROM act{rounds})
 ORDER BY 1"""
     )

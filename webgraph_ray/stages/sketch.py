@@ -222,6 +222,17 @@ def _cms_buckets(g: np.ndarray, j: int, width: int) -> np.ndarray:
     return ((a * g + b) % M) % width
 
 
+def _hash_keys_cms(keys: list) -> np.ndarray:
+    """Key hash tolerant of empty strings: hash_token_list's reduceat
+    segments require non-empty tokens (its \\S+ precondition), while the
+    SQL mirror computes 0 for '' — match that explicitly."""
+    out = np.zeros(len(keys), dtype=np.int64)
+    nonempty = [i for i, k in enumerate(keys) if k]
+    if nonempty:
+        out[nonempty] = hash_token_list([keys[i] for i in nonempty])
+    return out
+
+
 def cms_hot_keys(
     edges: "ray.data.Dataset",
     key_col: str = "dst_key",
@@ -254,7 +265,7 @@ def cms_hot_keys(
     keys_only = edges.select_columns([key_col])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = hash_token_list(df[key_col].tolist())
+        g = _hash_keys_cms(df[key_col].tolist())
         js, buckets, counts = [], [], []
         for j in range(CMS_DEPTH):
             cnt = np.bincount(_cms_buckets(g, j, width), minlength=width)
@@ -283,7 +294,7 @@ def cms_hot_keys(
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         sk = _ray.get(cms_ref)
-        g = hash_token_list(df[key_col].tolist())
+        g = _hash_keys_cms(df[key_col].tolist())
         est = np.minimum.reduce(
             [sk[j][_cms_buckets(g, j, width)] for j in range(CMS_DEPTH)]
         ) if len(g) else np.empty(0, np.int64)
