@@ -635,6 +635,14 @@ def q_hop_distance(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_reciprocity(sf_dir: str):
+    """Directed-edge mutuality over the distinct edge set: one symmetric
+    pair-hash bucket shuffle, integer-exact ratio."""
+    from webgraph_ray.stages.features import reciprocity
+
+    return reciprocity(_edges(sf_dir))
+
+
 def q_hits(sf_dir: str):
     """HITS hubs & authorities: exact-int64 alternating power iteration
     over forward + reversed layouts with L1 normalization (see
@@ -978,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": q_ppr,
         "hop_distance": q_hop_distance,
         "hits": q_hits,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -1184,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
             _CTE_MAT, PPR_SEEDS_SQL, rounds=HOPDIST_SQL_ROUNDS
         ),
         "hits": _hits_sql_oracle(),
+        "reciprocity": _reciprocity_sql_oracle(),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
         "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),
@@ -1230,6 +1240,12 @@ def _hits_sql_oracle() -> str:
     from webgraph_ray.graph.hits import hits_sql
 
     return hits_sql(_CTE_MAT)
+
+
+def _reciprocity_sql_oracle() -> str:
+    from webgraph_ray.stages.features import reciprocity_sql
+
+    return reciprocity_sql(_CTE_MAT)
 
 
 def _build_training_oracles() -> dict[str, str]:

@@ -192,3 +192,33 @@ def test_tfidf_blocking_invariance():
     a = tfidf_topk(ray.data.from_pandas(df).repartition(2), k=2)
     b = tfidf_topk(ray.data.from_pandas(df).repartition(11), k=2)
     assert a.equals(b)
+
+
+def test_reciprocity_bruteforce_and_oracle():
+    from webgraph_ray.stages.features import reciprocity, reciprocity_sql
+
+    rng = np.random.default_rng(5)
+    n = 60
+    src = rng.integers(0, n, 800)
+    dst = rng.integers(0, n, 800)
+    df = pd.DataFrame(
+        {
+            "src_key": [f"v{int(s):03d}" for s in src],
+            "dst_key": [f"v{int(d):03d}" for d in dst],
+        }
+    )
+    got = reciprocity(ray.data.from_pandas(df).repartition(7))
+
+    d = df[df.src_key != df.dst_key].drop_duplicates()
+    pairs = set(zip(d.src_key, d.dst_key))
+    n_rec = sum(1 for s, t in pairs if (t, s) in pairs)
+    assert int(got["n_directed"].iloc[0]) == len(pairs)
+    assert int(got["n_reciprocated"].iloc[0]) == n_rec
+    assert int(got["ratio_fp"].iloc[0]) == (n_rec * 1_000_000) // len(pairs)
+
+    con = duckdb.connect()
+    con.register("edges_tbl", df)
+    exp = con.execute(
+        reciprocity_sql("WITH edges AS (SELECT * FROM edges_tbl)")
+    ).df()
+    assert got.astype("int64").equals(exp.astype("int64"))

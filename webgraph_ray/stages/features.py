@@ -442,3 +442,86 @@ def convs_missing_tool(
         ),
         ["conv_id"],
     )
+
+
+def reciprocity(edges: ray.data.Dataset) -> pd.DataFrame:
+    """One row (n_directed, n_reciprocated, ratio_fp): how much of the
+    DISTINCT directed edge set (self-loops excluded) is mutual.
+
+    Scale shape: the only shuffle is ONE bucket groupby keyed on a
+    SYMMETRIC pair hash (h(src)+h(dst)), which lands both directions of an
+    unordered pair in the same bucket; each bucket dedups its directed
+    pairs and counts unordered pairs seen in both directions, and the
+    driver sums the tiny per-bucket partials.  ratio_fp is the exact
+    integer floor of n_reciprocated * 10^6 / n_directed, so the DuckDB
+    mirror is bit-stable.
+
+    Reference analog: graph-shape features of
+    /root/reference/code/features/structure.py:129-177 (reciprocity is
+    the standard directed companion of the degree features there)."""
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src_key"] != df["dst_key"]].drop_duplicates(
+            ["src_key", "dst_key"]
+        )[["src_key", "dst_key"]].copy()
+        hs = hash_keys(df["src_key"].to_numpy(dtype=object))
+        hd = hash_keys(df["dst_key"].to_numpy(dtype=object))
+        # symmetric bucket key: both directions of a pair co-locate
+        df["__b"] = (np.abs(hs + hd) % nb).astype(np.int32)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["src_key", "dst_key"])
+        lo = np.minimum(g["src_key"].to_numpy(), g["dst_key"].to_numpy())
+        hi = np.maximum(g["src_key"].to_numpy(), g["dst_key"].to_numpy())
+        both = (
+            pd.DataFrame({"lo": lo, "hi": hi})
+            .groupby(["lo", "hi"], sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "n_directed": [np.int64(len(g))],
+                "n_reciprocated": [np.int64(2 * int((both == 2).sum()))],
+            }
+        )
+
+    parts = (
+        edges.select_columns(["src_key", "dst_key"])
+        .map_batches(pre, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    n_dir = int(parts["n_directed"].sum())
+    n_rec = int(parts["n_reciprocated"].sum())
+    return pd.DataFrame(
+        {
+            "n_directed": np.array([n_dir], dtype=np.int64),
+            "n_reciprocated": np.array([n_rec], dtype=np.int64),
+            "ratio_fp": np.array(
+                [(n_rec * 1_000_000) // max(n_dir, 1)], dtype=np.int64
+            ),
+        }
+    )
+
+
+def reciprocity_sql(edges_cte: str) -> str:
+    """DuckDB mirror: same distinct directed set, same integer ratio."""
+    return (
+        edges_cte
+        + """, d AS MATERIALIZED (
+    SELECT DISTINCT src_key AS s, dst_key AS t
+    FROM edges WHERE src_key <> dst_key
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_directed,
+       CAST((SELECT count(*) FROM d a JOIN d b ON a.s = b.t AND a.t = b.s)
+            AS BIGINT) AS n_reciprocated,
+       CAST(((SELECT count(*) FROM d a JOIN d b ON a.s = b.t AND a.t = b.s)
+             * 1000000)
+            // greatest((SELECT count(*) FROM d), 1) AS BIGINT) AS ratio_fp"""
+    )
