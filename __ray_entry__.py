@@ -1380,7 +1380,7 @@ def _build_training_oracles() -> dict[str, str]:
         SELECT user_id,
                CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                    AS value_cents
         FROM events GROUP BY 1, 2
         """,
@@ -1388,7 +1388,7 @@ def _build_training_oracles() -> dict[str, str]:
         SELECT event_id,
                coalesce(
                    last_value(CASE WHEN event_type = 'purchase'
-                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
                               END IGNORE NULLS)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING),
@@ -1398,10 +1398,10 @@ def _build_training_oracles() -> dict[str, str]:
         "grouped_topk": """
         WITH ranked AS (
             SELECT user_id, event_id,
-                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                    row_number() OVER (
                        PARTITION BY user_id
-                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                       ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
                                 event_id) AS rank
             FROM events
         )
@@ -1411,7 +1411,7 @@ def _build_training_oracles() -> dict[str, str]:
         "value_quantiles": """
         WITH src AS (
             SELECT event_type,
-                   CAST(round(value * 100) AS BIGINT) AS cents
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
             FROM events
         )
         SELECT event_type, CAST(25 AS BIGINT) AS quantile_pct,
@@ -1437,7 +1437,7 @@ def _build_training_oracles() -> dict[str, str]:
         "sliding_window_stats": """
         SELECT event_id,
                CAST(count(*) OVER w AS BIGINT) AS n_window,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
                    AS window_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1447,7 +1447,7 @@ def _build_training_oracles() -> dict[str, str]:
         "sessions": """
         WITH brk AS (
             SELECT user_id, ts, event_id,
-                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
                    CASE WHEN ts - lag(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
                         > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b

@@ -68,17 +68,30 @@ def assign_edge_parts(
 def _multiset_remove_mask(
     src: np.ndarray,
     dst: np.ndarray,
+    w: np.ndarray,
     r_src: np.ndarray,
     r_dst: np.ndarray,
+    r_w: np.ndarray,
 ) -> np.ndarray:
-    """Keep-mask over (src, dst) rows after removing each removed pair
-    once per occurrence.  Raises DeltaFallback if any removed occurrence
-    has no matching row."""
+    """Keep-mask over (src, dst, weight) rows after removing each removed
+    triple once per occurrence.  Weights are matched on their exact float64
+    bit pattern, so a base partition holding duplicate (src, dst) pairs with
+    unequal weights drops exactly the occurrence the caller named (the
+    outdeg patch subtracts the supplied weight — matching on the pair alone
+    could silently diverge from a full rebuild).  Raises DeltaFallback if
+    any removed occurrence has no matching row."""
     n = len(src)
     if len(r_src) == 0:
         return np.ones(n, dtype=bool)
+    w_bits = np.ascontiguousarray(w, dtype=np.float64).view(np.int64)
+    r_w_bits = np.ascontiguousarray(r_w, dtype=np.float64).view(np.int64)
     both = np.stack(
-        [np.concatenate([src, r_src]), np.concatenate([dst, r_dst])], axis=1
+        [
+            np.concatenate([src, r_src]),
+            np.concatenate([dst, r_dst]),
+            np.concatenate([w_bits, r_w_bits]),
+        ],
+        axis=1,
     )
     _, inv = np.unique(both, axis=0, return_inverse=True)
     lay_ids, rem_ids = inv[:n], inv[n:]
@@ -105,6 +118,7 @@ def _patch_edges_part(
     part: int,
     r_src: np.ndarray,
     r_dst: np.ndarray,
+    r_w: np.ndarray,
     a_src: np.ndarray,
     a_dst: np.ndarray,
     a_w: np.ndarray,
@@ -121,7 +135,7 @@ def _patch_edges_part(
         src = np.array([], dtype=np.int64)
         dst = np.array([], dtype=np.int64)
         w = np.array([], dtype=np.float64)
-    keep = _multiset_remove_mask(src, dst, r_src, r_dst)
+    keep = _multiset_remove_mask(src, dst, w, r_src, r_dst, r_w)
     new_src = np.concatenate([src[keep], a_src])
     new_dst = np.concatenate([dst[keep], a_dst])
     new_w = np.concatenate([w[keep], a_w])
@@ -319,6 +333,7 @@ def delta_build(
                 int(p),
                 r_src[rs],
                 r_dst[rs],
+                r_w[rs],
                 a_src[as_],
                 a_dst[as_],
                 a_w[as_],

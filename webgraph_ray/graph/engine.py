@@ -1022,9 +1022,14 @@ class GraphPartition:
 
     def scale_labels(self, scale: int, total: int):
         """labels <- labels * scale // total (exact int64; caller ensures
-        labels * scale < 2^63)."""
-        if total > 0:
+        labels * scale < 2^63).  A degenerate half-step (total == 0, i.e.
+        all weight sums zero) zeroes the labels — matching the HITS
+        oracle, where ``(v * scale) // (SELECT sum(v) ...)`` divides by
+        NULL/0 and the wrapping coalesce lands on 0."""
+        if total != 0:
             self.labels = (self.labels * int(scale)) // int(total)
+        else:
+            self.labels = np.zeros_like(self.labels)
         return True
 
     def get_labels(self):

@@ -46,7 +46,13 @@ def _binary_parts(arr: pa.ChunkedArray | pa.Array):
     if n == 0:
         z = np.array([], dtype=np.int64)
         return z, z, np.array([], dtype=np.uint8)
-    off = np.frombuffer(a.buffers()[1], dtype=np.int32)
+    # large_binary / large_string carry int64 offsets; plain binary int32
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_binary(a.type) or pa.types.is_large_string(a.type)
+        else np.int32
+    )
+    off = np.frombuffer(a.buffers()[1], dtype=off_dtype)
     data_buf = a.buffers()[2]
     data = (
         np.frombuffer(data_buf, dtype=np.uint8)
@@ -153,14 +159,14 @@ class MediaDecoder:
         start, length, data = _binary_parts(t["payload"])
         n = len(start)
         H = 24
-        if n:
+        if n and len(data):
             idx = start[:, None] + np.arange(H)[None, :]
             valid = np.arange(H)[None, :] < length[:, None]
             heads = np.where(
-                valid, data[np.minimum(idx, max(len(data) - 1, 0))], 0
+                valid, data[np.minimum(idx, len(data) - 1)], 0
             ).astype(np.uint8)
-        else:
-            heads = np.zeros((0, H), dtype=np.uint8)
+        else:  # no rows, or every payload empty (data buffer is empty)
+            heads = np.zeros((n, H), dtype=np.uint8)
 
         is_png = (length >= _PNG_HDR_LEN) & (heads[:, :8] == _PNG_SIG).all(axis=1)
         is_gif = (length >= _GIF_HDR_LEN) & (

@@ -25,7 +25,8 @@ layout via its ``__b`` column and runs shuffle-free as a per-block
 exchange instead of N.  This is the reuse-one-partitioning-key rule made
 concrete.
 
-Money columns ride as exact integer cents (``round(value*100)``) so sums
+Money columns ride as exact integer cents (``floor(value*100 + 0.5)``,
+half-up on both sides) so sums
 are associative and every query is bit-reproducible against its DuckDB
 oracle (float sums would differ in the last ulp across partitionings).
 Partitioning assumption: one user's events fit one task's memory after
@@ -47,7 +48,11 @@ US_PER_MIN = 60_000_000
 
 
 def _cents(values: pd.Series) -> np.ndarray:
-    return np.round(values.to_numpy(np.float64) * 100).astype(np.int64)
+    # Explicit half-up rule, mirrored verbatim by every window oracle as
+    # floor(value * 100 + 0.5): np.round is half-even while DuckDB round()
+    # is half-away-from-zero, so neither builtin matches the other on an
+    # exact .5 — floor(x + 0.5) is the same C expression on both sides.
+    return np.floor(values.to_numpy(np.float64) * 100 + 0.5).astype(np.int64)
 
 
 def _epoch_us(ts: pd.Series) -> np.ndarray:
@@ -295,13 +300,32 @@ def sliding_window_stats(
         cents = g["cents"].to_numpy(np.int64)
         # Offset timestamps per user so searchsorted never crosses a user
         # boundary: shift each user's times into a disjoint numeric band.
-        user_ord = np.cumsum(np.r_[False, uid[1:] != uid[:-1]])
-        span = np.int64(2) * (ts.max() - ts.min() + look_us + 1)
-        key = user_ord * span + (ts - ts.min())
-        # frame start index: first row of same user with ts >= ts_i - look
-        lo = np.searchsorted(key, key - look_us, side="left")
-        # frame end index: last row of same user with ts <= ts_i (ties incl.)
-        hi = np.searchsorted(key, key, side="right")
+        # Band width is the max PER-USER time range (not the global range),
+        # so users x range products stay small; if the product would still
+        # wrap int64 (~1e5+ users x multi-century microsecond spans in one
+        # bucket) fall back to per-user segment-bounded searchsorted rather
+        # than corrupt the frames silently.
+        new_user = np.r_[False, uid[1:] != uid[:-1]]
+        user_ord = np.cumsum(new_user)
+        seg_starts = np.flatnonzero(np.r_[True, new_user[1:]])
+        rel = ts - ts[seg_starts][user_ord]  # >= 0, nondecreasing per user
+        band = int(rel.max()) + look_us + 2
+        if int(user_ord[-1]) * band + int(rel.max()) < 2**62:
+            # Bands are disjoint: prev user's max key <= u*band - look - 2
+            # < key_i - look, so the 'left' probe never crosses backwards.
+            key = user_ord * np.int64(band) + rel
+            # frame start: first row of same user with ts >= ts_i - look
+            lo = np.searchsorted(key, key - look_us, side="left")
+            # frame end: last row of same user with ts <= ts_i (ties incl.)
+            hi = np.searchsorted(key, key, side="right")
+        else:  # pragma: no cover - astronomically wide buckets only
+            seg_ends = np.r_[seg_starts[1:], n]
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(seg_starts, seg_ends):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - look_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         csum = np.concatenate(([0], np.cumsum(cents)))
         return pd.DataFrame(
             {
