@@ -1,0 +1,105 @@
+"""Model-fit stage: closed-form per-fold least squares must be
+deterministic across partitionings (integer Gram sums are
+order-independent; the Cramer solve runs in exact Python ints)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from webgraph_ray.pipelines.classify import (
+    FIT_SCALE,
+    MODEL_WEIGHTS,
+    _tdiv,
+    feature_importance,
+    fit_fold_weights,
+)
+
+FEATURE_COLS = sorted(MODEL_WEIGHTS) + ["score_fp", "label"]
+
+
+def _toy_features(n=400, k_convs=40, seed=3):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        conv = i % k_convs
+        turn = i // k_convs
+        rec = {c: int(rng.integers(0, 5)) for c in sorted(MODEL_WEIGHTS)}
+        rec["chain_depth"] = turn
+        rec["reply_out"] = int(rng.integers(0, 2))
+        rec["vertex_key"] = f"conv_{conv}#{turn}"
+        rec["score_fp"] = int(rng.integers(0, 10**12))
+        rec["label"] = "late_turn" if turn >= 6 else "early_turn"
+        rows.append(rec)
+    # a few tool vertices (must be excluded: fold -1)
+    for t in range(3):
+        rec = {c: 1 for c in sorted(MODEL_WEIGHTS)}
+        rec["vertex_key"] = f"tool:tool_{t}"
+        rec["score_fp"] = 10**11
+        rec["label"] = "tool"
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def test_fit_deterministic_across_partitionings():
+    df = _toy_features()
+    a = fit_fold_weights(ray.data.from_pandas(df))
+    shuffled = df.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    b = fit_fold_weights(
+        ray.data.from_pandas(shuffled).repartition(7)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fit_matches_numpy_lstsq():
+    """Fixed-point weights must agree with float least squares on the
+    training split (to within the fixed-point grid)."""
+    df = _toy_features(n=300, k_convs=30, seed=11)
+    out = fit_fold_weights(ray.data.from_pandas(df))
+    conv = df["vertex_key"].str.replace(r"#\d+$", "", regex=True)
+    is_tool = df["vertex_key"].str.startswith("tool:")
+    fold = np.where(
+        is_tool,
+        -1,
+        conv.str.replace("conv_", "", regex=False)
+        .where(~is_tool, other="0")
+        .astype(np.int64)
+        % 10,
+    )
+    for f in range(10):
+        train = df[(fold >= 0) & (fold != f)]
+        X = np.column_stack(
+            [
+                np.ones(len(train)),
+                train["chain_depth"].to_numpy(float),
+                train["reply_out"].to_numpy(float),
+            ]
+        )
+        y = (train["label"] == "late_turn").to_numpy(float)
+        w, *_ = np.linalg.lstsq(X, y, rcond=None)
+        row = out[out["fold"] == f].iloc[0]
+        got = np.array([row.w0_fp, row.w1_fp, row.w2_fp]) / FIT_SCALE
+        np.testing.assert_allclose(got, w, atol=2 / FIT_SCALE)
+        assert row.n_train == len(train)
+
+
+def test_fit_holdout_counts():
+    df = _toy_features(n=200, k_convs=20, seed=5)
+    out = fit_fold_weights(ray.data.from_pandas(df))
+    assert int(out["holdout_n"].sum()) == 200  # every non-tool row once
+    assert (out["holdout_agree"] <= out["holdout_n"]).all()
+
+
+def test_tdiv_truncates_toward_zero():
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, -2) == -3 and _tdiv(7, 2) == 3
+
+
+def test_feature_importance_exact():
+    df = _toy_features(n=150, k_convs=15, seed=2)
+    out = feature_importance(ray.data.from_pandas(df).repartition(5))
+    assert list(out["feature"]) == sorted(MODEL_WEIGHTS)
+    for _, r in out.iterrows():
+        wx = MODEL_WEIGHTS[r.feature] * df[r.feature].to_numpy(np.int64)
+        assert r.contrib == wx.sum()
+        assert r.abs_contrib == np.abs(wx).sum()
+        assert r.n_nonzero == int((df[r.feature] != 0).sum())

@@ -167,6 +167,211 @@ def fold_metrics(scored: ray.data.Dataset) -> ray.data.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Model FIT: leave-one-fold-out closed-form least squares
+# ---------------------------------------------------------------------------
+
+# Fit features: intercept + two bounded per-turn features.  Turn-vertex
+# features stay small (chain depth <= turns per conversation, reply_out is
+# 0/1-ish), so per-batch int64 partial sums cannot overflow; the global
+# reduce and the Cramer solve run in arbitrary-precision Python ints, so
+# fitted weights are bit-identical across any partitioning of the input.
+FIT_FEATURES = ("chain_depth", "reply_out")
+FIT_SCALE = 10**6
+_FIT_SUMS = ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+_FIT_FEATURE_BOUND = 1 << 20  # keeps x*x*batch_rows < 2^63
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB's ``//``; Python's
+    ``//`` floors, which differs on negative quotients)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _fold_of(vertex_key: pd.Series, k: int) -> np.ndarray:
+    """Same fold rule as LinearScorer: conversation id mod k; tool
+    vertices get -1 (excluded from the fit)."""
+    conv = vertex_key.str.replace(r"#\d+$", "", regex=True)
+    is_tool = vertex_key.str.startswith("tool:")
+    return np.where(
+        is_tool,
+        -1,
+        conv.str.replace("conv_", "", regex=False)
+        .where(~is_tool, other="0")
+        .astype(np.int64)
+        % k,
+    ).astype(np.int64)
+
+
+def fit_fold_weights(
+    features: ray.data.Dataset, k: int = NUM_FOLDS
+) -> pd.DataFrame:
+    """Train the linear scorer per CV fold and evaluate on the held-out
+    fold — the reference's per-fold fit/predict cycle
+    (/root/reference/code/classification/classify.py:260-323) with the
+    RandomForest replaced by an exact closed-form least-squares fit so the
+    whole train->evaluate loop has a DuckDB mirror.
+
+    Pass 1 (distributed): one ``map_batches`` sweep computes per-fold
+    integer Gram/moment partials (9 sums per fold per batch — the
+    pre-aggregate-before-reduce rule; the reduce is O(k) rows).  Driver:
+    leave-one-fold-out train sums are ``total - fold``, solved exactly by
+    Cramer's rule in Python ints; weights come out as fixed-point
+    ``FIT_SCALE`` integers (truncating division, matching DuckDB).
+    Pass 2 (distributed): a second sweep scores each row with ITS OWN
+    fold's fitted weights (the weights table rides into the task closure —
+    k x 3 ints, the broadcast-small-side pattern) and reduces holdout
+    agreement counts.
+
+    Returns one row per fold: (fold, n_train, w0_fp, w1_fp, w2_fp,
+    holdout_n, holdout_agree).  Deterministic across partitionings:
+    integer sums are order-independent."""
+    f1, f2 = FIT_FEATURES
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        fold = _fold_of(df["vertex_key"], k)
+        keep = fold >= 0
+        x1 = df[f1].to_numpy(np.int64)[keep]
+        x2 = df[f2].to_numpy(np.int64)[keep]
+        assert (np.abs(x1) < _FIT_FEATURE_BOUND).all() and (
+            np.abs(x2) < _FIT_FEATURE_BOUND
+        ).all(), "fit feature exceeds the int64 partial-sum bound"
+        y = (df["label"].to_numpy() == TARGET_LABEL).astype(np.int64)[keep]
+        fv = fold[keep]
+        out = pd.DataFrame(
+            {
+                "fold": fv,
+                "n": np.ones(len(fv), dtype=np.int64),
+                "s1": x1,
+                "s2": x2,
+                "s11": x1 * x1,
+                "s12": x1 * x2,
+                "s22": x2 * x2,
+                "sy": y,
+                "s1y": x1 * y,
+                "s2y": x2 * y,
+            }
+        )
+        return out.groupby("fold", sort=False, as_index=False).sum()
+
+    part_rows = features.map_batches(
+        partials, batch_format="pandas"
+    ).to_pandas()
+    # exact reduce in Python ints (magnitudes can exceed int64 at scale)
+    totals = {s: 0 for s in _FIT_SUMS}
+    per_fold = {f: {s: 0 for s in _FIT_SUMS} for f in range(k)}
+    for _, r in part_rows.iterrows():
+        f = int(r["fold"])
+        for s in _FIT_SUMS:
+            v = int(r[s])
+            per_fold[f][s] += v
+            totals[s] += v
+
+    def solve(t: dict) -> tuple[int, int, int]:
+        g = [
+            [t["n"], t["s1"], t["s2"]],
+            [t["s1"], t["s11"], t["s12"]],
+            [t["s2"], t["s12"], t["s22"]],
+        ]
+        b = [t["sy"], t["s1y"], t["s2y"]]
+
+        def det3(m):
+            return (
+                m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+            )
+
+        d = det3(g)
+        if d == 0:
+            return 0, 0, 0
+        ws = []
+        for j in range(3):
+            gj = [[b[i] if c == j else g[i][c] for c in range(3)] for i in range(3)]
+            ws.append(_tdiv(FIT_SCALE * det3(gj), d))
+        return tuple(ws)
+
+    rows = []
+    weights = {}
+    for f in range(k):
+        train = {s: totals[s] - per_fold[f][s] for s in _FIT_SUMS}
+        w0, w1, w2 = solve(train)
+        weights[f] = (w0, w1, w2)
+        rows.append((f, train["n"], w0, w1, w2))
+
+    # pass 2: holdout scoring with the fitted weights (broadcast k x 3)
+    def holdout(df: pd.DataFrame) -> pd.DataFrame:
+        fold = _fold_of(df["vertex_key"], k)
+        keep = fold >= 0
+        fv = fold[keep]
+        x1 = df[f1].to_numpy(np.int64)[keep]
+        x2 = df[f2].to_numpy(np.int64)[keep]
+        y = (df["label"].to_numpy() == TARGET_LABEL).astype(np.int64)[keep]
+        warr = np.array([weights[f] for f in range(k)], dtype=np.int64)
+        z = warr[fv, 0] + warr[fv, 1] * x1 + warr[fv, 2] * x2
+        pred = (2 * z > FIT_SCALE).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "fold": fv,
+                "holdout_n": np.ones(len(fv), dtype=np.int64),
+                "holdout_agree": (pred == y).astype(np.int64),
+            }
+        )
+        return out.groupby("fold", sort=False, as_index=False).sum()
+
+    ho = (
+        features.map_batches(holdout, batch_format="pandas")
+        .to_pandas()
+        .groupby("fold", as_index=False)
+        .sum()
+    )
+    res = pd.DataFrame(
+        rows, columns=["fold", "n_train", "w0_fp", "w1_fp", "w2_fp"]
+    ).merge(ho, on="fold", how="left")
+    for c in res.columns:
+        res[c] = res[c].fillna(0).astype(np.int64)
+    return res.sort_values("fold").reset_index(drop=True)
+
+
+def feature_importance(features: ray.data.Dataset) -> pd.DataFrame:
+    """Per-weight contribution aggregates of the fixed linear model over
+    the feature table — the analog of the reference's feature-importance
+    report (/root/reference/code/classification/classify.py:277-301),
+    exact integers: for each model feature, the signed and absolute total
+    contribution w*x and the count of rows where the feature fires.
+    Distributed shape: per-batch partials (one row per feature), tiny
+    reduce."""
+    cols = sorted(MODEL_WEIGHTS)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for c in cols:
+            x = df[c].to_numpy(np.int64)
+            wx = MODEL_WEIGHTS[c] * x
+            recs.append(
+                (c, int(wx.sum()), int(np.abs(wx).sum()), int((x != 0).sum()))
+            )
+        return pd.DataFrame(
+            recs, columns=["feature", "contrib", "abs_contrib", "n_nonzero"]
+        )
+
+    out = (
+        features.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("feature", as_index=False)
+        .sum()
+    )
+    out["weight"] = out["feature"].map(MODEL_WEIGHTS).astype(np.int64)
+    for c in ("contrib", "abs_contrib", "n_nonzero"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["feature", "weight", "contrib", "abs_contrib", "n_nonzero"]]
+        .sort_values("feature")
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle generators
 # ---------------------------------------------------------------------------
 
@@ -210,6 +415,104 @@ def scored_vertices_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
         + "\nSELECT vertex_key, fold, CAST(z AS BIGINT) AS z, pred, is_target"
         + " FROM clf_scored"
     )
+
+
+def fit_fold_weights_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
+    """Mirror of :func:`fit_fold_weights`: per-fold HUGEINT moment sums,
+    leave-one-fold-out Cramer solve (DuckDB ``//`` truncates toward zero,
+    matching the Ray side's _tdiv), holdout agreement with the fitted
+    fixed-point weights."""
+    f1, f2 = FIT_FEATURES
+    S = FIT_SCALE
+
+    def det3(m):
+        return (
+            f"({m[0][0]}*(({m[1][1]})*({m[2][2]}) - ({m[1][2]})*({m[2][1]}))"
+            f" - ({m[0][1]})*(({m[1][0]})*({m[2][2]}) - ({m[1][2]})*({m[2][0]}))"
+            f" + ({m[0][2]})*(({m[1][0]})*({m[2][1]}) - ({m[1][1]})*({m[2][0]})))"
+        )
+
+    g = [["n", "s1", "s2"], ["s1", "s11", "s12"], ["s2", "s12", "s22"]]
+    b = ["sy", "s1y", "s2y"]
+    d = det3(g)
+    w_exprs = []
+    for j in range(3):
+        gj = [[b[i] if c == j else g[i][c] for c in range(3)] for i in range(3)]
+        w_exprs.append(
+            f"coalesce(({S}::HUGEINT * {det3(gj)}) // nullif({d}, 0), 0)"
+        )
+    return (
+        _scored_ctes(base_cte, k)
+        + f"""
+, fit_rows AS MATERIALIZED (
+    SELECT s.fold, v.{f1} AS x1, v.{f2} AS x2, s.is_target AS y
+    FROM clf_scored s JOIN vf_final v USING (vertex_key)
+    WHERE s.fold >= 0
+), fit_fold_sums AS MATERIALIZED (
+    SELECT fold,
+           CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+           CAST(sum(x1*x1) AS HUGEINT) AS s11,
+           CAST(sum(x1*x2) AS HUGEINT) AS s12,
+           CAST(sum(x2*x2) AS HUGEINT) AS s22,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(x1*y) AS HUGEINT) AS s1y,
+           CAST(sum(x2*y) AS HUGEINT) AS s2y
+    FROM fit_rows GROUP BY fold
+), fit_train AS MATERIALIZED (
+    SELECT f.fold,
+           t.n - coalesce(o.n, 0) AS n,
+           t.s1 - coalesce(o.s1, 0) AS s1, t.s2 - coalesce(o.s2, 0) AS s2,
+           t.s11 - coalesce(o.s11, 0) AS s11,
+           t.s12 - coalesce(o.s12, 0) AS s12,
+           t.s22 - coalesce(o.s22, 0) AS s22,
+           t.sy - coalesce(o.sy, 0) AS sy,
+           t.s1y - coalesce(o.s1y, 0) AS s1y,
+           t.s2y - coalesce(o.s2y, 0) AS s2y
+    FROM (SELECT unnest(range({k})) AS fold) f
+    CROSS JOIN (SELECT sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2,
+                       sum(s11) AS s11, sum(s12) AS s12, sum(s22) AS s22,
+                       sum(sy) AS sy, sum(s1y) AS s1y, sum(s2y) AS s2y
+                FROM fit_fold_sums) t
+    LEFT JOIN fit_fold_sums o ON o.fold = f.fold
+), fit_weights AS MATERIALIZED (
+    SELECT fold, n AS n_train,
+           {w_exprs[0]} AS w0_fp,
+           {w_exprs[1]} AS w1_fp,
+           {w_exprs[2]} AS w2_fp
+    FROM fit_train
+), fit_holdout AS MATERIALIZED (
+    SELECT r.fold,
+           count(*) AS holdout_n,
+           sum(CASE WHEN CAST(2*(w.w0_fp + w.w1_fp*r.x1 + w.w2_fp*r.x2)
+                         > {S} AS BIGINT) = r.y
+                    THEN 1 ELSE 0 END) AS holdout_agree
+    FROM fit_rows r JOIN fit_weights w USING (fold)
+    GROUP BY r.fold
+)
+SELECT w.fold, CAST(w.n_train AS BIGINT) AS n_train,
+       CAST(w.w0_fp AS BIGINT) AS w0_fp,
+       CAST(w.w1_fp AS BIGINT) AS w1_fp,
+       CAST(w.w2_fp AS BIGINT) AS w2_fp,
+       CAST(coalesce(h.holdout_n, 0) AS BIGINT) AS holdout_n,
+       CAST(coalesce(h.holdout_agree, 0) AS BIGINT) AS holdout_agree
+FROM fit_weights w LEFT JOIN fit_holdout h USING (fold)
+ORDER BY w.fold"""
+    )
+
+
+def feature_importance_sql(base_cte: str) -> str:
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS feature, CAST({MODEL_WEIGHTS[c]} AS BIGINT) AS weight,
+       CAST(sum({MODEL_WEIGHTS[c]} * {c}) AS BIGINT) AS contrib,
+       CAST(sum(abs({MODEL_WEIGHTS[c]} * {c})) AS BIGINT) AS abs_contrib,
+       CAST(count(*) FILTER (WHERE {c} <> 0) AS BIGINT) AS n_nonzero
+FROM vf_final"""
+        for c in sorted(MODEL_WEIGHTS)
+    )
+    from webgraph_ray.functions.oracles import vertex_features_ctes
+
+    return vertex_features_ctes(base_cte) + "\n" + sel + "\nORDER BY feature"
 
 
 def fold_metrics_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
