@@ -369,3 +369,63 @@ def test_hopdist_delta_exchange_and_seed_zero(graph_fixture, tmp_path):
             assert g[int(s)] == 0
     finally:
         eng.shutdown()
+
+def test_reversed_from_matches_full(graph_fixture, tmp_path):
+    """build_reversed_from (per-partition swap-and-scatter over the
+    directed layout's parquet) must be indistinguishable from build() over
+    the swapped edge table: identical content fingerprint, identical
+    per-partition terms, bit-identical PageRank."""
+    import json
+
+    import pyarrow as pa
+
+    edges, pdf = graph_fixture
+    P = 3
+    directed = _engine(tmp_path / "rdirected", edges, P, symmetrize=False)
+    directed.shutdown()
+
+    def swap(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": b["dst"], "dst": b["src"], "weight": b["weight"]}
+        )
+
+    swapped = (
+        edges.select_columns(["src", "dst", "weight"])
+        .map_batches(swap, batch_format="pyarrow")
+        .materialize()
+    )
+    full = _engine(tmp_path / "full_rev", swapped, P)
+    fast = GraphEngine(str(tmp_path / "fast_rev"), num_parts=P)
+    fast.build_reversed_from(str(tmp_path / "rdirected"))
+    try:
+        with open(os.path.join(full.work_dir, "build_manifest.json")) as f:
+            m_full = json.load(f)
+        with open(os.path.join(fast.work_dir, "build_manifest.json")) as f:
+            m_fast = json.load(f)
+        assert m_fast["content_hash"] == m_full["content_hash"]
+        assert m_fast["n_edges"] == m_full["n_edges"]
+        assert m_fast["num_hubs"] == m_full["num_hubs"]
+        assert {k: v[0] for k, v in m_fast["part_terms"].items()} == {
+            k: v[0] for k, v in m_full["part_terms"].items()
+        }
+        assert {k: v[2] for k, v in m_fast["part_terms"].items()} == {
+            k: v[2] for k, v in m_full["part_terms"].items()
+        }
+        a = full.pagerank_fixed().to_pandas().sort_values("vertex_id")
+        full.shutdown()
+        b = fast.pagerank_fixed().to_pandas().sort_values("vertex_id")
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True)
+        )
+    finally:
+        full.shutdown()
+        fast.shutdown()
+
+
+def test_reversed_from_rejects_symmetrized(graph_fixture, tmp_path):
+    edges, _ = graph_fixture
+    sym = _engine(tmp_path / "sym_src", edges, 2, symmetrize=True)
+    sym.shutdown()
+    eng = GraphEngine(str(tmp_path / "rev_of_sym"), num_parts=2)
+    with pytest.raises(ValueError):
+        eng.build_reversed_from(str(tmp_path / "sym_src"))

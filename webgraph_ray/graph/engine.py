@@ -338,6 +338,110 @@ def _sym_edges_part(
 
 
 @ray.remote
+def _rev_strength_part(directed_dir: str, work_dir: str, part: int, num_parts: int):
+    """Phase 1 of the reverse-from-layout fast path, over ONE directed
+    edges/part=K: emit REVERSED out-strength partials (the forward dst is
+    the reversed src, so each edge contributes its weight to its dst) and
+    vertex incidence-count partials (identical to the forward build's —
+    reversal permutes endpoints but not appearances), each written per
+    owner partition."""
+    d = os.path.join(directed_dir, "edges", f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    t = pq.read_table(d, columns=["src", "dst", "weight"])
+    if not t.num_rows:
+        return 0
+    src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tag = uuid.uuid4().hex[:8]
+
+    # reversed out-strength: keyed by the forward dst
+    order = np.argsort(dst, kind="stable")
+    dvid, dw = dst[order], w[order]
+    duniq, dstarts = np.unique(dvid, return_index=True)
+    strength = np.add.reduceat(dw, dstarts)
+    owner = (duniq % num_parts).astype(np.int32)
+    for p in np.unique(owner):
+        sel = owner == p
+        od = os.path.join(work_dir, "outdeg_partials", f"part={int(p)}")
+        os.makedirs(od, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vertex_id": pa.array(duniq[sel]),
+                    "out_strength": pa.array(strength[sel]),
+                }
+            ),
+            os.path.join(od, f"rev_{part}_{tag}.parquet"),
+        )
+
+    # incidence counts: appearances among src+dst (same as the forward build)
+    vid = np.concatenate([src, dst])
+    vorder = np.argsort(vid, kind="stable")
+    vid = vid[vorder]
+    vuniq, _, counts = np.unique(vid, return_index=True, return_counts=True)
+    vowner = (vuniq % num_parts).astype(np.int32)
+    for p in np.unique(vowner):
+        sel = vowner == p
+        vd = os.path.join(work_dir, "verts_partials", f"part={int(p)}")
+        os.makedirs(vd, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "vertex_id": pa.array(vuniq[sel]),
+                    "cnt": pa.array(counts[sel].astype(np.int64)),
+                }
+            ),
+            os.path.join(vd, f"rev_{part}_{tag}.parquet"),
+        )
+    return int(len(duniq))
+
+
+@ray.remote
+def _rev_edges_part(
+    directed_dir: str,
+    work_dir: str,
+    part: int,
+    num_parts: int,
+    hub_ids: np.ndarray,
+):
+    """Phase 2 of the reverse-from-layout fast path: read ONE directed
+    edges/part=K, swap src/dst, and scatter the reversed rows to their
+    partitions (same src-owner / salted-hub rule as build, with the hub
+    set recomputed from REVERSED strength)."""
+    d = os.path.join(directed_dir, "edges", f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return 0
+    t = pq.read_table(d, columns=["src", "dst", "weight"])
+    if not t.num_rows:
+        return 0
+    src = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ww = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    p_out = (src % num_parts).astype(np.int64)
+    if len(hub_ids):
+        is_hub = np.isin(src, hub_ids)
+        p_out[is_hub] = (src[is_hub] + dst[is_hub]) % num_parts
+    tag = uuid.uuid4().hex[:8]
+    for p in np.unique(p_out):
+        sel = p_out == p
+        od = os.path.join(work_dir, "edges", f"part={int(p)}")
+        os.makedirs(od, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "src": pa.array(src[sel]),
+                    "dst": pa.array(dst[sel]),
+                    "weight": pa.array(ww[sel]),
+                }
+            ),
+            os.path.join(od, f"rev_{part}_{tag}.parquet"),
+        )
+    return int(len(src))
+
+
+@ray.remote
 def _reduce_outdeg(partials_dir: str, out_dir: str, part: int, threshold: float):
     """Final per-owner out-degree reduce: sum partials with numpy (replaces
     a full sort-based groupby shuffle) and report this owner's hubs."""
@@ -1412,6 +1516,108 @@ class GraphEngine:
         part_terms = {k: ray.get(r) for k, r in term_refs.items()}
         fingerprint = assemble_manifest(
             self.P, self.hub_threshold, True, len(hub_ids), part_terms
+        )
+        with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
+            json.dump(fingerprint, f)
+        return self
+
+    def build_reversed_from(self, directed_dir: str) -> "GraphEngine":
+        """Derive the REVERSED layout (every edge src<->dst swapped) from an
+        existing directed build's partitioned parquet — the sibling of
+        :meth:`build_symmetrized_from` that HITS needs (auth steps flow
+        along edges, hub steps against them, graph/hits.py).
+
+        ``build(swapped_edges)`` re-runs the whole upstream Ray Data
+        pipeline a second time even though the reversed layout is fully
+        determined by the forward build's parquet.  This path reads each
+        forward ``edges/part=K`` exactly twice (strength/incidence
+        partials, then the swapped scatter) as raw Ray tasks — O(|E|) file
+        I/O, zero upstream re-execution, zero Ray Data overhead.
+
+        Produces a layout indistinguishable from ``build()`` over the
+        swapped edge table: same partition rule (src-owner with salted
+        hubs, hub set recomputed from REVERSED strength), same manifest
+        schema, identical content fingerprint (pinned by
+        tests/test_graph_engine.py::test_reversed_from_matches_full)."""
+        with open(os.path.join(directed_dir, "build_manifest.json")) as f:
+            src_manifest = json.load(f)
+        if src_manifest.get("symmetrize"):
+            raise ValueError(
+                "reversal of a symmetrized layout is the identity — use the "
+                "source layout directly"
+            )
+        src_parts = int(src_manifest["num_parts"])
+
+        for sub in ("outdeg_partials", "outdeg", "edges", "verts", "verts_partials"):
+            shutil.rmtree(os.path.join(self.work_dir, sub), ignore_errors=True)
+        for f_ in ("hubs.parquet", "build_manifest.json"):
+            try:
+                os.remove(os.path.join(self.work_dir, f_))
+            except FileNotFoundError:
+                pass
+        os.makedirs(self.work_dir, exist_ok=True)
+
+        # pass 1: reversed strength + incidence partials per owner
+        ray.get(
+            [
+                _rev_strength_part.remote(directed_dir, self.work_dir, k, self.P)
+                for k in range(src_parts)
+            ]
+        )
+        outdeg_dir = os.path.join(self.work_dir, "outdeg")
+        hub_lists = ray.get(
+            [
+                _reduce_outdeg.remote(
+                    os.path.join(self.work_dir, "outdeg_partials"),
+                    outdeg_dir,
+                    p,
+                    float(self.hub_threshold),
+                )
+                for p in range(self.P)
+            ]
+        )
+        hub_ids = np.sort(np.concatenate(hub_lists).astype(np.int64))
+        pq.write_table(
+            pa.table({"vertex_id": pa.array(hub_ids)}),
+            os.path.join(self.work_dir, "hubs.parquet"),
+        )
+
+        # pass 2: swapped edge scatter with salted assignment
+        ray.get(
+            [
+                _rev_edges_part.remote(
+                    directed_dir, self.work_dir, k, self.P, hub_ids
+                )
+                for k in range(src_parts)
+            ]
+        )
+
+        # verts reduce + per-part fingerprint terms (parallel)
+        ray.get(
+            [
+                _reduce_verts.remote(
+                    os.path.join(self.work_dir, "verts_partials"),
+                    os.path.join(self.work_dir, "verts"),
+                    p,
+                )
+                for p in range(self.P)
+            ]
+        )
+        shutil.rmtree(
+            os.path.join(self.work_dir, "outdeg_partials"), ignore_errors=True
+        )
+        shutil.rmtree(
+            os.path.join(self.work_dir, "verts_partials"), ignore_errors=True
+        )
+        term_refs = {
+            str(p): _part_contribution_remote.remote(
+                os.path.join(self.work_dir, "edges", f"part={p}")
+            )
+            for p in range(self.P)
+        }
+        part_terms = {k: ray.get(r) for k, r in term_refs.items()}
+        fingerprint = assemble_manifest(
+            self.P, self.hub_threshold, False, len(hub_ids), part_terms
         )
         with open(os.path.join(self.work_dir, "build_manifest.json"), "w") as f:
             json.dump(fingerprint, f)

@@ -38,10 +38,6 @@ HITS_ITERS = 15
 HITS_SCALE = 10**7
 
 
-def _swap(b: pa.Table) -> pa.Table:
-    return pa.table({"src": b["dst"], "dst": b["src"], "weight": b["weight"]})
-
-
 def hits(
     edges: ray.data.Dataset,
     work_dir: str,
@@ -83,14 +79,13 @@ def hits(
         os.path.join(work_dir, "fwd"), num_parts=num_parts, actor_num_cpus=0
     )
     fwd.build(edges)
+    # the reversed layout is fully determined by the forward build's
+    # parquet: derive it with raw per-partition reverse-and-scatter tasks
+    # instead of a second full Ray Data build pipeline
     rev = GraphEngine(
         os.path.join(work_dir, "rev"), num_parts=fwd.P, actor_num_cpus=0
     )
-    rev.build(
-        edges.select_columns(["src", "dst", "weight"]).map_batches(
-            _swap, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
+    rev.build_reversed_from(os.path.join(work_dir, "fwd"))
     fwd.start()
     rev.start()
     assert fwd.N == rev.N, "forward/reverse vertex sets diverged"
