@@ -13,12 +13,24 @@ visit.  Cost is O(|delta| + sum of affected-partition sizes), not O(|E|):
 the greedy mutation loop (pipelines/greedy.py) evaluates each candidate
 against a layout produced this way.
 
+Scale shape: the delta arrives either as small driver-side Arrow tables
+or as ``ray.data.Dataset``s (columns src, dst, weight).  Both are SPOOLED
+to a hive-partitioned scratch directory first — edge rows by their base
+partition rule, per-vertex strength/incidence delta PARTIALS by vertex
+owner (pre-combined per batch, the map-side-combine rule) — and every
+patch below runs as a per-partition Ray task that reads only its own
+spool slice.  With Dataset inputs nothing proportional to the delta ever
+materializes on the driver: a mutation of the top hub's in-edge set (the
+greedy loop's working set) streams batch-by-batch from the object store
+into the spool.  The spool directory must live on storage shared by all
+nodes, the same contract as the engine work_dir.
+
 Correctness invariants maintained exactly (all asserted, fail -> the
 caller falls back to a full build):
 
-- **edges/part=K**: multiset removal by (src, dst) occurrence + append of
-  added rows, partition assignment identical to the base build's rule
-  (src-owner, hub edges salted by (src+dst) % P).
+- **edges/part=K**: multiset removal by (src, dst, weight-bits)
+  occurrence + append of added rows, partition assignment identical to
+  the base build's rule (src-owner, hub edges salted by (src+dst) % P).
 - **outdeg/part=K**: weighted out-strength patched per source owner;
   rows hitting 0 are dropped (the vertex becomes dangling).
 - **verts/part=K**: exact incidence counts patched per vertex owner; a
@@ -38,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import uuid
 
 import numpy as np
@@ -111,49 +124,115 @@ def _multiset_remove_mask(
     return keep
 
 
-@ray.remote
-def _patch_edges_part(
-    base_dir: str,
-    out_dir: str,
-    part: int,
-    r_src: np.ndarray,
-    r_dst: np.ndarray,
-    r_w: np.ndarray,
-    a_src: np.ndarray,
-    a_dst: np.ndarray,
-    a_w: np.ndarray,
-):
-    """Rewrite one edges/part=K; returns the new fingerprint term or an
-    error string (exceptions in the task -> driver-side fallback)."""
-    src_d = os.path.join(base_dir, "edges", f"part={part}")
-    if os.path.isdir(src_d) and os.listdir(src_d):
-        t = pq.read_table(src_d, columns=["src", "dst", "weight"])
-        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
-    else:
-        src = np.array([], dtype=np.int64)
-        dst = np.array([], dtype=np.int64)
-        w = np.array([], dtype=np.float64)
-    keep = _multiset_remove_mask(src, dst, w, r_src, r_dst, r_w)
-    new_src = np.concatenate([src[keep], a_src])
-    new_dst = np.concatenate([dst[keep], a_dst])
-    new_w = np.concatenate([w[keep], a_w])
-    od = os.path.join(out_dir, "edges", f"part={part}")
+# ---------------------------------------------------------------------------
+# Delta spool: edge rows by base partition, per-vertex partials by owner
+# ---------------------------------------------------------------------------
+
+
+def _read_spool_edges(spool: str, sub: str, part: int):
+    d = os.path.join(spool, sub, f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.float64)
+    t = pq.read_table(d, columns=["src", "dst", "weight"])
+    return (
+        t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+        t["weight"].to_numpy(zero_copy_only=False).astype(np.float64),
+    )
+
+
+def _write_edge_slice(spool, sub, part, src, dst, w, tag):
+    od = os.path.join(spool, sub, f"part={int(part)}")
     os.makedirs(od, exist_ok=True)
-    tmp = os.path.join(od, f".tmp.{uuid.uuid4().hex[:8]}")
     pq.write_table(
         pa.table(
-            {
-                "src": pa.array(new_src),
-                "dst": pa.array(new_dst),
-                "weight": pa.array(new_w),
-            }
+            {"src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)}
         ),
-        tmp,
+        os.path.join(od, f"d_{tag}.parquet"),
     )
-    os.replace(tmp, os.path.join(od, "data.parquet"))
-    return list(edges_part_contribution(od))
+
+
+def _spool_edge_arrays(spool, sub, src, dst, w, P, hub_ids, tag):
+    part = assign_edge_parts(src, dst, P, hub_ids)
+    for p in np.unique(part):
+        sel = part == p
+        _write_edge_slice(spool, sub, p, src[sel], dst[sel], w[sel], tag)
+
+
+def _spool_dataset(spool: str, sub: str, ds, P: int, hub_ids: np.ndarray):
+    """Stream a Dataset delta into the spool: each batch scatters its rows
+    by the base partition rule — nothing lands on the driver."""
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+            _spool_edge_arrays(
+                spool, sub, src, dst, w, P, hub_ids, uuid.uuid4().hex[:8]
+            )
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(scatter, batch_format="pyarrow").materialize()
+
+
+@ray.remote
+def _spool_partials(spool: str, part: int, num_parts: int):
+    """Per edge-partition task: turn this part's spooled removed/added rows
+    into per-OWNER (vertex_id, dw) strength partials and (vertex_id, dc)
+    incidence partials (pre-combined), so the keyed patches below read only
+    their own slice."""
+    r_src, r_dst, r_w = _read_spool_edges(spool, "rem", part)
+    a_src, a_dst, a_w = _read_spool_edges(spool, "add", part)
+
+    def grouped(vid, val):
+        if not len(vid):
+            return vid, val
+        order = np.argsort(vid, kind="stable")
+        vid, val = vid[order], val[order]
+        uniq, starts = np.unique(vid, return_index=True)
+        return uniq, np.add.reduceat(val, starts)
+
+    tag = uuid.uuid4().hex[:8]
+    od_vid, od_dw = grouped(
+        np.concatenate([r_src, a_src]), np.concatenate([-r_w, a_w])
+    )
+    nz = od_dw != 0
+    od_vid, od_dw = od_vid[nz], od_dw[nz]
+    for p in np.unique(od_vid % num_parts):
+        sel = (od_vid % num_parts) == p
+        d = os.path.join(spool, "outdeg_delta", f"part={int(p)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"vertex_id": pa.array(od_vid[sel]), "dw": pa.array(od_dw[sel])}
+            ),
+            os.path.join(d, f"p_{part}_{tag}.parquet"),
+        )
+
+    vc_vid, vc_dc = grouped(
+        np.concatenate([r_src, r_dst, a_src, a_dst]),
+        np.concatenate(
+            [
+                np.full(len(r_src) + len(r_dst), -1, dtype=np.int64),
+                np.full(len(a_src) + len(a_dst), 1, dtype=np.int64),
+            ]
+        ).astype(np.float64),
+    )
+    nz = vc_dc != 0
+    vc_vid, vc_dc = vc_vid[nz], vc_dc[nz].astype(np.int64)
+    for p in np.unique(vc_vid % num_parts):
+        sel = (vc_vid % num_parts) == p
+        d = os.path.join(spool, "verts_delta", f"part={int(p)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {"vertex_id": pa.array(vc_vid[sel]), "dc": pa.array(vc_dc[sel])}
+            ),
+            os.path.join(d, f"p_{part}_{tag}.parquet"),
+        )
+    return int(len(r_src) + len(a_src))
 
 
 def _read_keyed(base_dir: str, layout: str, part: int, value_col: str):
@@ -167,6 +246,19 @@ def _read_keyed(base_dir: str, layout: str, part: int, value_col: str):
         t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64),
         t[value_col].to_numpy(zero_copy_only=False),
     )
+
+
+def _read_spool_keyed(spool: str, layout: str, part: int, col: str):
+    d = os.path.join(spool, layout, f"part={part}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+    t = pq.read_table(d, columns=["vertex_id", col])
+    vid = t["vertex_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    val = t[col].to_numpy(zero_copy_only=False)
+    order = np.argsort(vid, kind="stable")
+    vid, val = vid[order], val[order]
+    uniq, starts = np.unique(vid, return_index=True)
+    return uniq, np.add.reduceat(val, starts)
 
 
 def _apply_keyed_delta(
@@ -223,43 +315,113 @@ def _link_part(base_dir: str, out_dir: str, layout: str, part: int):
             shutil.copy2(os.path.join(sd, f), os.path.join(dd, f))
 
 
-def _group_delta(vid: np.ndarray, val: np.ndarray):
-    """Sum ``val`` per unique vid (both sorted by vid on return)."""
-    if not len(vid):
-        return vid, val
-    order = np.argsort(vid, kind="stable")
-    vid, val = vid[order], val[order]
-    uniq, starts = np.unique(vid, return_index=True)
-    return uniq, np.add.reduceat(val, starts)
+# ---------------------------------------------------------------------------
+# Per-partition patch tasks (each reads ONLY its own spool slice)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _patch_edges_part(base_dir: str, out_dir: str, spool: str, part: int):
+    """Rewrite one edges/part=K from its spool slice; returns the new
+    fingerprint term (exceptions in the task -> driver-side fallback)."""
+    src_d = os.path.join(base_dir, "edges", f"part={part}")
+    if os.path.isdir(src_d) and os.listdir(src_d):
+        t = pq.read_table(src_d, columns=["src", "dst", "weight"])
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        src = np.array([], dtype=np.int64)
+        dst = np.array([], dtype=np.int64)
+        w = np.array([], dtype=np.float64)
+    r_src, r_dst, r_w = _read_spool_edges(spool, "rem", part)
+    a_src, a_dst, a_w = _read_spool_edges(spool, "add", part)
+    keep = _multiset_remove_mask(src, dst, w, r_src, r_dst, r_w)
+    new_src = np.concatenate([src[keep], a_src])
+    new_dst = np.concatenate([dst[keep], a_dst])
+    new_w = np.concatenate([w[keep], a_w])
+    od = os.path.join(out_dir, "edges", f"part={part}")
+    os.makedirs(od, exist_ok=True)
+    tmp = os.path.join(od, f".tmp.{uuid.uuid4().hex[:8]}")
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array(new_src),
+                "dst": pa.array(new_dst),
+                "weight": pa.array(new_w),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, os.path.join(od, "data.parquet"))
+    return list(edges_part_contribution(od))
+
+
+@ray.remote
+def _patch_outdeg_part(
+    base_dir: str, out_dir: str, spool: str, part: int, threshold: float
+):
+    """Patch one outdeg/part=K owner from its grouped strength delta, and
+    enforce the hub-stability invariant for this owner's vertices."""
+    dv, dd = _read_spool_keyed(spool, "outdeg_delta", part, "dw")
+    vid, val = _read_keyed(base_dir, "outdeg", part, "out_strength")
+    pos = np.searchsorted(vid, dv)
+    n = len(vid)
+    known = (
+        (pos < n) & (vid[np.minimum(pos, max(n - 1, 0))] == dv)
+        if n
+        else np.zeros(len(dv), dtype=bool)
+    )
+    old_out = np.zeros(len(dv))
+    old_out[known] = val.astype(np.float64)[pos[known]]
+    new_out = old_out + dd
+    if ((old_out > threshold) != (new_out > threshold)).any():
+        raise DeltaFallback("hub set changes under delta")
+    nv, nval = _apply_keyed_delta(
+        vid, val.astype(np.float64), dv, dd, integer=False
+    )
+    _write_keyed(out_dir, "outdeg", part, nv, nval, "out_strength")
+    return True
+
+
+@ray.remote
+def _patch_verts_part(base_dir: str, out_dir: str, spool: str, part: int):
+    dv, dd = _read_spool_keyed(spool, "verts_delta", part, "dc")
+    vid, val = _read_keyed(base_dir, "verts", part, "cnt")
+    nv, nval = _apply_keyed_delta(
+        vid, val.astype(np.int64), dv, dd.astype(np.int64), integer=True
+    )
+    _write_keyed(out_dir, "verts", part, nv, nval, "cnt")
+    return True
+
+
+def _touched_parts(spool: str, sub: str) -> set[int]:
+    d = os.path.join(spool, sub)
+    if not os.path.isdir(d):
+        return set()
+    return {
+        int(name.split("=", 1)[1])
+        for name in os.listdir(d)
+        if name.startswith("part=") and os.listdir(os.path.join(d, name))
+    }
 
 
 def delta_build(
     base_dir: str,
     out_dir: str,
-    removed: "pa.Table | None",
-    added: "pa.Table | None",
+    removed,
+    added,
 ) -> bool:
     """Produce ``out_dir`` = base layout with ``removed`` rows taken out
     and ``added`` rows put in.  Returns True on success; False when the
     delta cannot be applied incrementally (hub-set change, row mismatch,
     layout without per-part fingerprint terms) — the caller must then run
     a full ``GraphEngine.build``.  ``removed`` / ``added`` are arrow
-    tables (or None) with columns src, dst, weight; for a symmetrized
-    base build they must already contain the reverse rows."""
-
-    def cols(t):
-        if t is None or t.num_rows == 0:
-            return (
-                np.array([], dtype=np.int64),
-                np.array([], dtype=np.int64),
-                np.array([], dtype=np.float64),
-            )
-        return (
-            t["src"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
-            t["weight"].to_numpy(zero_copy_only=False).astype(np.float64),
-        )
-
+    tables, ``ray.data.Dataset``s, or None, with columns src, dst, weight;
+    for a symmetrized base build they must already contain the reverse
+    rows.  Dataset inputs stream straight into the per-partition spool —
+    nothing proportional to the delta reaches the driver."""
+    spool = tempfile.mkdtemp(prefix="webgraph_delta_spool_", dir=base_dir)
     try:
         with open(os.path.join(base_dir, "build_manifest.json")) as f:
             manifest = json.load(f)
@@ -272,109 +434,60 @@ def delta_build(
             if os.path.exists(hub_path)
             else np.array([], dtype=np.int64)
         )
-        r_src, r_dst, r_w = cols(removed)
-        a_src, a_dst, a_w = cols(added)
 
-        # --- out-strength delta per source owner + hub-stability check ---
-        od_vid, od_dw = _group_delta(
-            np.concatenate([r_src, a_src]), np.concatenate([-r_w, a_w])
+        # --- spool the delta (driver-side for tables, streamed for Datasets)
+        for sub, delta in (("rem", removed), ("add", added)):
+            if delta is None:
+                continue
+            if isinstance(delta, pa.Table):
+                if delta.num_rows:
+                    _spool_edge_arrays(
+                        spool,
+                        sub,
+                        delta["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        delta["dst"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        delta["weight"]
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        P,
+                        hub_ids,
+                        uuid.uuid4().hex[:8],
+                    )
+            else:  # ray.data.Dataset
+                _spool_dataset(spool, sub, delta, P, hub_ids)
+
+        edge_parts = sorted(
+            _touched_parts(spool, "rem") | _touched_parts(spool, "add")
         )
-        nz = od_dw != 0
-        od_vid, od_dw = od_vid[nz], od_dw[nz]
-        od_parts = od_vid % P
-        thr = float(manifest["hub_threshold"])
-        for p in np.unique(od_parts):
-            vid, val = _read_keyed(base_dir, "outdeg", int(p), "out_strength")
-            sel = od_parts == p
-            dv, dd = od_vid[sel], od_dw[sel]
-            pos = np.searchsorted(vid, dv)
-            n = len(vid)
-            known = (
-                (pos < n) & (vid[np.minimum(pos, max(n - 1, 0))] == dv)
-                if n
-                else np.zeros(len(dv), dtype=bool)
-            )
-            old_out = np.zeros(len(dv))
-            old_out[known] = val.astype(np.float64)[pos[known]]
-            new_out = old_out + dd
-            if ((old_out > thr) != (new_out > thr)).any():
-                raise DeltaFallback("hub set changes under delta")
-
-        # --- vertex incidence-count delta per owner ---
-        vc_vid, vc_dc = _group_delta(
-            np.concatenate([r_src, r_dst, a_src, a_dst]),
-            np.concatenate(
-                [
-                    np.full(len(r_src) + len(r_dst), -1, dtype=np.int64),
-                    np.full(len(a_src) + len(a_dst), 1, dtype=np.int64),
-                ]
-            ).astype(np.float64),
-        )
-        nz = vc_dc != 0
-        vc_vid, vc_dc = vc_vid[nz], vc_dc[nz].astype(np.int64)
-        vc_parts = vc_vid % P
-
-        # --- edge-row partition assignment (same rule as the base build) ---
-        r_part = assign_edge_parts(r_src, r_dst, P, hub_ids)
-        a_part = assign_edge_parts(a_src, a_dst, P, hub_ids)
-        edge_parts = np.unique(np.concatenate([r_part, a_part])).astype(int)
+        # per-owner strength/incidence partials from the spooled edge rows
+        ray.get([_spool_partials.remote(spool, p, P) for p in edge_parts])
+        od_touch = _touched_parts(spool, "outdeg_delta")
+        vc_touch = _touched_parts(spool, "verts_delta")
 
         shutil.rmtree(out_dir, ignore_errors=True)
         os.makedirs(out_dir, exist_ok=True)
 
-        # --- edges: patch affected parts (parallel), link the rest ---
+        refs = []
         patch_refs = {}
         for p in edge_parts:
-            rs = r_part == p
-            as_ = a_part == p
             patch_refs[int(p)] = _patch_edges_part.remote(
-                base_dir,
-                out_dir,
-                int(p),
-                r_src[rs],
-                r_dst[rs],
-                r_w[rs],
-                a_src[as_],
-                a_dst[as_],
-                a_w[as_],
+                base_dir, out_dir, spool, int(p)
             )
+        thr = float(manifest["hub_threshold"])
         for p in range(P):
             if p not in patch_refs:
                 _link_part(base_dir, out_dir, "edges", p)
-
-        # --- outdeg: patch affected owners, link the rest ---
-        od_touch = set(int(p) for p in np.unique(od_parts))
-        for p in range(P):
             if p in od_touch:
-                vid, val = _read_keyed(base_dir, "outdeg", p, "out_strength")
-                sel = od_parts == p
-                nv, nval = _apply_keyed_delta(
-                    vid,
-                    val.astype(np.float64),
-                    od_vid[sel],
-                    od_dw[sel],
-                    integer=False,
+                refs.append(
+                    _patch_outdeg_part.remote(base_dir, out_dir, spool, p, thr)
                 )
-                _write_keyed(out_dir, "outdeg", p, nv, nval, "out_strength")
             else:
                 _link_part(base_dir, out_dir, "outdeg", p)
-
-        # --- verts: patch affected owners, link the rest ---
-        vc_touch = set(int(p) for p in np.unique(vc_parts))
-        for p in range(P):
             if p in vc_touch:
-                vid, val = _read_keyed(base_dir, "verts", p, "cnt")
-                sel = vc_parts == p
-                nv, nval = _apply_keyed_delta(
-                    vid,
-                    val.astype(np.int64),
-                    vc_vid[sel],
-                    vc_dc[sel],
-                    integer=True,
-                )
-                _write_keyed(out_dir, "verts", p, nv, nval, "cnt")
+                refs.append(_patch_verts_part.remote(base_dir, out_dir, spool, p))
             else:
                 _link_part(base_dir, out_dir, "verts", p)
+        ray.get(refs)
 
         # --- hubs (unchanged by construction) + manifest ---
         if os.path.exists(hub_path):
@@ -396,12 +509,22 @@ def delta_build(
         with open(os.path.join(out_dir, "build_manifest.json"), "w") as f:
             json.dump(new_manifest, f)
         return True
-    except DeltaFallback:
+    except (DeltaFallback, ray.exceptions.RayTaskError) as e:
+        if isinstance(e, ray.exceptions.RayTaskError) and not isinstance(
+            e.cause, DeltaFallback
+        ):
+            raise
+        # drain in-flight patch tasks BEFORE removing out_dir, or a
+        # straggler could re-create it after the cleanup
+        pending = list(locals().get("patch_refs", {}).values()) + list(
+            locals().get("refs", [])
+        )
+        for ref in pending:
+            try:
+                ray.get(ref)
+            except Exception:
+                pass
         shutil.rmtree(out_dir, ignore_errors=True)
         return False
-    except ray.exceptions.RayTaskError as e:
-        # DeltaFallback raised inside a patch task arrives wrapped
-        if isinstance(e.cause, DeltaFallback):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            return False
-        raise
+    finally:
+        shutil.rmtree(spool, ignore_errors=True)

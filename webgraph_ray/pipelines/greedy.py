@@ -76,64 +76,101 @@ def _tool_keys(edges: ray.data.Dataset) -> list[str]:
     )
 
 
-def _hit_rows(edges: ray.data.Dataset, target: str) -> pd.DataFrame:
-    """All rows with dst_key == target (the mutation's working set: one
-    tool's in-edges — bounded by the target's in-degree, the same
-    per-candidate scope the reference loop materializes per visit)."""
-    return edges.map_batches(
-        lambda t: t.filter(pc.equal(t["dst_key"], target)),
-        batch_format="pyarrow",
-    ).to_pandas()
-
-
-def _narrow(df: pd.DataFrame, dst_override: np.ndarray | None = None) -> pa.Table:
-    dst = df["dst"].to_numpy(np.int64) if dst_override is None else dst_override
-    return pa.table(
-        {
-            "src": pa.array(df["src"].to_numpy(np.int64)),
-            "dst": pa.array(dst),
-            "weight": pa.array(df["weight"].to_numpy(np.float64)),
-        }
+def _hit_narrow(edges: ray.data.Dataset, target: str) -> ray.data.Dataset:
+    """The mutation's working set — every row with dst_key == target,
+    projected to (src, dst, weight, src_key, edge_type) — kept as a
+    MATERIALIZED Dataset in the object store.  The target is by
+    construction the top-PageRank tool, i.e. the highest in-degree hub in
+    the graph, so this set must never be pulled to the driver: all
+    per-style selections below are vectorized map_batches predicates and
+    the deltas stream into delta_build's partitioned spool."""
+    return (
+        edges.map_batches(
+            lambda t: t.filter(pc.equal(t["dst_key"], target)).select(
+                ["src", "dst", "weight", "src_key", "edge_type"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
+
+
+def _distinct_count(ds: ray.data.Dataset, col: str) -> int:
+    """Distributed distinct-count of one column (bucket-hash distinct,
+    only the final count reaches the driver)."""
+    from webgraph_ray.functions.shuffle import bucket_distinct
+
+    return bucket_distinct(ds.select_columns([col]), [col]).count()
+
+
+def _style_mask(t: pa.Table, style: str) -> pa.Table:
+    """Rows of the hit set this style acts on (vectorized Arrow kernels:
+    tool_call edges whose source turn index is odd / divisible by 3)."""
+    import pyarrow.compute as pc_
+
+    is_tc = pc_.equal(t["edge_type"], "tool_call")
+    ti_str = pc_.extract_regex(t["src_key"], r"#(?P<ti>\d+)$")
+    ti = pc_.cast(pc_.struct_field(ti_str, "ti"), pa.int64())
+    if style == "split_tool":
+        sel = pc_.and_kleene(is_tc, pc_.equal(pc_.bit_wise_and(ti, 1), 1))
+    else:  # drop_tool_calls
+        mod3 = pc_.subtract(ti, pc_.multiply(pc_.divide(ti, 3), 3))
+        sel = pc_.and_kleene(is_tc, pc_.equal(mod3, 0))
+    return t.filter(pc_.fill_null(sel, False))
 
 
 def _candidate_delta(
-    hit_all: pd.DataFrame, target: str, style: str, round_no: int
-) -> tuple[pa.Table | None, pa.Table | None, int, str | None, bool]:
+    hit_ds: ray.data.Dataset,
+    n_hit: int,
+    target: str,
+    style: str,
+    round_no: int,
+) -> tuple[object, object, int, str | None, bool]:
     """(removed, added, n_delta_src, new_tool_key, target_survives) for one
-    candidate.  ``hit_all`` = every row with dst_key == target."""
-    tc = hit_all[hit_all["edge_type"] == "tool_call"]
-    ti = _turn_idx(tc["src_key"])
-    if style == "split_tool":
-        moved = tc[(ti % 2 == 1).to_numpy(bool)]
-        clone = f"{target}__clone{round_no}"
-        clone_id = int(hash_keys(np.array([clone], dtype=object))[0])
-        removed = _narrow(moved)
-        added = _narrow(
-            moved, dst_override=np.full(len(moved), clone_id, dtype=np.int64)
+    candidate.  ``removed``/``added`` are narrow (src, dst, weight)
+    Datasets (or a 1-row arrow table for add_node) — the hub's in-edge
+    set never materializes on the driver."""
+    if style == "add_node":
+        decoy = f"decoy:{target}:r{round_no}"
+        added = pa.table(
+            {
+                "src": pa.array(hash_keys(np.array([target], dtype=object))),
+                "dst": pa.array(hash_keys(np.array([decoy], dtype=object))),
+                "weight": pa.array([1.0]),
+            }
         )
-        survives = len(hit_all) - len(moved) > 0
-        return (
-            removed,
-            added,
-            int(moved["src_key"].nunique()),
-            clone if len(moved) else None,
-            survives,
-        )
+        return None, added, 1, None, True
+
+    sel = hit_ds.map_batches(
+        lambda t: _style_mask(t, style), batch_format="pyarrow"
+    ).materialize()
+    n_sel = sel.count()
+    n_delta = _distinct_count(sel, "src_key") if n_sel else 0
+    survives = n_hit - n_sel > 0
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["src", "dst", "weight"])
+
+    removed = sel.map_batches(narrow, batch_format="pyarrow")
     if style == "drop_tool_calls":
-        dropped = tc[(ti % 3 == 0).to_numpy(bool)]
-        survives = len(hit_all) - len(dropped) > 0
-        return _narrow(dropped), None, int(dropped["src_key"].nunique()), None, survives
-    # add_node: one decoy child of the target
-    decoy = f"decoy:{target}:r{round_no}"
-    added = pa.table(
-        {
-            "src": pa.array(hash_keys(np.array([target], dtype=object))),
-            "dst": pa.array(hash_keys(np.array([decoy], dtype=object))),
-            "weight": pa.array([1.0]),
-        }
-    )
-    return None, added, 1, None, True
+        return removed, None, n_delta, None, survives
+
+    clone = f"{target}__clone{round_no}"
+    clone_id = int(hash_keys(np.array([clone], dtype=object))[0])
+
+    def reroute(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "dst": pa.array(
+                    np.full(t.num_rows, clone_id, dtype=np.int64)
+                ),
+                "weight": t["weight"],
+            }
+        )
+
+    added = sel.map_batches(reroute, batch_format="pyarrow")
+    return removed, added, n_delta, clone if n_sel else None, survives
 
 
 def _mutated_rich(
@@ -222,11 +259,12 @@ def greedy_mutation(
         for r in range(1, rounds + 1):
             # deterministic target: max score, ties by smallest key
             target = scores.sort_index().idxmax()
-            hit_all = _hit_rows(cur, target)
+            hit_ds = _hit_narrow(cur, target)
+            n_hit = hit_ds.count()
             best = None  # (obj, style, cand_dir, scores, tools)
             for style in STYLES:
                 removed, added, n_delta, new_tool, survives = _candidate_delta(
-                    hit_all, target, style, r
+                    hit_ds, n_hit, target, style, r
                 )
                 cand_tools = [t for t in tools if survives or t != target]
                 if new_tool:
