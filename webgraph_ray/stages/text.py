@@ -18,6 +18,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -40,63 +41,157 @@ BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 BPE_TOKEN_RE = re.compile(BPE_TOKEN_PATTERN)
 
 
+def _explode_ws_tokens(texts, lower: bool = False):
+    """(doc_idx, tokens) — all ``\\S+`` runs of a batch of texts as ONE
+    flat Arrow string array plus the row index each token came from.
+    Tokenization runs entirely in Arrow C++ (``utf8_split_whitespace`` +
+    flatten + empty-token filter, equivalent to ``findall(\\S+)``); no
+    per-row Python.  The downstream counters (unique, stopword membership,
+    length buckets) then run as one C-path kernel over the flat array —
+    the explode-to-Arrow idiom the round-3 review asked for on the
+    100-TB text path.  ``texts`` may be an Arrow array (zero-copy from the
+    block) or any sequence."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(np.asarray(texts, dtype=object), pa.string())
+    if lower:
+        arr = pc.utf8_lower(arr)
+    lists = pc.utf8_split_whitespace(arr)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    return doc_idx[mask], flat.filter(nonempty)
+
+
+def _unique_per_doc(doc_idx: np.ndarray, codes: np.ndarray, n_docs: int):
+    """Count distinct code values per doc (exact): unique (doc, code)
+    pairs via one sort-free combined-key pass."""
+    if not len(doc_idx):
+        return np.zeros(n_docs, dtype=np.int64)
+    k = int(codes.max()) + 1
+    uniq = np.unique(doc_idx * np.int64(k) + codes)
+    return np.bincount(uniq // k, minlength=n_docs).astype(np.int64)
+
+
 def bpe_token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    # the BPE split needs a real regex (no Arrow kernel); the per-token
+    # unique count is still C-path: explode + factorize + bincount
     toks = df["text"].str.findall(BPE_TOKEN_RE)
+    n_tok = toks.str.len().to_numpy(np.int64)
+    doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), n_tok)
+    flat = toks.explode().dropna()
+    codes = pd.factorize(flat)[0] if len(flat) else np.empty(0, np.int64)
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"],
-            "n_bpe_tokens": toks.str.len().astype(np.int64),
-            "n_unique_bpe_tokens": toks.map(lambda t: len(set(t))).astype(
-                np.int64
+            "n_bpe_tokens": n_tok,
+            "n_unique_bpe_tokens": _unique_per_doc(
+                doc_idx, codes.astype(np.int64), len(df)
             ),
         }
     )
 
 
-def token_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
-    toks = df["text"].str.findall(TOKEN_RE)
-    return pd.DataFrame(
+def token_stats_batch(t: pa.Table) -> pa.Table:
+    """Zero-copy Arrow stage: the text column never converts to Python
+    objects — tokenize/flatten/encode are all Arrow C++ kernels."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    doc_idx, tokens = _explode_ws_tokens(t["text"])
+    if len(tokens):
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = np.empty(0, np.int64)
+    return pa.table(
         {
-            "doc_id": df["doc_id"],
-            "n_tokens": toks.str.len().astype(np.int64),
-            "n_unique_tokens": toks.map(lambda t: len(set(t))).astype(np.int64),
-            "n_chars": df["text"].str.len().astype(np.int64),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(np.bincount(doc_idx, minlength=n).astype(np.int64)),
+            "n_unique_tokens": pa.array(_unique_per_doc(doc_idx, codes, n)),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
         }
     )
 
 
-def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
-    toks = df["text"].str.findall(TOKEN_RE)
-    n_tokens = toks.str.len().astype(np.int64)
-    en = frozenset(STOPWORDS["en"])
-    n_stop = toks.map(lambda t: sum(w in en for w in t)).astype(np.int64)
-    n_long = toks.map(
-        lambda t: sum(len(w) >= LONG_TOKEN_LEN for w in t)
-    ).astype(np.int64)
-    return pd.DataFrame(
+def quality_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    doc_idx, tokens = _explode_ws_tokens(t["text"])
+    n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    # hash tokens once; membership + length tests run on the tiny
+    # dictionary and broadcast back through the codes
+    if len(tokens):
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        stop_v = pc.is_in(
+            enc.dictionary,
+            value_set=pa.array(list(STOPWORDS["en"]), pa.string()),
+        ).to_numpy(zero_copy_only=False)
+        long_v = pc.greater_equal(
+            pc.utf8_length(enc.dictionary), LONG_TOKEN_LEN
+        ).to_numpy(zero_copy_only=False)
+        stop_mask, long_mask = stop_v[codes], long_v[codes]
+    else:
+        stop_mask = long_mask = np.zeros(0, dtype=bool)
+    n_stop = np.bincount(doc_idx[stop_mask], minlength=n).astype(np.int64)
+    n_long = np.bincount(doc_idx[long_mask], minlength=n).astype(np.int64)
+    return pa.table(
         {
-            "doc_id": df["doc_id"],
-            "n_tokens": n_tokens,
-            "n_long_tokens": n_long,
-            "n_stop_tokens": n_stop,
-            "stop_pct": (100 * n_stop // n_tokens.clip(lower=1)).astype(np.int64),
-            "is_short": (df["text"].str.len() < 100).astype(np.int64),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "n_long_tokens": pa.array(n_long),
+            "n_stop_tokens": pa.array(n_stop),
+            "stop_pct": pa.array(100 * n_stop // np.maximum(n_tokens, 1)),
+            "is_short": pc.cast(
+                pc.less(pc.utf8_length(t["text"]), 100), pa.int64()
+            ),
         }
     )
 
 
-def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
+def lang_id_batch(t: pa.Table) -> pa.Table:
     """Stopword-vote language id; ties and zero evidence -> 'unknown'.
     The vote order for ties is deterministic: highest count wins, and among
     equal counts the language earlier in STOPWORDS order wins only if
     strictly greater than all others (else 'unknown')."""
-    toks = df["text"].str.lower().str.findall(TOKEN_RE)
-    scores = {
-        lang: toks.map(lambda t, s=frozenset(ws): sum(w in s for w in t)).astype(int)
-        for lang, ws in STOPWORDS.items()
-    }
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    doc_idx, tokens = _explode_ws_tokens(t["text"])
     langs = list(STOPWORDS)
-    mat = np.stack([scores[l] for l in langs], axis=1)
+    # hash the token strings ONCE (dictionary encode), then run the
+    # per-language membership test on the tiny dictionary — 4 stopword
+    # scans over distinct tokens instead of 4 over every token
+    if len(tokens):
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        vocab = pc.utf8_lower(enc.dictionary)
+    else:
+        codes = np.empty(0, np.int64)
+        vocab = pa.array([], pa.string())
+    cols = []
+    for lang in langs:
+        in_vocab = pc.is_in(
+            vocab, value_set=pa.array(list(STOPWORDS[lang]), pa.string())
+        ).to_numpy(zero_copy_only=False)
+        m = in_vocab[codes] if len(codes) else np.zeros(0, dtype=bool)
+        cols.append(np.bincount(doc_idx[m], minlength=n).astype(np.int64))
+    mat = np.stack(cols, axis=1)
     best = mat.argmax(axis=1)
     best_score = mat.max(axis=1)
     # 'unknown' when zero evidence or a tie for the max
@@ -104,7 +199,12 @@ def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
     pred = np.where(
         (best_score == 0) | tie, "unknown", np.array(langs, dtype=object)[best]
     )
-    return pd.DataFrame({"doc_id": df["doc_id"], "pred_lang": pred})
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "pred_lang": pa.array(pred.astype(object), pa.string()),
+        }
+    )
 
 
 def doc_hashes_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -138,17 +238,21 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _stage(fn):
+def _stage(fn, fmt="pandas"):
     def run(docs: ray.data.Dataset) -> ray.data.Dataset:
+        if fmt == "pyarrow":
+            return docs.map_batches(
+                fn, batch_format="pyarrow", zero_copy_batch=True
+            )
         return docs.map_batches(fn, batch_format="pandas")
 
     return run
 
 
-token_stats = _stage(token_stats_batch)
+token_stats = _stage(token_stats_batch, fmt="pyarrow")
 bpe_token_stats = _stage(bpe_token_stats_batch)
-quality_scores = _stage(quality_batch)
-lang_id = _stage(lang_id_batch)
+quality_scores = _stage(quality_batch, fmt="pyarrow")
+lang_id = _stage(lang_id_batch, fmt="pyarrow")
 doc_hashes = _stage(doc_hashes_batch)
 fingerprints = _stage(fingerprint_batch)
 
