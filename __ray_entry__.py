@@ -744,24 +744,59 @@ def q_tool_usage_stats(sf_dir: str):
     the analog of the reference's per-endpoint weight and size aggregates
     (/root/reference/code/features/dataflow.py:169-180,
     /root/reference/code/features/additional.py:60-160)."""
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
     t = _transcripts(sf_dir)
     tools = t.map_batches(
         lambda b: b.filter(pa.compute.is_valid(b["tool"])),
         batch_format="pyarrow",
     ).select_columns(["tool", "conv_id", "ts"])
+    nb = default_num_buckets()
 
-    def per_tool(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "tool": [g["tool"].iloc[0]],
-                "n_calls": np.int64(len(g)),
-                "n_convs": np.int64(g["conv_id"].nunique()),
-                "first_ts": [g["ts"].min()],
-                "last_ts": [g["ts"].max()],
-            }
+    # house bucket pattern (same as q_conv_stats): per-batch partials at
+    # (tool, conv_id) grain — n_convs is a distinct count, so the partial
+    # keeps one row per pair — then a tool-hash bucket shuffle and one
+    # C-path combine per bucket; no per-key map_groups.
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["tool", "conv_id"], sort=False)["ts"]
+            .agg(["size", "min", "max"])
+            .reset_index()
+            .rename(columns={"size": "n_calls", "min": "first_ts", "max": "last_ts"})
         )
+        out["__b"] = hash_keys(out["tool"].to_numpy(dtype=object)) % nb
+        return out
 
-    return tools.groupby("tool").map_groups(per_tool, batch_format="pandas")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = (
+            g.groupby(["tool", "conv_id"], sort=False)
+            .agg(
+                n_calls=("n_calls", "sum"),
+                first_ts=("first_ts", "min"),
+                last_ts=("last_ts", "max"),
+            )
+            .reset_index()
+        )
+        out = (
+            pairs.groupby("tool", sort=False)
+            .agg(
+                n_calls=("n_calls", "sum"),
+                n_convs=("conv_id", "size"),
+                first_ts=("first_ts", "min"),
+                last_ts=("last_ts", "max"),
+            )
+            .reset_index()
+        )
+        out["n_calls"] = out["n_calls"].astype(np.int64)
+        out["n_convs"] = out["n_convs"].astype(np.int64)
+        return out[["tool", "n_calls", "n_convs", "first_ts", "last_ts"]]
+
+    return (
+        tools.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 def q_tool_payload_stats(sf_dir: str):

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Min
 
 from webgraph_ray.functions.joins import bucketed_join
 from webgraph_ray.stages.text import TOKEN_RE
@@ -29,28 +29,63 @@ from webgraph_ray.stages.text import TOKEN_RE
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+def exact_dedup(
+    docs: ray.data.Dataset, num_buckets: int | None = None
+) -> ray.data.Dataset:
     """(text_md5, canonical_doc_id = min doc_id, dup_count) — the
     hash-partition + per-group-first pattern (analog of the reference's
-    drop_duplicates dedups, /root/reference/code/run.py:151,155)."""
+    drop_duplicates dedups, /root/reference/code/run.py:151,155).
 
-    def hashed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    Scale shape (the house bucket pattern): a native
+    ``groupby("text_md5")`` is a sort-based shuffle on a key whose
+    cardinality ~= row count.  Instead each batch pre-combines its own
+    duplicates (map-side partial: one (md5, min_doc, cnt) row per distinct
+    hash in the batch), the shuffle moves ``num_buckets`` hash groups, and
+    the per-bucket combine is one C-path pandas groupby."""
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = num_buckets or default_num_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        digests = [hashlib.md5(t.encode("utf-8")) for t in df["text"]]
+        out = pd.DataFrame(
             {
-                "text_md5": df["text"].map(
-                    lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()
-                ),
-                "doc_id": df["doc_id"],
+                "text_md5": [h.hexdigest() for h in digests],
+                "__b": np.frombuffer(
+                    b"".join(h.digest()[:8] for h in digests)
+                    or b"",
+                    dtype=np.uint64,
+                ).astype(np.int64)
+                % nb
+                if digests
+                else np.empty(0, np.int64),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
             }
         )
+        comb = (
+            out.groupby(["__b", "text_md5"], sort=False)["doc_id"]
+            .agg(["min", "size"])
+            .reset_index()
+        )
+        return comb.rename(
+            columns={"min": "canonical_doc_id", "size": "dup_count"}
+        ).astype({"canonical_doc_id": np.int64, "dup_count": np.int64})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("text_md5", sort=False)
+            .agg(
+                canonical_doc_id=("canonical_doc_id", "min"),
+                dup_count=("dup_count", "sum"),
+            )
+            .reset_index()
+        )
+        return out.astype({"canonical_doc_id": np.int64, "dup_count": np.int64})
 
     return (
-        docs.map_batches(hashed, batch_format="pandas")
-        .groupby("text_md5")
-        .aggregate(
-            Min("doc_id", alias_name="canonical_doc_id"),
-            Count(alias_name="dup_count"),
-        )
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
