@@ -60,8 +60,8 @@ def test_query_matches_oracle(name, sf_dir, con):
 
 def test_rows_only_queries_run(sf_dir):
     qs = entrymod.queries()
-    # minhash_dup_pairs may legitimately be empty on dup-free synthetic docs
-    may_be_empty = {"minhash_dup_pairs"}
+    # near_dup_pairs may legitimately be empty on dup-free synthetic docs
+    may_be_empty = {"near_dup_pairs"}
     for name in set(qs) - set(entrymod.oracle_sql()):
         df = _to_pandas(qs[name](sf_dir))
         assert df is not None, name

@@ -50,20 +50,29 @@ TARGET_LABEL = "late_turn"
 
 
 def cv_folds(transcripts: ray.data.Dataset, k: int = NUM_FOLDS) -> ray.data.Dataset:
-    """(conv_id, fold) — deterministic by-conversation split."""
+    """(conv_id, fold, in_sample) — deterministic by-conversation split,
+    plus the 1-in-10 deterministic sample flag (the reference's seeded
+    visit-id CV sampling analog,
+    /root/reference/code/classification/classify.py:341-357)."""
     from webgraph_ray.functions.shuffle import bucket_distinct
 
     def fold_of(df: pd.DataFrame) -> pd.DataFrame:
         num = (
             df["conv_id"].str.replace("conv_", "", regex=False).astype(np.int64)
         )
-        return pd.DataFrame({"conv_id": df["conv_id"], "fold": num % k})
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "fold": num % k,
+                "in_sample": (num % 10 == 0).astype(np.int64),
+            }
+        )
 
     return bucket_distinct(
         transcripts.select_columns(["conv_id"]).map_batches(
             fold_of, batch_format="pandas"
         ),
-        ["conv_id", "fold"],
+        ["conv_id", "fold", "in_sample"],
     )
 
 
@@ -381,7 +390,9 @@ def cv_folds_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
         base_cte
         + f"""
 SELECT DISTINCT conv_id,
-       CAST(replace(conv_id, 'conv_', '') AS BIGINT) % {k} AS fold
+       CAST(replace(conv_id, 'conv_', '') AS BIGINT) % {k} AS fold,
+       CAST(CAST(replace(conv_id, 'conv_', '') AS BIGINT) % 10 = 0
+            AS BIGINT) AS in_sample
 FROM transcripts"""
     )
 

@@ -169,6 +169,94 @@ def tool_obfuscation_mapping(edges: ray.data.Dataset) -> dict[str, str]:
     return {k: f"tool:obf_{i}" for i, k in enumerate(tool_keys)}
 
 
+# Content-side mutation styles — the analogs of the reference's
+# query-string / domain randomizers
+# (/root/reference/robustness/content_mutation/obfuscation.py:15-190),
+# made deterministic (seeded md5 / fixed digit permutation) so every style
+# has an exact DuckDB mirror.
+MUTATION_SEED = "s42"
+# fixed permutation of '0123456789' (the seeded translate table both
+# engines share verbatim)
+DIGIT_PERM = "5079328146"
+
+
+def key_suffix_mapping(
+    edges: ray.data.Dataset, seed: str = MUTATION_SEED
+) -> dict[str, str]:
+    """Seeded consistent key-suffix randomization: every tool key gains a
+    deterministic 6-hex suffix (``tool:click`` -> ``tool:click~a3f0b1``) —
+    the query-string *value* randomizer analog (same key always maps to
+    the same obfuscated key, like the reference's per-URL consistent
+    replacement)."""
+    import hashlib
+
+    tool_keys = sorted(
+        set(
+            edges.map_batches(
+                lambda t: t.filter(
+                    pc.starts_with(t["dst_key"], "tool:")
+                ).select(["dst_key"]),
+                batch_format="pyarrow",
+            ).unique("dst_key")
+        )
+    )
+    return {
+        k: f"{k}~{hashlib.md5((seed + k).encode()).hexdigest()[:6]}"
+        for k in tool_keys
+    }
+
+
+def conv_rewrite_edges(
+    edges: ray.data.Dataset, seed: str = MUTATION_SEED
+) -> ray.data.Dataset:
+    """Seeded conversation-id rewrite: every turn key's conv prefix is
+    replaced by a 12-hex digest (``conv_12#5`` -> ``conv_a3f...#5``) — the
+    domain-rename analog (the 'path' / turn index survives; the 'domain' /
+    conversation identity is randomized consistently across EVERY key that
+    embeds it, including same_tool edges whose endpoints live in other
+    conversations).  Vectorized per batch with no driver-side mapping —
+    the rewrite is pure key arithmetic, so it scales to any vertex count."""
+    import hashlib
+
+    def rewrite_col(keys: pd.Series) -> pd.Series:
+        def one(k: str) -> str:
+            if k.startswith("tool:"):
+                return k
+            conv, _, turn = k.rpartition("#")
+            h = hashlib.md5((seed + conv).encode()).hexdigest()[:12]
+            return f"conv_{h}#{turn}"
+
+        return keys.map(one)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["src_key"] = rewrite_col(out["src_key"])
+        out["dst_key"] = rewrite_col(out["dst_key"])
+        out["src"] = hash_keys(out["src_key"].to_numpy(dtype=object))
+        out["dst"] = hash_keys(out["dst_key"].to_numpy(dtype=object))
+        return out
+
+    return edges.map_batches(rewrite, batch_format="pandas")
+
+
+def mutate_text_digits(
+    transcripts: ray.data.Dataset, perm: str = DIGIT_PERM
+) -> ray.data.Dataset:
+    """Length-preserving content mutation: rewrite every digit in the turn
+    text through a fixed permutation table — the numeric query-string-value
+    randomizer analog (``random_with_N_digits`` keeps the digit count; this
+    keeps it deterministically).  ``str.translate`` through a C-level table
+    per batch; mirrored by DuckDB ``translate(text, ...)``."""
+    table = str.maketrans("0123456789", perm)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["text"] = out["text"].str.translate(table)
+        return out
+
+    return transcripts.map_batches(rewrite, batch_format="pandas")
+
+
 def remap_vertices(
     edges: ray.data.Dataset, mapping: dict[str, str]
 ) -> ray.data.Dataset:

@@ -257,6 +257,45 @@ doc_hashes = _stage(doc_hashes_batch)
 fingerprints = _stage(fingerprint_batch)
 
 
+def doc_features_batch(t: pa.Table) -> pa.Table:
+    """All per-document text features in ONE pass over each batch: token
+    stats, quality scores, language id and BPE token stats share the text
+    column (and the whitespace explode where applicable), so fusing them
+    avoids re-reading the documents table four times.  Every component
+    batch function preserves input row order, so the outputs align
+    positionally — a column concat, not a join."""
+    ts = token_stats_batch(t)
+    qs = quality_batch(t)
+    li = lang_id_batch(t)
+    bp = pa.Table.from_pandas(
+        bpe_token_stats_batch(t.to_pandas()), preserve_index=False
+    )
+    return pa.table(
+        {
+            "doc_id": ts["doc_id"],
+            "n_tokens": ts["n_tokens"],
+            "n_unique_tokens": ts["n_unique_tokens"],
+            "n_chars": ts["n_chars"],
+            "n_long_tokens": qs["n_long_tokens"],
+            "n_stop_tokens": qs["n_stop_tokens"],
+            "stop_pct": qs["stop_pct"],
+            "is_short": qs["is_short"],
+            "pred_lang": li["pred_lang"],
+            "n_bpe_tokens": pa.array(
+                bp["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+            "n_unique_bpe_tokens": pa.array(
+                bp["n_unique_bpe_tokens"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            ),
+        }
+    )
+
+
+doc_features = _stage(doc_features_batch, fmt="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # tf/df relevance: top-k characteristic terms per document.
 #
