@@ -844,51 +844,107 @@ def q_tool_usage_stats(sf_dir: str):
 
 
 def q_mutation_impact(sf_dir: str):
-    """Robustness-analysis check: obfuscate the tool vertices, re-derive +
-    re-run PageRank, and report each tool's score before/after — the
+    """Robustness-analysis check across FOUR mutation styles — the
     reference's mutate -> re-extract -> re-classify cycle
     (/root/reference/robustness/structure_mutation/greedy_mutation.py:162-334)
-    for one rename round.  Fixed-point PageRank is bit-exact under a
-    bijective rename, so the oracle can assert score_after ==
-    score_before; the Ray side really computes both (mutated rebuild and
-    all), making this a driver-verifiable end-to-end invariance test."""
+    and its content obfuscators
+    (/root/reference/robustness/content_mutation/obfuscation.py:15-190),
+    each made deterministic so the whole check is oracle-expressible:
+
+    - tool_rename:  rank-ordered tool renaming (round-3 style)
+    - key_suffix:   seeded consistent md5 suffix per tool key (the
+                    query-string VALUE randomizer analog)
+    - conv_rewrite: seeded conversation-id rewrite across every turn key
+                    (the domain-rename analog; vectorized, no driver map)
+    - text_digits:  fixed digit-permutation of the turn text (the numeric
+                    value randomizer analog; length-preserving)
+
+    The three key-level styles really rebuild the graph and re-run exact
+    fixed-point PageRank (bijective renames => bit-identical scores, which
+    the oracle asserts); text_digits really rewrites the text and reports
+    the per-tool digit-value sum before/after (values DIFFER by the
+    permutation, so a no-op mutation would fail the gate)."""
+    import shutil
     import tempfile
 
+    from webgraph_ray.functions.hashing import hash_keys
     from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
-    from webgraph_ray.stages.features import remap_vertices, tool_obfuscation_mapping
+    from webgraph_ray.stages.features import (
+        DIGIT_PERM,
+        MUTATION_SEED,
+        conv_rewrite_edges,
+        key_suffix_mapping,
+        mutate_text_digits,
+        remap_vertices,
+        tool_obfuscation_mapping,
+    )
 
     edges = _edges(sf_dir)
-    mapping = tool_obfuscation_mapping(edges)
-    mutated = remap_vertices(edges, mapping).materialize()
+    g_o = _pagerank_fp(sf_dir).to_pandas().set_index("vertex_key")["score_fp"]
 
-    work = tempfile.mkdtemp(prefix="webgraph_mut_")
-    eng = GraphEngine(os.path.join(work, "m"), num_parts=None)
-    try:
-        eng.build(mutated)
-        pr_m = eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE).to_pandas()
-    finally:
-        eng.shutdown()
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
-    pr_o = _pagerank_fp(sf_dir).to_pandas()  # original, key-attached
-
-    from webgraph_ray.functions.hashing import hash_keys
+    def pr_of(mutated) -> pd.Series:
+        work = tempfile.mkdtemp(prefix="webgraph_mut_")
+        eng = GraphEngine(os.path.join(work, "m"), num_parts=None)
+        try:
+            eng.build(mutated)
+            out = eng.pagerank_fixed(
+                iters=PR_FP_ITERS, scale=PR_FP_SCALE
+            ).to_pandas()
+        finally:
+            eng.shutdown()
+            shutil.rmtree(work, ignore_errors=True)
+        return out.set_index("vertex_id")["score_fp"]
 
     rows = []
-    g_m = pr_m.set_index("vertex_id")["score_fp"]
-    g_o = pr_o.set_index("vertex_key")["score_fp"]
-    for old_key, new_key in sorted(mapping.items()):
-        new_id = hash_keys(np.array([new_key], dtype=object))[0]
+    rename = tool_obfuscation_mapping(edges)
+    for style, mapping in (
+        ("tool_rename", rename),
+        ("key_suffix", key_suffix_mapping(edges, MUTATION_SEED)),
+    ):
+        g_m = pr_of(remap_vertices(edges, mapping).materialize())
+        for old_key, new_key in sorted(mapping.items()):
+            new_id = hash_keys(np.array([new_key], dtype=object))[0]
+            rows.append(
+                (style, old_key, new_key, "pagerank_fp",
+                 np.int64(g_o.loc[old_key]), np.int64(g_m.loc[new_id]))
+            )
+    g_m = pr_of(conv_rewrite_edges(edges, MUTATION_SEED).materialize())
+    for old_key in sorted(rename):
+        kid = hash_keys(np.array([old_key], dtype=object))[0]
         rows.append(
-            {
-                "tool_key": old_key,
-                "obf_key": new_key,
-                "score_before_fp": np.int64(g_o.loc[old_key]),
-                "score_after_fp": np.int64(g_m.loc[new_id]),
-            }
+            ("conv_rewrite", old_key, old_key, "pagerank_fp",
+             np.int64(g_o.loc[old_key]), np.int64(g_m.loc[kid]))
         )
-    return pd.DataFrame(rows)
+
+    # text_digits: per-tool digit-VALUE sums from the original and the
+    # genuinely mutated text (map-side partials; tool cardinality is tiny)
+    def digit_sums(ds) -> pd.Series:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["tool"].notna()]
+            v = np.zeros(len(d), dtype=np.int64)
+            for dig in range(10):
+                v += d["text"].str.count(str(dig)).to_numpy(np.int64) * dig
+            return (
+                d.assign(v=v).groupby("tool", sort=False)["v"].sum().reset_index()
+            )
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        return p.groupby("tool")["v"].sum()
+
+    t = _transcripts(sf_dir)
+    before = digit_sums(t)
+    after = digit_sums(mutate_text_digits(t, DIGIT_PERM))
+    for tool in sorted(before.index):
+        key = f"tool:{tool}"
+        rows.append(
+            ("text_digits", key, key, "digit_sum",
+             np.int64(before.loc[tool]), np.int64(after.loc[tool]))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["style", "old_key", "new_key", "metric",
+                 "before_fp", "after_fp"],
+    )
 
 
 def q_vertex_features(sf_dir: str):
@@ -1233,7 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity": _reciprocity_sql_oracle(),
         "components": _graph_oracles.components_sql(_CTE_MAT),
         "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
-        "mutation_impact": _graph_oracles.mutation_impact_sql(_CTE_MAT),
+        "mutation_impact": _mutation_impact_sql_oracle(),
         "greedy_mutation": _graph_oracles.greedy_mutation_sql(_CTE_MAT, rounds=3),
         **_TRAINING_ORACLES,
     }
@@ -1287,6 +1343,14 @@ def _hits_sql_oracle() -> str:
     from webgraph_ray.graph.hits import hits_sql
 
     return hits_sql(_CTE_MAT)
+
+
+def _mutation_impact_sql_oracle() -> str:
+    from webgraph_ray.stages.features import DIGIT_PERM, MUTATION_SEED
+
+    return _graph_oracles.mutation_impact_sql(
+        _CTE_MAT, seed=MUTATION_SEED, digit_perm=DIGIT_PERM
+    )
 
 
 def _reciprocity_sql_oracle() -> str:

@@ -554,22 +554,53 @@ WHERE TRUE{alive}"""
     return "".join(q)
 
 
-def mutation_impact_sql(base_cte: str) -> str:
-    """Full oracle for the bijective-rename robustness check: fixed-point
-    PageRank is exactly invariant under vertex renaming, so score_after
-    equals score_before for every renamed tool vertex."""
+def mutation_impact_sql(base_cte: str, seed: str, digit_perm: str) -> str:
+    """Full oracle for the four-style robustness check.  The three
+    key-level styles rely on fixed-point PageRank being exactly invariant
+    under a bijective vertex rename (after == before); the obfuscated key
+    itself is recomputed in SQL (rank rename / seeded md5 suffix) so the
+    mapping machinery is verified, not just the invariance.  text_digits
+    recomputes the per-tool digit-value sums from BOTH the original text
+    and ``translate(text, '0123456789', perm)`` — the two sums differ
+    deterministically, so a no-op mutation on the Ray side fails."""
+
+    def dsum(col: str) -> str:
+        return " + ".join(
+            f"(length({col}) - length(replace({col}, '{d}', ''))) * {d}"
+            for d in range(1, 10)
+        )
+
     return (
         base_cte
         + pagerank_fp_ctes()
         + f"""
-, mi_map AS (
+, mi_tools AS (
+    SELECT DISTINCT dst_key AS old FROM edges WHERE dst_key LIKE 'tool:%'
+), mi_map AS (
     SELECT old, 'tool:obf_' || CAST(row_number() OVER (ORDER BY old) - 1
            AS VARCHAR) AS new
-    FROM (SELECT DISTINCT dst_key AS old FROM edges
-          WHERE dst_key LIKE 'tool:%')
+    FROM mi_tools
+), mi_text AS (
+    SELECT tool, text,
+           translate(text, '0123456789', '{digit_perm}') AS mut_text
+    FROM transcripts WHERE tool IS NOT NULL
 )
-SELECT m.old AS tool_key, m.new AS obf_key,
-       CAST(p.val AS BIGINT) AS score_before_fp,
-       CAST(p.val AS BIGINT) AS score_after_fp
-FROM mi_map m JOIN pr{PR_FP_ITERS} p ON p.vertex_key = m.old"""
+SELECT 'tool_rename' AS style, m.old AS old_key, m.new AS new_key,
+       'pagerank_fp' AS metric,
+       CAST(p.val AS BIGINT) AS before_fp, CAST(p.val AS BIGINT) AS after_fp
+FROM mi_map m JOIN pr{PR_FP_ITERS} p ON p.vertex_key = m.old
+UNION ALL
+SELECT 'key_suffix', t.old,
+       t.old || '~' || substr(md5('{seed}' || t.old), 1, 6),
+       'pagerank_fp', CAST(p.val AS BIGINT), CAST(p.val AS BIGINT)
+FROM mi_tools t JOIN pr{PR_FP_ITERS} p ON p.vertex_key = t.old
+UNION ALL
+SELECT 'conv_rewrite', t.old, t.old,
+       'pagerank_fp', CAST(p.val AS BIGINT), CAST(p.val AS BIGINT)
+FROM mi_tools t JOIN pr{PR_FP_ITERS} p ON p.vertex_key = t.old
+UNION ALL
+SELECT 'text_digits', 'tool:' || tool, 'tool:' || tool, 'digit_sum',
+       CAST(sum({dsum('text')}) AS BIGINT),
+       CAST(sum({dsum('mut_text')}) AS BIGINT)
+FROM mi_text GROUP BY tool"""
     )
