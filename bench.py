@@ -316,7 +316,15 @@ def run_pr_throughput() -> dict:
     # bytes, and a --scaling rep costs ~1 min instead of ~5.
     layout = os.environ.get("GRAFT_SCALING_LAYOUT", "")
     work = layout or tempfile.mkdtemp(prefix="bench_scaling_")
-    eng = GraphEngine(work, num_parts=num_parts)
+    # exchange-mode levers for the scaling experiments: GRAFT_FUSED=0
+    # selects the sliced per-destination scatter (the multi-node wire
+    # shape: num_returns=P, each slice ships only to its consumer);
+    # GRAFT_TREE_GROUPS=G inserts the two-level relay combine.
+    fused = os.environ.get("GRAFT_FUSED", "1") != "0"
+    tree = int(os.environ.get("GRAFT_TREE_GROUPS", "0"))
+    eng = GraphEngine(
+        work, num_parts=num_parts, fused_exchange=fused, tree_combine=tree
+    )
     if not (layout and os.path.exists(os.path.join(work, "build_manifest.json"))):
         edges = derive_edges(generate_transcripts(n_convs, seed=42)).materialize()
         eng.build(edges)
@@ -335,6 +343,9 @@ def run_pr_throughput() -> dict:
         "num_cpus": ncpu,
         "n_edges": eng.total_edges,
         "iter_sec": round(m.wall_sec / m.iterations, 4),
+        "fused": fused,
+        "tree_groups": tree,
+        "recv_entries_per_iter": round(m.msgs_recv / max(m.iterations, 1), 1),
     }
     eng.shutdown()
     ray.shutdown()
@@ -436,9 +447,131 @@ def _run_scaling_levels(base_dir: str, reps: int) -> dict:
     }
 
 
+def run_exchange_model() -> dict:
+    """Measured multi-node scaling projection (the sandbox cannot run a
+    real N vs 4N cluster, so this mode measures every term the projection
+    needs on real runs and parameterizes only the network bandwidth):
+
+    1. Builds the 48M-edge scaling graph at P=4 and P=16 and runs the
+       fixed-20-iteration PageRank protocol at each P in direct mode and
+       in tree-combine mode (G = sqrt(P)), recording measured iteration
+       wall time and measured per-iteration received message entries
+       E(P) (engine msgs_recv counters — real traffic, not an estimate).
+    2. Fits the P-growth of E as a power law from the two measured points
+       and projects E to P = 64 and 256 (2 partitions/node -> 32- and
+       128-node clusters).
+    3. For per-node NIC bandwidths of 10/25/100 Gbit/s, models
+       per-iteration exchange time as 8*E(P)*(1 - 1/N) / (N * BW)
+       (all-to-all: each node ships its share of the cross-node bytes in
+       parallel) and projected iteration time as C/N + exchange, where C =
+       measured aggregate compute seconds per iteration at P=16.  Reports
+       the projected N -> 4N efficiency with and without the relay tier.
+
+    The locality assumption the tree mode relies on: a source group maps
+    to one node, so the first combine hop never crosses the network.
+    """
+    import shutil
+    import tempfile
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from webgraph_ray.graph.engine import GraphEngine
+    from webgraph_ray.sources.transcripts import generate_transcripts
+    from webgraph_ray.stages.edges import derive_edges
+
+    n_convs = int(os.environ.get("GRAFT_SCALING_CONVS", "400000"))
+    base = tempfile.mkdtemp(prefix="bench_exmodel_")
+    measured: dict[str, dict] = {}
+    try:
+        edges = derive_edges(generate_transcripts(n_convs, seed=42)).materialize()
+        n_edges = 0
+        for P in (4, 16):
+            import math
+
+            G = int(math.isqrt(P))
+            work = os.path.join(base, f"p{P}")
+            for mode, tree in (("direct", 0), (f"tree{G}", G)):
+                eng = GraphEngine(work, num_parts=P, tree_combine=tree)
+                if not os.path.exists(
+                    os.path.join(work, "build_manifest.json")
+                ):
+                    eng.build(edges)
+                eng.pagerank(tol=0.0, max_iter=5)  # warm-up
+                eng.pagerank(tol=0.0, max_iter=20)
+                m = eng.metrics["pagerank"]
+                n_edges = eng.total_edges
+                measured[f"P{P}_{mode}"] = {
+                    "iter_sec": round(m.wall_sec / m.iterations, 4),
+                    "recv_entries_per_iter": round(
+                        m.msgs_recv / m.iterations, 1
+                    ),
+                    "eps": round(m.edges_traversed / m.wall_sec, 1),
+                }
+                eng.shutdown()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    ray.shutdown()
+
+    import math
+
+    def project(kind: str) -> dict:
+        e4 = measured[f"P4_{'direct' if kind == 'direct' else 'tree2'}"][
+            "recv_entries_per_iter"
+        ]
+        e16 = measured[f"P16_{'direct' if kind == 'direct' else 'tree4'}"][
+            "recv_entries_per_iter"
+        ]
+        gamma = math.log(e16 / e4) / math.log(4)
+        # compute term: aggregate CPU-seconds per iteration at P=16
+        c = measured["P16_direct"]["iter_sec"] * 16
+        out: dict = {
+            "gamma_entry_growth": round(gamma, 3),
+            "E_measured": {"P4": e4, "P16": e16},
+        }
+        for bw_gbit in (10, 25, 100):
+            bw = bw_gbit * 1e9 / 8  # bytes/s full duplex per node
+            effs = {}
+            for n_nodes in (8, 32):  # N -> 4N, 2 partitions per node
+                rows = {}
+                for nodes in (n_nodes, 4 * n_nodes):
+                    p = 2 * nodes
+                    e_p = e16 * (p / 16) ** gamma
+                    t_comp = c / p  # P workers, perfect split of C
+                    t_exch = 8 * e_p * (1 - 1 / nodes) / (nodes * bw)
+                    rows[nodes] = t_comp + t_exch
+                effs[f"{n_nodes}to{4 * n_nodes}nodes"] = round(
+                    rows[n_nodes] / (4 * rows[4 * n_nodes]), 3
+                )
+            out[f"eff_{bw_gbit}gbit"] = effs
+        return out
+
+    return {
+        "metric": "exchange_model",
+        "unit": "projection",
+        "n_edges": n_edges,
+        "measured": measured,
+        "projection_direct": project("direct"),
+        "projection_tree": project("tree"),
+        "assumption": "tree groups are node-local; first combine hop "
+        "stays on the sources' node",
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--exchange-model" in sys.argv:
+        print(json.dumps(run_exchange_model()))
     elif os.environ.get("GRAFT_BENCH_MODE") in ("pr_throughput", "pr_build"):
         print(json.dumps(run_pr_throughput()))
     else:

@@ -157,6 +157,55 @@ def _assemble_hub_remote(positions, n_hubs, *vals_per_actor):
     return arr
 
 
+_MIN_SENTINEL = np.iinfo(np.int64).max
+
+
+@ray.remote
+def _relay_combine_remote(args, op: str, *slices):
+    """Stateless second-tier combiner for the tree exchange: merge one
+    source GROUP's message slices for one destination partition into a
+    single block aligned to the group's static union-outbox (``args`` =
+    (per-member position maps into the union, union length), ray.put once
+    at start()).  On a multi-node cluster Ray schedules this next to its
+    inputs (the group's node), so the combine happens before the block
+    crosses the network.  Position maps are unique per member, so plain
+    fancy-indexed ops are exact.
+
+    ``min`` drops entries that stayed at the int64-max sentinel — a
+    minimum's identity element is a no-op at the receiver, so dropping it
+    preserves min-label semantics exactly."""
+    maps, length = args
+    if op == "add_dense":
+        agg = np.zeros(
+            length,
+            dtype=next((s.dtype for s in slices if len(s)), np.float64),
+        )
+        for m, s in zip(maps, slices):
+            if len(s):
+                agg[m] += s
+        return agg
+    if op == "add_sparse":
+        agg = np.zeros(length, dtype=np.int64)
+        touched = np.zeros(length, dtype=bool)
+        for m, item in zip(maps, slices):
+            idx, vals = item
+            if len(vals):
+                pos = m[idx]
+                agg[pos] += vals
+                touched[pos] = True
+        nz = np.flatnonzero(touched).astype(np.uint32)
+        return nz, agg[nz]
+    # op == "min"
+    agg = np.full(length, _MIN_SENTINEL, dtype=np.int64)
+    for m, item in zip(maps, slices):
+        idx, vals = item
+        if len(vals):
+            pos = m[idx]
+            agg[pos] = np.minimum(agg[pos], vals)
+    nz = np.flatnonzero(agg != _MIN_SENTINEL).astype(np.uint32)
+    return nz, agg[nz]
+
+
 @ray.remote
 def _reduce_verts(partials_dir: str, out_dir: str, part: int):
     """Per-owner vertex reduce: sum incidence-count partials into one
@@ -614,6 +663,7 @@ class GraphPartition:
         self._last_hub: np.ndarray | None = None
         self._msgs_sent = 0
         self._msgs_dense = 0
+        self._msgs_recv = 0
 
     # ---- build-time topology info ----
     def topology(self):
@@ -658,6 +708,7 @@ class GraphPartition:
         self._last_hub = None
         self._msgs_sent = 0
         self._msgs_dense = 0
+        self._msgs_recv = 0
         if algo == "pagerank":
             # filled later once global N is known (set_uniform_state)
             self.state = np.full(n, init_value if init_value is not None else 0.0)
@@ -902,8 +953,10 @@ class GraphPartition:
         self._last_hub = None if hub_vals is None else np.array(hub_vals, copy=True)
 
     def exchange_stats(self):
-        """(entries actually sent, dense entries) since init_state."""
-        return int(self._msgs_sent), int(self._msgs_dense)
+        """(entries actually sent, dense entries, entries received) since
+        init_state.  received < sent when a relay tier combined partials
+        in flight (the tree-combine experiment's measured quantity)."""
+        return int(self._msgs_sent), int(self._msgs_dense), int(self._msgs_recv)
 
     def _kcore_sparse(self, hub_vals: np.ndarray | None):
         """(msg, nonzero-mask) for a peel round, or (None, None) when this
@@ -1058,6 +1111,7 @@ class GraphPartition:
             vals = self._my_slice(vals)
             if vals is None or len(vals) == 0:
                 continue
+            self._msgs_recv += len(vals)
             agg[self._inbox_maps[p]] += vals
         return agg
 
@@ -1076,6 +1130,7 @@ class GraphPartition:
                 idx, vals = item
             if len(vals) == 0:
                 continue
+            self._msgs_recv += len(vals)
             yield self._inbox_maps[p][idx], vals
 
     def _pack_sparse_sliced(self, msg: np.ndarray, mask: np.ndarray):
@@ -1255,6 +1310,7 @@ class RunMetrics:
     # (every-unique-dst-every-iteration) count the pre-delta engine sent
     msgs_sent: int = 0
     msgs_dense: int = 0
+    msgs_recv: int = 0
 
 
 class GraphEngine:
@@ -1283,6 +1339,7 @@ class GraphEngine:
         hub_threshold: int = 1 << 17,
         actor_num_cpus: float = 1.0,
         fused_exchange: bool = True,
+        tree_combine: int = 0,
     ):
         """``actor_num_cpus``: CPU reservation per partition actor.  Must
         satisfy ``num_parts * actor_num_cpus <= cluster CPUs`` or actor
@@ -1296,6 +1353,15 @@ class GraphEngine:
         self.actor_num_cpus = float(actor_num_cpus)
         self.hub_threshold = int(hub_threshold)
         self.fused = bool(fused_exchange)
+        # two-level exchange: sources are split into ``tree_combine`` groups
+        # and a stateless relay task per (group, destination) combines the
+        # group's message slices in flight, so each receiver applies G
+        # partials instead of P (G ~ sqrt(P) cuts per-dst partial growth to
+        # O(sqrt P); on a multi-node cluster a group maps to the sources'
+        # node/rack, making the first hop node-local).  0 disables; engine-
+        # wide (all algorithms of this engine instance use the same mode).
+        self.tree_combine = int(tree_combine)
+        self.tree_G = 0
         self.actors: list | None = None
         self.N = 0
         self.total_edges = 0
@@ -1645,10 +1711,51 @@ class GraphEngine:
         self.total_edges = sum(t["edges"] for t in topo)
         # exchange static outbox id arrays -> inbox maps
         outboxes = ray.get([a.outbox_ids.remote() for a in self.actors])
-        for q, a in enumerate(self.actors):
-            ray.get(
-                a.register_inboxes.remote({p: outboxes[p][q] for p in range(self.P)})
-            )
+        self.tree_G = (
+            self.tree_combine if 1 < self.tree_combine < self.P else 0
+        )
+        if self.tree_G:
+            # two-level combine: receivers register GROUP inbox maps (the
+            # sorted union of the group's outbox ids per destination) and
+            # the driver keeps, per (group, dst), the static member->group
+            # position maps the relay tasks need (ray.put once).
+            groups = [
+                list(map(int, g))
+                for g in np.array_split(np.arange(self.P), self.tree_G)
+            ]
+            self._tree_groups = groups
+            group_ids = []  # [g][q] -> union id array
+            self._relay_args = []  # [g][q] -> ref((member_maps, L))
+            for members in groups:
+                per_q_ids, per_q_args = [], []
+                for q in range(self.P):
+                    ids = [outboxes[p][q] for p in members]
+                    nonempty = [i for i in ids if len(i)]
+                    union = (
+                        np.unique(np.concatenate(nonempty))
+                        if nonempty
+                        else np.array([], dtype=np.int64)
+                    )
+                    maps = tuple(
+                        np.searchsorted(union, i).astype(np.int64) for i in ids
+                    )
+                    per_q_ids.append(union)
+                    per_q_args.append(ray.put((maps, int(len(union)))))
+                group_ids.append(per_q_ids)
+                self._relay_args.append(per_q_args)
+            for q, a in enumerate(self.actors):
+                ray.get(
+                    a.register_inboxes.remote(
+                        {g: group_ids[g][q] for g in range(self.tree_G)}
+                    )
+                )
+        else:
+            for q, a in enumerate(self.actors):
+                ray.get(
+                    a.register_inboxes.remote(
+                        {p: outboxes[p][q] for p in range(self.P)}
+                    )
+                )
         # hub routing: per-actor positions into the global sorted hub array
         hub_path = os.path.join(self.work_dir, "hubs.parquet")
         self.hub_ids_global = (
@@ -1679,6 +1786,8 @@ class GraphEngine:
         routed object and receivers slice it — P objects per iteration.
         With fused=False each slice is a separate return (P^2 objects) and
         ships only to its destination — right for multi-node clusters."""
+        if self.tree_G:
+            return self._exchange_tree(algo, hub_ref)
         outs = []
         for a in self.actors:
             if self.fused or self.P == 1:
@@ -1691,6 +1800,35 @@ class GraphEngine:
                     )
                 )
         return outs
+
+    def _exchange_tree(self, algo: str, hub_ref):
+        """Two-level exchange: sliced scatter (each slice is its own
+        return, shipping only to its consumers) -> one relay task per
+        (group, destination) combines the group's slices -> receivers get
+        ``tree_G`` group partials.  outs[g][q] = combined block from group
+        g to partition q."""
+        op = (
+            "min"
+            if algo in ("components", "labelprop", "hopdist", "min")
+            else "add_sparse"
+            if algo == "kcore"
+            else "add_dense"
+        )
+        slices = [
+            list(a.scatter.options(num_returns=self.P).remote(algo, hub_ref))
+            for a in self.actors
+        ]
+        return [
+            [
+                _relay_combine_remote.remote(
+                    self._relay_args[g][q],
+                    op,
+                    *[slices[p][q] for p in members],
+                )
+                for q in range(self.P)
+            ]
+            for g, members in enumerate(self._tree_groups)
+        ]
 
     def _assemble_hub_ref(self, vals_per_actor, dtype):
         """Per-actor owned-hub values -> one broadcast array (ray.put once
@@ -1844,7 +1982,7 @@ class GraphEngine:
                         one_over_n,
                         dangling_arg,
                         *dangl_refs,
-                        *[outs[p][q] for p in range(self.P)],
+                        *[outs[i][q] for i in range(len(outs))],
                     )
                     for q in range(self.P)
                 ]
@@ -1887,6 +2025,10 @@ class GraphEngine:
             ):
                 self._checkpoint_round(algo, it, counters)
         m.wall_sec = time.time() - t0
+        stats = ray.get([a.exchange_stats.remote() for a in self.actors])
+        m.msgs_sent = int(sum(s[0] for s in stats))
+        m.msgs_dense = int(sum(s[1] for s in stats))
+        m.msgs_recv = int(sum(s[2] for s in stats))
         self.metrics[algo] = m
         return self._results(algo)
 
@@ -1991,7 +2133,7 @@ class GraphEngine:
                         denom,
                         dangling_arg,
                         *dangl_refs,
-                        *[outs[p][q] for p in range(self.P)],
+                        *[outs[i][q] for i in range(len(outs))],
                     )
                     for q in range(self.P)
                 ]
@@ -2022,6 +2164,10 @@ class GraphEngine:
                 self._checkpoint_round(algo, it, counters)
         m.converged = True  # fixed iteration count: defined as complete
         m.wall_sec = time.time() - t0
+        stats = ray.get([a.exchange_stats.remote() for a in self.actors])
+        m.msgs_sent = int(sum(s[0] for s in stats))
+        m.msgs_dense = int(sum(s[1] for s in stats))
+        m.msgs_recv = int(sum(s[2] for s in stats))
         self.metrics[algo] = m
         return self._results(algo)
 
@@ -2077,7 +2223,7 @@ class GraphEngine:
                 applies = [
                     self.actors[q]
                     .apply_min.options(num_returns=2)
-                    .remote(*[outs[p][q] for p in range(self.P)])
+                    .remote(*[outs[i][q] for i in range(len(outs))])
                     for q in range(self.P)
                 ]
                 changed_refss.append([a[0] for a in applies])
@@ -2111,6 +2257,7 @@ class GraphEngine:
         stats = ray.get([a.exchange_stats.remote() for a in self.actors])
         m.msgs_sent = int(sum(s[0] for s in stats))
         m.msgs_dense = int(sum(s[1] for s in stats))
+        m.msgs_recv = int(sum(s[2] for s in stats))
         self.metrics[algo] = m
         if require_convergence and not m.converged:
             # a silently-capped min-label run returns stale/UNLABELED
@@ -2279,7 +2426,7 @@ class GraphEngine:
             applies = [
                 getattr(self.actors[q], apply_name)
                 .options(num_returns=2)
-                .remote(*[outs[p][q] for p in range(self.P)])
+                .remote(*[outs[i][q] for i in range(len(outs))])
                 for q in range(self.P)
             ]
             changed = sum(ray.get([a[0] for a in applies]))
@@ -2306,6 +2453,7 @@ class GraphEngine:
         stats = ray.get([a.exchange_stats.remote() for a in self.actors])
         m.msgs_sent = int(sum(s[0] for s in stats))
         m.msgs_dense = int(sum(s[1] for s in stats))
+        m.msgs_recv = int(sum(s[2] for s in stats))
         self.metrics["kcore"] = m
         if not m.converged:
             raise RuntimeError(

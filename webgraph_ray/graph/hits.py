@@ -96,7 +96,7 @@ def hits(
         hub_ref = eng._initial_hub_ref("hits")
         outs = eng._exchange("hits", hub_ref)
         applies = [
-            eng.actors[q].apply_sum.remote(*[outs[p][q] for p in range(eng.P)])
+            eng.actors[q].apply_sum.remote(*[outs[i][q] for i in range(len(outs))])
             for q in range(eng.P)
         ]
         total = int(sum(ray.get(applies)))
