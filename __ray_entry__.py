@@ -637,12 +637,22 @@ HOPDIST_SQL_ROUNDS = 16
 
 
 def q_hop_distance(sf_dir: str):
-    """Multi-source BFS hop distance from the tool seed set (min-plus on
-    the symmetrized build; delta exchange — distances only shrink).
-    Unreached vertices report -1."""
+    """Per-vertex distance features over ONE symmetrized build: the
+    multi-source BFS hop distance from the tool seed set (min-plus with
+    delta exchange — distances only shrink; unreached -> -1) PLUS the
+    sampled-source closeness estimate — the reference's per-node closeness
+    centrality (/root/reference/code/features/structure.py:170) at scale:
+    one single-source BFS per sampled source (here the 3 tool hubs; at a
+    larger graph a deterministic vertex sample), then the exact integer
+    Wasserman-Faust closeness (r^2 * SCALE) // (dist_sum * s).  All s+1
+    BFS runs reuse the same build and actor pool; each run's per-vertex
+    result is collected before the next resets state (at 100 TB each run
+    would write its partitioned parquet instead and the combine would be a
+    vertex-bucket join)."""
     import shutil
     import tempfile
 
+    from webgraph_ray.functions.oracles import CLOSENESS_SCALE
     from webgraph_ray.graph.engine import UNLABELED, GraphEngine
     from webgraph_ray.pipelines.flagship import attach_keys
 
@@ -652,26 +662,51 @@ def q_hop_distance(sf_dir: str):
     eng = GraphEngine(os.path.join(work, "hd"), num_parts=None)
     try:
         eng.build(edges, symmetrize=True)
-        seeds = _tool_seed_frame(vertices)["vertex_id"].to_numpy()
-        res = eng.hopdist(seeds)
-
-        def unreached_to_minus1(df: pd.DataFrame) -> pd.DataFrame:
-            df["distance"] = df["distance"].where(
-                df["distance"] != UNLABELED, -1
-            )
-            return df
-
-        return (
-            attach_keys(res, vertices)
+        seed_frame = _tool_seed_frame(vertices)
+        seeds = seed_frame["vertex_id"].to_numpy()
+        multi = (
+            attach_keys(eng.hopdist(seeds), vertices)
             .select_columns(["vertex_key", "distance"])
-            .map_batches(unreached_to_minus1, batch_format="pandas")
             .to_pandas()
-            .sort_values("vertex_key", kind="mergesort")
-            .reset_index(drop=True)
         )
+        per_seed = [
+            eng.hopdist(np.array([sid]))
+            .select_columns(["vertex_id", "distance"])
+            .to_pandas()
+            for sid in seeds
+        ]
     finally:
         eng.shutdown()
         shutil.rmtree(work, ignore_errors=True)
+
+    multi["distance"] = multi["distance"].where(
+        multi["distance"] != UNLABELED, -1
+    )
+    s = len(per_seed)
+    n_reached = np.zeros(len(multi), dtype=np.int64)
+    dist_sum = np.zeros(len(multi), dtype=np.int64)
+    # align per-seed results through vertex_id (multi is key-attached but
+    # keys hash back to ids deterministically)
+    from webgraph_ray.functions.hashing import hash_keys
+
+    vids = hash_keys(multi["vertex_key"].to_numpy(dtype=object))
+    for d in per_seed:
+        di = d.set_index("vertex_id")["distance"].reindex(vids).to_numpy()
+        finite = di != UNLABELED
+        n_reached += finite.astype(np.int64)
+        dist_sum += np.where(finite, di, 0).astype(np.int64)
+    closeness = np.where(
+        dist_sum == 0,
+        0,
+        (n_reached * n_reached * CLOSENESS_SCALE)
+        // np.maximum(dist_sum * s, 1),
+    ).astype(np.int64)
+    out = multi.assign(
+        n_reached=n_reached, dist_sum=dist_sum, closeness_fp=closeness
+    )
+    return out.sort_values("vertex_key", kind="mergesort").reset_index(
+        drop=True
+    )
 
 
 def q_reciprocity(sf_dir: str):
@@ -1282,8 +1317,15 @@ def oracle_sql() -> dict[str, str]:
         "feature_importance": _classify_sql("feature_importance"),
         "pagerank": _graph_oracles.pagerank_fp_sql(_CTE_MAT),
         "ppr": _graph_oracles.ppr_fp_sql(_CTE_MAT, PPR_SEEDS_SQL),
-        "hop_distance": _graph_oracles.hopdist_sql(
-            _CTE_MAT, PPR_SEEDS_SQL, rounds=HOPDIST_SQL_ROUNDS
+        "hop_distance": _graph_oracles.distance_features_sql(
+            _CTE_MAT,
+            PPR_SEEDS_SQL,
+            [
+                f"SELECT vertex_key FROM ({PPR_SEEDS_SQL}) "
+                f"ORDER BY vertex_key LIMIT 1 OFFSET {i}"
+                for i in range(3)
+            ],
+            rounds=HOPDIST_SQL_ROUNDS,
         ),
         "hits": _hits_sql_oracle(),
         "reciprocity": _reciprocity_sql_oracle(),

@@ -169,6 +169,52 @@ ORDER BY 1"""
     )
 
 
+CLOSENESS_SCALE = 100000
+
+
+def distance_features_sql(
+    base_cte: str,
+    seeds_sql: str,
+    per_seed_sqls: list[str],
+    rounds: int,
+) -> str:
+    """Mirror of the combined hop-distance + sampled-source-closeness row:
+    one multi-source BFS (``seeds_sql``) for the distance column, plus one
+    single-source BFS per entry of ``per_seed_sqls``; per-vertex closeness
+    is the Wasserman-Faust-normalized integer
+    ``(r^2 * SCALE) // (dist_sum * s)`` over the s sampled sources
+    (r = sources that reach the vertex; 0 when none at a positive
+    distance).  Each BFS is an independent subquery (own WITH scope) with
+    a distinct CTE prefix."""
+    s = len(per_seed_sqls)
+    multi = hopdist_sql(base_cte, seeds_sql, rounds, prefix="dfm")
+    singles = [
+        hopdist_sql(base_cte, seed_sql, rounds, prefix=f"dfs{i}")
+        for i, seed_sql in enumerate(per_seed_sqls)
+    ]
+    reach = " + ".join(
+        f"CAST(h{i}.distance >= 0 AS BIGINT)" for i in range(s)
+    )
+    dsum = " + ".join(
+        f"CASE WHEN h{i}.distance >= 0 THEN h{i}.distance ELSE 0 END"
+        for i in range(s)
+    )
+    joins = "\n".join(
+        f"JOIN ({sql}) h{i} USING (vertex_key)"
+        for i, sql in enumerate(singles)
+    )
+    return f"""
+SELECT h.vertex_key, h.distance,
+       CAST({reach} AS BIGINT) AS n_reached,
+       CAST({dsum} AS BIGINT) AS dist_sum,
+       CAST(CASE WHEN ({dsum}) = 0 THEN 0
+            ELSE (({reach}) * ({reach}) * {CLOSENESS_SCALE})
+                 // (({dsum}) * {s}) END AS BIGINT) AS closeness_fp
+FROM ({multi}) h
+{joins}
+ORDER BY 1"""
+
+
 def ppr_fp_ctes(
     seeds_sql: str,
     iters: int = PR_FP_ITERS,
