@@ -150,18 +150,6 @@ def vertex_features(
     )
 
     try:
-        directed_dir = None
-        if pr is None:
-            pr = pagerank_fp_keyed(edges, vertices, work_dir)
-            # the directed layout the PR build left behind fully determines
-            # the symmetrized build components needs — reuse it (ONE
-            # reverse-and-append pass) instead of a second full build
-            directed_dir = os.path.join(work_dir, "pr")
-        if comp is None:
-            comp = components_keyed(
-                edges, vertices, work_dir, directed_dir=directed_dir
-            )
-
         # ONE shuffle assembles the wide table: every ingredient is padded
         # to the common schema, unioned, and pivoted per vertex-key bucket
         # (groupby.first skips the nulls).  Chained per-ingredient hash
@@ -186,16 +174,47 @@ def vertex_features(
 
             return ds.map_batches(pad, batch_format="pandas")
 
-        unioned = (
-            padded(base)
-            .union(padded(deg))
-            .union(padded(etc))
-            .union(padded(chain))
-            .union(padded(labels))
-            .union(padded(tri_keyed))
-            .union(padded(pr))
-            .union(padded(comp))
-        )
+        # The 8 ingredient pipelines are independent, but a single fused
+        # 8-way-union execution schedules them poorly (measured at sf0.1:
+        # 17.8s fused vs 7.7s when each branch materializes through its
+        # own executor) — so materialize the branches concurrently from a
+        # small thread pool, overlapping the cheap aggregates with the
+        # expensive PageRank/components engine runs.  Each thread only
+        # blocks on a Dataset.materialize(); Ray's global scheduler shares
+        # the CPUs across the concurrent pipelines, on one box or many.
+        import concurrent.futures as _cf
+
+        def _pr_then_comp():
+            # components reuses the directed layout the PR build leaves
+            # behind (ONE reverse-and-append pass per partition) — a
+            # sequential dependency, so both run on one thread
+            _pr, _comp, directed_dir = pr, comp, None
+            if _pr is None:
+                _pr = pagerank_fp_keyed(edges, vertices, work_dir)
+                directed_dir = os.path.join(work_dir, "pr")
+            if _comp is None:
+                _comp = components_keyed(
+                    edges, vertices, work_dir, directed_dir=directed_dir
+                )
+            return _pr, _comp
+
+        parts = [base, deg, etc, chain, labels, tri_keyed]
+        with _cf.ThreadPoolExecutor(len(parts) + 1) as ex:
+            fut_pc = (
+                ex.submit(_pr_then_comp) if pr is None or comp is None else None
+            )
+            mats = list(ex.map(lambda d: padded(d).materialize(), parts))
+            if fut_pc is not None:
+                got_pr, got_comp = fut_pc.result()
+                pr = got_pr if pr is None else pr
+                comp = got_comp if comp is None else comp
+            mats += list(
+                ex.map(lambda d: padded(d).materialize(), [pr, comp])
+            )
+
+        unioned = mats[0]
+        for m in mats[1:]:
+            unioned = unioned.union(m)
         # the 8-way union fragments into many tiny blocks and the following
         # shuffle pays per-block overhead (round-1 pitfall: ~7x slower);
         # coalesce first (metadata-only repartition)
