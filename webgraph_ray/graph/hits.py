@@ -81,18 +81,36 @@ def hits(
     fwd.build(edges)
     # the reversed layout is fully determined by the forward build's
     # parquet: derive it with raw per-partition reverse-and-scatter tasks
-    # instead of a second full Ray Data build pipeline
+    # instead of a second full Ray Data build pipeline — and since that
+    # derivation only reads fwd's PARQUET (not its actors), it overlaps
+    # with fwd's actor startup on a second driver thread (both sides are
+    # ray.get waits that release the GIL; measured 3.5s -> 2.0s at sf0.1)
     rev = GraphEngine(
         os.path.join(work_dir, "rev"), num_parts=fwd.P, actor_num_cpus=0
     )
-    rev.build_reversed_from(os.path.join(work_dir, "fwd"))
-    fwd.start()
-    rev.start()
+    import concurrent.futures as _cf
+
+    def _rev_up():
+        rev.build_reversed_from(os.path.join(work_dir, "fwd"))
+        rev.start()
+
+    with _cf.ThreadPoolExecutor(2) as _ex:
+        _f = _ex.submit(fwd.start)
+        _r = _ex.submit(_rev_up)
+        _f.result()
+        _r.result()
     assert fwd.N == rev.N, "forward/reverse vertex sets diverged"
+
+    # Fire-and-forget refs (scale_labels / set_labels): per-actor task
+    # ordering makes a driver barrier unnecessary for correctness — any
+    # later task on the same actor queues behind them — but their errors
+    # must still surface, so they are drained once after the loop.
+    pending: list = []
 
     def half_step(eng: GraphEngine):
         """One exchange + L1 normalization on ``eng``; labels become the
-        new per-dst sums."""
+        new per-dst sums.  The only driver barrier is the global-total
+        reduction the normalization needs."""
         hub_ref = eng._initial_hub_ref("hits")
         outs = eng._exchange("hits", hub_ref)
         applies = [
@@ -100,16 +118,14 @@ def hits(
             for q in range(eng.P)
         ]
         total = int(sum(ray.get(applies)))
-        ray.get([a.scale_labels.remote(scale, total) for a in eng.actors])
+        pending.extend(a.scale_labels.remote(scale, total) for a in eng.actors)
         return total
 
     def transfer(src_eng: GraphEngine, dst_eng: GraphEngine):
         refs = [a.get_labels.remote() for a in src_eng.actors]
-        ray.get(
-            [
-                dst_eng.actors[q].set_labels.remote(refs[q])
-                for q in range(dst_eng.P)
-            ]
+        pending.extend(
+            dst_eng.actors[q].set_labels.remote(refs[q])
+            for q in range(dst_eng.P)
         )
 
     try:
@@ -136,6 +152,7 @@ def hits(
         hub_tables = ray.get(
             [a.result_table.remote("hits") for a in rev.actors]
         )
+        ray.get(pending)  # surface any scale/transfer errors
         parts = []
         for at, ht in zip(auth_tables, hub_tables):
             parts.append(
