@@ -1429,7 +1429,29 @@ def _build_training_oracles() -> dict[str, str]:
             FROM documents
         ),
         s AS ({_lang_scores_sql()}),
-        m AS (SELECT *, {gmax} AS m FROM s)
+        m AS (SELECT *, {gmax} AS m FROM s),
+        bg AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1])) AS g
+            FROM t
+        ),
+        bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        bstat AS (
+            SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg
+            FROM bgc GROUP BY 1
+        ),
+        tg AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1]
+                            || chr(9) || toks[i + 2])) AS g
+            FROM t
+        ),
+        tstat AS (
+            SELECT doc_id, count(*) AS n_tg, count(DISTINCT g) AS d_tg
+            FROM tg GROUP BY 1
+        )
         SELECT t.doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
@@ -1443,9 +1465,15 @@ def _build_training_oracles() -> dict[str, str]:
                     WHEN {ties} > 1 THEN 'unknown'
                     {pick}
                END AS pred_lang,
+               CAST(coalesce(100 * b.top_c // greatest(b.n_bg, 1), 0)
+                    AS BIGINT) AS top_bigram_pct,
+               CAST(coalesce(100 * (tt.n_tg - tt.d_tg) // greatest(tt.n_tg, 1), 0)
+                    AS BIGINT) AS dup_trigram_pct,
                CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
                CAST(len(list_distinct(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}'))) AS BIGINT) AS n_unique_bpe_tokens
         FROM t JOIN m ON t.doc_id = m.doc_id
+        LEFT JOIN bstat b ON t.doc_id = b.doc_id
+        LEFT JOIN tstat tt ON t.doc_id = tt.doc_id
         """,
         # exact-arithmetic hash families (definitions shared with
         # webgraph_ray/functions/texthash.py)

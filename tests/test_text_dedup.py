@@ -213,3 +213,71 @@ def test_jaccard_gate_raises_above_threshold(planted):
     # fallback is the minhash path: exact-verified, recall < 1 in general
     got_pairs = set(zip(got["doc_a"], got["doc_b"]))
     assert got_pairs <= brute_jaccard_pairs(planted, 0.7)
+
+
+def brute_repetition(texts):
+    """Python reference for the Gopher repetition signals."""
+    out = []
+    for t in texts:
+        toks = re.findall(r"\S+", t)
+        bgs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        tgs = [tuple(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if bgs:
+            from collections import Counter
+
+            top = Counter(bgs).most_common(1)[0][1]
+            top_pct = 100 * top // len(bgs)
+        else:
+            top_pct = 0
+        if tgs:
+            dup_pct = 100 * (len(tgs) - len(set(tgs))) // len(tgs)
+        else:
+            dup_pct = 0
+        out.append((top_pct, dup_pct))
+    return out
+
+
+def test_repetition_scores_vs_bruteforce():
+    texts = [
+        "a b a b a",            # top bigram 2/4=50, tri dup (3-2)/3=33
+        "x",                    # no bigrams/trigrams
+        "",                     # empty
+        "w w w w w w",          # single repeated token: 100 / dup high
+        "p q",                  # one bigram, no trigram
+        "the cat sat on the cat sat again",
+        "  leading  and   trailing   spaces  ",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        text.repetition_scores(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = brute_repetition(texts)
+    assert list(zip(got["top_bigram_pct"], got["dup_trigram_pct"])) == exp
+    # pin the hand-computed examples
+    assert (got.loc[0, "top_bigram_pct"], got.loc[0, "dup_trigram_pct"]) == (50, 33)
+    # 6x'w': 5 identical bigrams -> 100; 4 trigrams 1 distinct -> 75
+    assert (got.loc[3, "top_bigram_pct"], got.loc[3, "dup_trigram_pct"]) == (100, 75)
+
+
+def test_repetition_batch_boundary_independent():
+    """Per-doc signals must not depend on how docs fall into batches."""
+    rng = np.random.default_rng(7)
+    vocab = np.array(["aa", "bb", "cc", "dd"])
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        for _ in range(40)
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    one = (
+        text.repetition_scores(ray.data.from_pandas(df).repartition(1))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    many = (
+        text.repetition_scores(ray.data.from_pandas(df).repartition(13))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    assert list(zip(one["top_bigram_pct"], one["dup_trigram_pct"])) == brute_repetition(texts)

@@ -207,6 +207,87 @@ def lang_id_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def _repetition_from_codes(
+    doc_idx: np.ndarray, codes: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Gopher-style repetition signals from the exploded token stream:
+
+    - ``top_bigram_pct``: share (integer pct, floor) of a doc's word-bigram
+      occurrences taken by its single most frequent bigram
+    - ``dup_trigram_pct``: share of a doc's word-trigram occurrences that
+      are repeats (occurrences beyond the first of each distinct trigram)
+
+    Pure C-path: adjacency masks + one lexsort per n-gram order + run-length
+    group counts.  No combined-key multiplication, so no int64 overflow at
+    any vocabulary size.  ``doc_idx`` must be non-decreasing with each
+    doc's tokens contiguous and in order (what ``_explode_ws_tokens``
+    yields)."""
+    top_bigram_pct = np.zeros(n_docs, dtype=np.int64)
+    dup_trigram_pct = np.zeros(n_docs, dtype=np.int64)
+
+    def ngram_groups(k: int):
+        """(gram_doc, group_id sorted by doc, counts per group) for
+        order-k grams, or None when there are none."""
+        if len(codes) < k:
+            return None
+        same = doc_idx[k - 1 :] == doc_idx[: len(doc_idx) - k + 1]
+        if not same.any():
+            return None
+        d = doc_idx[: len(doc_idx) - k + 1][same]
+        cols = [codes[i : len(codes) - k + 1 + i][same] for i in range(k)]
+        order = np.lexsort((*reversed(cols), d))
+        ds = d[order]
+        diff = ds[1:] != ds[:-1]
+        for c in cols:
+            cs = c[order]
+            diff |= cs[1:] != cs[:-1]
+        new = np.concatenate(([True], diff))
+        grp = np.cumsum(new) - 1
+        cnt = np.bincount(grp)
+        return ds, ds[new], cnt
+
+    bg = ngram_groups(2)
+    if bg is not None:
+        ds, gdoc, cnt = bg
+        top_c = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top_c, gdoc, cnt)
+        n_bg = np.bincount(ds, minlength=n_docs).astype(np.int64)
+        top_bigram_pct = 100 * top_c // np.maximum(n_bg, 1)
+    tg = ngram_groups(3)
+    if tg is not None:
+        ds, gdoc, cnt = tg
+        n_tg = np.bincount(ds, minlength=n_docs).astype(np.int64)
+        d_tg = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+        dup_trigram_pct = 100 * (n_tg - d_tg) // np.maximum(n_tg, 1)
+    return top_bigram_pct, dup_trigram_pct
+
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """Per-document repetition quality signals (the Gopher-rule family:
+    'fraction of characters in the most common n-gram' / 'fraction of
+    duplicated n-grams', here over whitespace tokens with exact integer
+    percentages so the DuckDB oracle is bit-stable)."""
+    import pyarrow.compute as pc
+
+    n = t.num_rows
+    doc_idx, tokens = _explode_ws_tokens(t["text"])
+    if len(tokens):
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = np.empty(0, np.int64)
+    top_bg, dup_tg = _repetition_from_codes(doc_idx, codes, n)
+    return pa.table(
+        {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "top_bigram_pct": pa.array(top_bg),
+            "dup_trigram_pct": pa.array(dup_tg),
+        }
+    )
+
+
 def doc_hashes_batch(df: pd.DataFrame) -> pd.DataFrame:
     md5 = df["text"].map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
     return pd.DataFrame({"doc_id": df["doc_id"], "text_md5": md5})
@@ -255,6 +336,7 @@ quality_scores = _stage(quality_batch, fmt="pyarrow")
 lang_id = _stage(lang_id_batch, fmt="pyarrow")
 doc_hashes = _stage(doc_hashes_batch)
 fingerprints = _stage(fingerprint_batch)
+repetition_scores = _stage(repetition_batch, fmt="pyarrow")
 
 
 def doc_features_batch(t: pa.Table) -> pa.Table:
@@ -267,6 +349,7 @@ def doc_features_batch(t: pa.Table) -> pa.Table:
     ts = token_stats_batch(t)
     qs = quality_batch(t)
     li = lang_id_batch(t)
+    rp = repetition_batch(t)
     bp = pa.Table.from_pandas(
         bpe_token_stats_batch(t.to_pandas()), preserve_index=False
     )
@@ -281,6 +364,8 @@ def doc_features_batch(t: pa.Table) -> pa.Table:
             "stop_pct": qs["stop_pct"],
             "is_short": qs["is_short"],
             "pred_lang": li["pred_lang"],
+            "top_bigram_pct": rp["top_bigram_pct"],
+            "dup_trigram_pct": rp["dup_trigram_pct"],
             "n_bpe_tokens": pa.array(
                 bp["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
             ),
