@@ -379,6 +379,16 @@ def q_doc_features(sf_dir: str):
     return doc_features(_docs(sf_dir))
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination: flag corpus documents sharing any
+    5-token shingle with the deterministic held-out slice
+    (doc_id % 20 == 0).  Benchmark shingles broadcast once via ray.put;
+    the corpus streams through one is_in membership pass — no shuffle."""
+    from webgraph_ray.stages.dedup import decontaminate
+
+    return decontaminate(_docs(sf_dir))
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 characteristic terms per document by the exact-integer tf/df
     score (tf-idf analog with no float log): df partials reduced once,
@@ -1136,6 +1146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- remaining per-endpoint aggregates / robustness ---
         "endpoint_weight_stats": q_endpoint_weight_stats,
         "mutation_impact": q_mutation_impact,
+        # --- entry 51+: past the driver gate's 50-row window, still
+        # oracle-mirrored (and pytest-pinned vs DuckDB at small scale) ---
+        "decontam": q_decontam,
     }
 
 
@@ -1506,6 +1519,35 @@ def _build_training_oracles() -> dict[str, str]:
                min(doc_id) AS canonical_doc_id,
                CAST(count(*) AS BIGINT) AS dup_count
         FROM documents GROUP BY 1
+        """,
+        # decontamination: same chr(9)-joined 5-token shingles as the Ray
+        # side (exact string identity, no hashing)
+        "decontam": """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1] || chr(9) ||
+                            toks[i + 2] || chr(9) || toks[i + 3] || chr(9) ||
+                            toks[i + 4])) AS g
+            FROM t
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        corpus AS (
+            SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 20 <> 0
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated_shingles,
+               CAST(coalesce(c.n, 0) > 0 AS BIGINT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        LEFT JOIN (
+            SELECT corpus.doc_id, count(bench.g) AS n
+            FROM corpus JOIN bench USING (g)
+            GROUP BY 1
+        ) c ON d.doc_id = c.doc_id
         """,
         "cosine_dup_pairs": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -281,3 +281,44 @@ def test_repetition_batch_boundary_independent():
     )
     pd.testing.assert_frame_equal(one, many)
     assert list(zip(one["top_bigram_pct"], one["dup_trigram_pct"])) == brute_repetition(texts)
+
+
+def test_decontaminate_vs_duckdb_oracle():
+    """Package-boundary mirror of the gate protocol for the decontam op."""
+    import duckdb
+    import sys, os
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["decontam"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = con.execute(entry.oracle_sql()["decontam"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
+    # the synthetic documents table plants duplicates, so contamination
+    # must actually fire (guards against a trivially-all-zero pass)
+    assert got["contaminated"].sum() > 0
+    assert (got["doc_id"] % 20 != 0).all()
+
+
+def test_decontaminate_broadcast_gate():
+    df = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [f"tok{i} a b c d e f g h {i}" for i in range(40)],
+        }
+    )
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        dedup.decontaminate(
+            ray.data.from_pandas(df), broadcast_limit=2
+        ).materialize()

@@ -440,3 +440,160 @@ def simhash_dup_pairs(
         pairs.groupby(["doc_a", "doc_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination (train/benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+DECON_BENCH_MOD = 20
+# distinct benchmark shingles the broadcast path will hold per worker;
+# benchmark suites are tiny next to a training corpus, so the broadcast
+# shape (ray.put once, read in every task) is the 100-TB design — the
+# gate fails loudly if someone points the "benchmark" side at a corpus
+DECON_BROADCAST_LIMIT = 5_000_000
+
+
+def _shingle_strings(texts, n: int):
+    """All n-token tab-joined shingles of a batch of texts plus the row
+    index each came from.  C-path end to end: one whitespace explode, n
+    Arrow slices, one ``binary_join_element_wise`` — no per-row Python.
+    Exact string identity (no hashing), so the DuckDB mirror is the same
+    ``chr(9)``-join and there are no collision caveats."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webgraph_ray.stages.text import _explode_ws_tokens
+
+    doc_idx, flat = _explode_ws_tokens(texts)
+    m = len(flat) - n + 1
+    if m <= 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parts = [flat.slice(j, m) for j in range(n)]
+    sh = pc.binary_join_element_wise(*parts, "\t")
+    same = doc_idx[:m] == doc_idx[n - 1 :]
+    return doc_idx[:m][same], sh.filter(pa.array(same))
+
+
+def _mod_filter(docs: "ray.data.Dataset", mod: int, keep_zero: bool):
+    import pyarrow as pa
+
+    def f(t: "pa.Table") -> "pa.Table":
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        mask = (did % mod == 0) if keep_zero else (did % mod != 0)
+        return t.filter(pa.array(mask))
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class _DeconScorer:
+    """Actor-pool stage: the benchmark shingle set is fetched from plasma
+    ONCE per actor (zero-copy Arrow) and every batch runs one ``is_in``
+    membership scan + a distinct-(doc, shingle) count."""
+
+    def __init__(self, bench_ref, n: int):
+        import ray as _ray
+
+        self.bench = _ray.get(bench_ref)
+        self.n = n
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        nrows = t.num_rows
+        counts = np.zeros(nrows, np.int64)
+        doc_idx, sh = _shingle_strings(t["text"], self.n)
+        if len(sh) and len(self.bench):
+            hit = pc.is_in(sh, value_set=self.bench).to_numpy(
+                zero_copy_only=False
+            )
+            if hit.any():
+                d = doc_idx[hit]
+                enc = pc.dictionary_encode(sh.filter(pa.array(hit)))
+                if isinstance(enc, pa.ChunkedArray):
+                    enc = enc.combine_chunks()
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                order = np.lexsort((codes, d))
+                ds_, cs_ = d[order], codes[order]
+                new = np.concatenate(
+                    ([True], (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1]))
+                )
+                counts = np.bincount(
+                    ds_[new], minlength=nrows
+                ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_contaminated_shingles": pa.array(counts),
+                "contaminated": pa.array((counts > 0).astype(np.int64)),
+            }
+        )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    broadcast_limit: int = DECON_BROADCAST_LIMIT,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Benchmark decontamination (the published train/test-overlap
+    practice: flag training documents sharing any token n-gram with an
+    evaluation set).  The 'benchmark' here is the deterministic held-out
+    slice ``doc_id % bench_mod == 0``; output is one row per NON-benchmark
+    document: (doc_id, n_contaminated_shingles = distinct n-gram shingles
+    shared with any benchmark doc, contaminated flag).
+
+    Scale shape: the benchmark side reduces to a distinct-shingle Arrow
+    array on the driver (benchmarks are small by construction — gated at
+    ``broadcast_limit`` with a loud error), ships to plasma ONCE via
+    ``ray.put``, and the corpus streams through an actor-pool
+    ``map_batches`` doing one vectorized ``is_in`` per batch.  No shuffle
+    touches the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    def bench_batch(t: "pa.Table") -> "pa.Table":
+        _, sh = _shingle_strings(t["text"], n)
+        u = pc.unique(sh)
+        return pa.table({"g": pc.cast(u, pa.string())})
+
+    parts = []
+    for b in (
+        _mod_filter(docs, bench_mod, keep_zero=True)
+        .map_batches(bench_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        parts.append(b["g"].combine_chunks() if isinstance(b["g"], pa.ChunkedArray) else b["g"])
+        total = sum(len(p) for p in parts)
+        if total > 4 * broadcast_limit:
+            raise ValueError(
+                f"decontaminate: benchmark shingle stream exceeds "
+                f"{4 * broadcast_limit} pre-dedup entries; the benchmark "
+                f"slice looks like a corpus — use a bucketed join instead"
+            )
+    bench = (
+        pc.unique(pa.concat_arrays(parts))
+        if parts
+        else pa.array([], pa.string())
+    )
+    if len(bench) > broadcast_limit:
+        raise ValueError(
+            f"decontaminate: {len(bench)} distinct benchmark shingles "
+            f"exceed broadcast_limit={broadcast_limit}; use a bucketed "
+            f"join for a benchmark this large"
+        )
+    ref = _ray.put(bench)
+    return _mod_filter(docs, bench_mod, keep_zero=False).map_batches(
+        _DeconScorer,
+        fn_constructor_args=(ref, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or (1, 8),
+    )
