@@ -389,6 +389,16 @@ def q_decontam(sf_dir: str):
     return decontaminate(_docs(sf_dir))
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup-shape semantic dedup: exact fixed-point k-means coarse
+    quantizer, then near-duplicate marking ONLY within a cluster (one
+    cluster groupby; per-cluster pair blocks capped, vectors travel as
+    float64 blobs)."""
+    from webgraph_ray.stages.cluster import semdedup
+
+    return semdedup(_embs(sf_dir))
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 characteristic terms per document by the exact-integer tf/df
     score (tf-idf analog with no float log): df partials reduced once,
@@ -1149,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- entry 51+: past the driver gate's 50-row window, still
         # oracle-mirrored (and pytest-pinned vs DuckDB at small scale) ---
         "decontam": q_decontam,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1501,6 +1512,7 @@ def _build_training_oracles() -> dict[str, str]:
         """,
         "lsh_ann_topk": _lsh_ann_sql_oracle(),
         "kmeans_clusters": _cl.kmeans_sql(k=8, iters=3),
+        "semdedup": _cl.semdedup_sql(k=8, iters=3, threshold=0.4),
         "ivf_ann_topk": _cl.ivf_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2),
         "sketches": f"""
         SELECT 'kmv' AS sketch, s.key, s.value FROM (

@@ -134,3 +134,43 @@ def test_kmeans_empty_cluster_carryover():
     lab = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
     assert len(np.unique(lab)) == 2  # only 2 real groups
     assert C.shape == (3, 64) and not np.isnan(C).any()
+
+
+def test_semdedup_vs_duckdb_oracle():
+    """Package-boundary mirror of the gate protocol for the semdedup op."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["semdedup"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    exp = con.execute(entry.oracle_sql()["semdedup"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
+    # the synthetic embeddings plant near-duplicates — pruning must fire,
+    # every dup must point at a smaller same-cluster id, keepers at -1
+    assert got["is_dup"].sum() > 0
+    dups = got[got["is_dup"] == 1]
+    assert (dups["dup_of"] < dups["vec_id"]).all()
+    assert (got.loc[got["is_dup"] == 0, "dup_of"] == -1).all()
+
+
+def test_semdedup_max_cluster_gate():
+    from webgraph_ray.stages.cluster import semdedup
+
+    mat = np.tile(np.linspace(-1, 1, 64), (30, 1))  # one tight cluster
+    with pytest.raises(ValueError, match="max_cluster"):
+        semdedup(_emb_ds(mat), k=1, iters=1, max_cluster=5).materialize()

@@ -497,3 +497,130 @@ SELECT query_id,
        neighbor_id
 FROM sims
 QUALIFY rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_MAX_CLUSTER = 200_000
+
+
+def semdedup(
+    embeddings: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+) -> ray.data.Dataset:
+    """Semantic near-duplicate pruning in the SemDeDup shape (Abbas et
+    al. 2023: k-means the embedding space, then compare pairs ONLY within
+    a cluster): one row per vector with (vec_id, cluster, dup_of, is_dup)
+    where ``dup_of`` is the smallest same-cluster vec_id with cosine
+    similarity >= ``threshold`` (rounded to 9 decimals, the repo's
+    float-tie convention) and -1 when the vector is kept.
+
+    Scale shape: the coarse quantizer caps the quadratic — per-cluster
+    work is O((n/k)^2) and k grows with n; the per-batch assign reuses
+    the broadcast centroids (ray.put once), vectors travel to their
+    cluster's group as float64 blobs through ONE cluster groupby, and a
+    cluster larger than ``max_cluster`` fails loudly (raise k) instead of
+    silently materializing an n^2 block."""
+    from webgraph_ray.stages.embed import _normalize
+
+    C, _ = kmeans_fit(embeddings, k=k, iters=iters)
+    ref = ray.put(C)
+
+    def assign_blob(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        Ct = ray.get(ref)
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "blob": pa.array([], pa.binary()),
+                }
+            )
+        X = _scaled_matrix(t)
+        a = _assign_ids(X, Ct)
+        # np.stack over per-row ndarrays handles both list<float> and
+        # tensor-extension layouts (and respects zero-copy block slices)
+        M = _normalize(
+            np.stack(
+                t["embedding"].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "cluster": pa.array(a),
+                "blob": pa.array([row.tobytes() for row in M], pa.binary()),
+            }
+        )
+
+    def cluster_dups(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        n = len(g)
+        if n > max_cluster:
+            raise ValueError(
+                f"semdedup: cluster of {n} rows exceeds max_cluster="
+                f"{max_cluster}; raise k so per-cluster pair blocks stay "
+                f"bounded"
+            )
+        ids = g["vec_id"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(np.int64),
+                "dup_of": np.full(n, -1, dtype=np.int64),
+                "is_dup": np.zeros(n, dtype=np.int64),
+            }
+        )
+        if n < 2:
+            return out
+        M = np.frombuffer(b"".join(g["blob"]), dtype=np.float64).reshape(n, -1)
+        hit = np.tril(np.round(M @ M.T, 9) >= threshold, k=-1)
+        any_ = hit.any(axis=1)
+        # rows and columns are vec_id-sorted, so argmax = first True =
+        # smallest qualifying earlier id
+        out.loc[any_, "dup_of"] = ids[np.argmax(hit[any_], axis=1)]
+        out["is_dup"] = any_.astype(np.int64)
+        return out
+
+    return (
+        embeddings.map_batches(
+            assign_blob, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cluster")
+        .map_groups(cluster_dups, batch_format="pandas")
+    )
+
+
+def semdedup_sql(
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.4,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB mirror: the exact fixed-point k-means CTEs feed a
+    same-cluster pairwise cosine (rounded to 9 decimals) min-earlier-id
+    aggregate."""
+    ctes, asg = _kmeans_ctes(k, iters, dim)
+    return f"""
+{ctes}
+, sd_pair AS (
+    SELECT a.vec_id AS i, min(b.vec_id) AS dup_of
+    FROM {asg} a
+    JOIN {asg} b ON a.cid = b.cid AND b.vec_id < a.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 9)
+          >= {threshold}
+    GROUP BY 1
+)
+SELECT g.vec_id, CAST(g.cid AS BIGINT) AS cluster,
+       CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of,
+       CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
+FROM {asg} g LEFT JOIN sd_pair p ON g.vec_id = p.i"""
