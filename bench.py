@@ -167,6 +167,22 @@ def run_suite() -> dict:
     exact = ann_topk(embs, [0, 1, 2, 3, 4], k=10)
     queries["training_ops"] = round(time.time() - t0, 3)
 
+    # 6a. round-4 curation ops: repetition quality signals (Gopher rules),
+    # benchmark decontamination (broadcast shingle membership, no shuffle),
+    # SemDeDup-shape semantic dedup (k-means quantizer + in-cluster pairs)
+    from webgraph_ray.stages.cluster import semdedup
+    from webgraph_ray.stages.dedup import decontaminate
+    from webgraph_ray.stages.text import repetition_scores
+
+    t0 = time.time()
+    repetition_scores(docs).count()
+    extras["decontam_flagged"] = int(
+        decontaminate(docs)
+        .sum("contaminated")
+    )
+    extras["semdedup_pruned"] = int(semdedup(embs).sum("is_dup"))
+    queries["curation_ops"] = round(time.time() - t0, 3)
+
     # ANN index quality: recall of the bucket-probed LSH index vs exact
     from webgraph_ray.stages.embed import lsh_ann_topk
 
