@@ -53,13 +53,28 @@ FEATURE_COLUMNS = (
 
 
 def pagerank_fp_keyed(
-    edges: ray.data.Dataset, vertices: ray.data.Dataset, work_dir: str
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    work_dir: str,
+    actor_num_cpus: float = 1.0,
+    build_done=None,
 ) -> ray.data.Dataset:
-    """(vertex_key, score_fp) — fixed-point PageRank with keys attached."""
+    """(vertex_key, score_fp) — fixed-point PageRank with keys attached.
+
+    ``build_done`` (a ``threading.Event``) is set as soon as the directed
+    build's parquet is on disk — everything a dependent
+    ``build_symmetrized_from`` needs — so a components run on another
+    thread can overlap with the PageRank iterations instead of waiting for
+    them."""
     from webgraph_ray.functions.oracles import PR_FP_ITERS, PR_FP_SCALE
 
-    eng = GraphEngine(os.path.join(work_dir, "pr"), num_parts=None)
+    eng = GraphEngine(
+        os.path.join(work_dir, "pr"), num_parts=None,
+        actor_num_cpus=actor_num_cpus,
+    )
     eng.build(edges, symmetrize=False)
+    if build_done is not None:
+        build_done.set()
     try:
         return attach_keys(
             eng.pagerank_fixed(iters=PR_FP_ITERS, scale=PR_FP_SCALE), vertices
@@ -73,6 +88,7 @@ def components_keyed(
     vertices: ray.data.Dataset,
     work_dir: str,
     directed_dir: str | None = None,
+    actor_num_cpus: float = 1.0,
 ) -> ray.data.Dataset:
     """(vertex_key, component_key) — canonical min-key component labels.
 
@@ -87,7 +103,10 @@ def components_keyed(
     the table twice and pay the high-cardinality sort-aggregate tax)."""
     from webgraph_ray.functions.shuffle import default_num_buckets
 
-    eng = GraphEngine(os.path.join(work_dir, "cc"), num_parts=None)
+    eng = GraphEngine(
+        os.path.join(work_dir, "cc"), num_parts=None,
+        actor_num_cpus=actor_num_cpus,
+    )
     if directed_dir is not None:
         eng.build_symmetrized_from(directed_dir)
     else:
@@ -183,31 +202,50 @@ def vertex_features(
         # blocks on a Dataset.materialize(); Ray's global scheduler shares
         # the CPUs across the concurrent pipelines, on one box or many.
         import concurrent.futures as _cf
+        import threading as _threading
 
-        def _pr_then_comp():
-            # components reuses the directed layout the PR build leaves
-            # behind (ONE reverse-and-append pass per partition) — a
-            # sequential dependency, so both run on one thread
-            _pr, _comp, directed_dir = pr, comp, None
-            if _pr is None:
-                _pr = pagerank_fp_keyed(edges, vertices, work_dir)
-                directed_dir = os.path.join(work_dir, "pr")
-            if _comp is None:
-                _comp = components_keyed(
-                    edges, vertices, work_dir, directed_dir=directed_dir
+        # components reuses the directed layout the PR build leaves behind
+        # (ONE reverse-and-append pass per partition).  Only the BUILD is
+        # the dependency — not the PageRank iterations — so the PR thread
+        # signals an Event the moment its parquet is on disk and the
+        # components thread overlaps with the iteration phase.  Both
+        # engines are briefly alive at once, so their partition actors
+        # reserve zero CPUs (the HITS pattern: a 2x-P reservation would
+        # starve the concurrently-running ingredient pipelines' tasks).
+        pr_build_done = _threading.Event()
+
+        def _pr_job():
+            if pr is not None:
+                pr_build_done.set()
+                return pr
+            try:
+                return pagerank_fp_keyed(
+                    edges, vertices, work_dir,
+                    actor_num_cpus=0, build_done=pr_build_done,
                 )
-            return _pr, _comp
+            finally:
+                # idempotent; a failed build must not hang the comp thread
+                # (it will fail loudly on the missing parquet instead)
+                pr_build_done.set()
+
+        def _comp_job():
+            if comp is not None:
+                return comp
+            directed_dir = None
+            if pr is None:
+                pr_build_done.wait()
+                directed_dir = os.path.join(work_dir, "pr")
+            return components_keyed(
+                edges, vertices, work_dir,
+                directed_dir=directed_dir, actor_num_cpus=0,
+            )
 
         parts = [base, deg, etc, chain, labels, tri_keyed]
-        with _cf.ThreadPoolExecutor(len(parts) + 1) as ex:
-            fut_pc = (
-                ex.submit(_pr_then_comp) if pr is None or comp is None else None
-            )
+        with _cf.ThreadPoolExecutor(len(parts) + 2) as ex:
+            fut_pr = ex.submit(_pr_job)
+            fut_comp = ex.submit(_comp_job)
             mats = list(ex.map(lambda d: padded(d).materialize(), parts))
-            if fut_pc is not None:
-                got_pr, got_comp = fut_pc.result()
-                pr = got_pr if pr is None else pr
-                comp = got_comp if comp is None else comp
+            pr, comp = fut_pr.result(), fut_comp.result()
             mats += list(
                 ex.map(lambda d: padded(d).materialize(), [pr, comp])
             )
