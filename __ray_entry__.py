@@ -399,6 +399,15 @@ def q_semdedup(sf_dir: str):
     return semdedup(_embs(sf_dir))
 
 
+def q_quality_filter(sf_dir: str):
+    """Gopher-style composite document filter: the fused doc_features
+    signals feed a deterministic first-match rule chain -> (doc_id, keep,
+    reject_reason).  One pass, no shuffle."""
+    from webgraph_ray.stages.text import quality_filter
+
+    return quality_filter(_docs(sf_dir))
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 characteristic terms per document by the exact-integer tf/df
     score (tf-idf analog with no float log): df partials reduced once,
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-mirrored (and pytest-pinned vs DuckDB at small scale) ---
         "decontam": q_decontam,
         "semdedup": q_semdedup,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1442,12 +1452,7 @@ def _build_training_oracles() -> dict[str, str]:
 
     from webgraph_ray.stages.text import tfidf_topk_sql
 
-    return {
-        "tfidf_topk": tfidf_topk_sql(k=3),
-        # fused per-doc text analysis: token stats + quality + lang id +
-        # BPE stats in one row per document (mirrors stages/text.py::
-        # doc_features — the four component definitions are unchanged)
-        "doc_features": f"""
+    doc_features_sql = f"""
         WITH t AS (
             SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS toks
             FROM documents
@@ -1498,6 +1503,39 @@ def _build_training_oracles() -> dict[str, str]:
         FROM t JOIN m ON t.doc_id = m.doc_id
         LEFT JOIN bstat b ON t.doc_id = b.doc_id
         LEFT JOIN tstat tt ON t.doc_id = tt.doc_id
+        """
+
+    from webgraph_ray.stages.text import (
+        QF_MAX_DUP_TRIGRAM_PCT,
+        QF_MAX_TOP_BIGRAM_PCT,
+        QF_MIN_STOP_PCT,
+        QF_MIN_TOKENS,
+    )
+
+    # first-match rule chain mirrored verbatim from
+    # stages/text.py::quality_filter_batch
+    qf_reason = f"""CASE
+        WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+        WHEN top_bigram_pct > {QF_MAX_TOP_BIGRAM_PCT}
+             OR dup_trigram_pct > {QF_MAX_DUP_TRIGRAM_PCT} THEN 'repetitive'
+        WHEN stop_pct < {QF_MIN_STOP_PCT} THEN 'low_stopword'
+        WHEN pred_lang <> 'en' THEN 'non_english'
+        ELSE '' END"""
+
+    return {
+        "tfidf_topk": tfidf_topk_sql(k=3),
+        # fused per-doc text analysis: token stats + quality + lang id +
+        # BPE stats in one row per document (mirrors stages/text.py::
+        # doc_features — the four component definitions are unchanged)
+        "doc_features": doc_features_sql,
+        "quality_filter": f"""
+        SELECT doc_id,
+               CAST(reject_reason = '' AS BIGINT) AS keep,
+               reject_reason
+        FROM (
+            SELECT doc_id, {qf_reason} AS reject_reason
+            FROM ({doc_features_sql})
+        )
         """,
         # exact-arithmetic hash families (definitions shared with
         # webgraph_ray/functions/texthash.py)

@@ -322,3 +322,55 @@ def test_decontaminate_broadcast_gate():
         dedup.decontaminate(
             ray.data.from_pandas(df), broadcast_limit=2
         ).materialize()
+
+
+def test_quality_filter_vs_duckdb_oracle():
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["quality_filter"](sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = con.execute(entry.oracle_sql()["quality_filter"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        df["doc_id"] = df["doc_id"].astype("int64")
+        df["keep"] = df["keep"].astype("int64")
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
+    # both branches of the decision must be exercised, with real reasons
+    assert 0 < got["keep"].sum() < len(got)
+    assert set(got.loc[got["keep"] == 0, "reject_reason"]) <= set(
+        text.QF_REASONS
+    )
+    assert (got.loc[got["keep"] == 1, "reject_reason"] == "").all()
+
+
+def test_quality_filter_first_match_order():
+    """A doc failing several rules must report the FIRST matching reason."""
+    texts = [
+        "x y",                              # too_short (also low_stopword)
+        " ".join(["a b"] * 30),             # repetitive (stopword-rich)
+        " ".join(f"w{i}" for i in range(30)),  # low_stopword
+        "the a of and to " * 4,             # repetitive fires before low_stop? no: stop-rich, bigram-heavy -> repetitive
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        text.quality_filter(ray.data.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.loc[0, "reject_reason"] == "too_short"
+    assert got.loc[1, "reject_reason"] == "repetitive"
+    assert got.loc[2, "reject_reason"] == "low_stopword"
+    assert got.loc[3, "reject_reason"] == "repetitive"

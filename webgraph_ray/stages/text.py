@@ -495,3 +495,46 @@ SELECT doc_id, CAST(rn AS BIGINT) AS term_rank, term,
        CAST(score_fp AS BIGINT) AS score_fp
 FROM scored WHERE rn <= {k}
 ORDER BY doc_id, term_rank"""
+
+
+# ---------------------------------------------------------------------------
+# composite quality filter: signals -> deterministic keep/drop decision
+# ---------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 15
+QF_MIN_STOP_PCT = 2
+QF_MAX_TOP_BIGRAM_PCT = 9
+QF_MAX_DUP_TRIGRAM_PCT = 4
+QF_REASONS = ("too_short", "repetitive", "low_stopword", "non_english")
+
+
+def quality_filter_batch(t: pa.Table) -> pa.Table:
+    """Gopher-style document filter: the fused doc_features signals feed a
+    deterministic FIRST-MATCH rule chain (too_short -> repetitive ->
+    low_stopword -> non_english), yielding (doc_id, keep, reject_reason)
+    with reject_reason = '' for kept docs.  One pass per batch, no
+    shuffle; the rule order and thresholds are mirrored verbatim in the
+    SQL oracle."""
+    f = doc_features_batch(t)
+    n = f["n_tokens"].to_numpy(zero_copy_only=False)
+    stop = f["stop_pct"].to_numpy(zero_copy_only=False)
+    bg = f["top_bigram_pct"].to_numpy(zero_copy_only=False)
+    tg = f["dup_trigram_pct"].to_numpy(zero_copy_only=False)
+    lang = np.asarray(f["pred_lang"].to_pylist(), dtype=object)
+    conds = [
+        n < QF_MIN_TOKENS,
+        (bg > QF_MAX_TOP_BIGRAM_PCT) | (tg > QF_MAX_DUP_TRIGRAM_PCT),
+        stop < QF_MIN_STOP_PCT,
+        lang != "en",
+    ]
+    reason = np.select(conds, list(QF_REASONS), default="")
+    return pa.table(
+        {
+            "doc_id": f["doc_id"],
+            "keep": pa.array((reason == "").astype(np.int64)),
+            "reject_reason": pa.array(reason.astype(object), pa.string()),
+        }
+    )
+
+
+quality_filter = _stage(quality_filter_batch, fmt="pyarrow")
