@@ -408,6 +408,16 @@ def q_quality_filter(sf_dir: str):
     return quality_filter(_docs(sf_dir))
 
 
+def q_curation_funnel(sf_dir: str):
+    """End-to-end corpus-curation funnel counts (input -> quality_kept ->
+    canonical_kept -> curated): quality filter, canonical exact-dedup and
+    benchmark decontamination flags assembled per doc through ONE
+    doc-id-hash bucket shuffle."""
+    from webgraph_ray.pipelines.curate import curation_funnel
+
+    return curation_funnel(_docs(sf_dir))
+
+
 def q_tfidf_topk(sf_dir: str):
     """Top-3 characteristic terms per document by the exact-integer tf/df
     score (tf-idf analog with no float log): df partials reduced once,
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam": q_decontam,
         "semdedup": q_semdedup,
         "quality_filter": q_quality_filter,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1522,13 +1533,7 @@ def _build_training_oracles() -> dict[str, str]:
         WHEN pred_lang <> 'en' THEN 'non_english'
         ELSE '' END"""
 
-    return {
-        "tfidf_topk": tfidf_topk_sql(k=3),
-        # fused per-doc text analysis: token stats + quality + lang id +
-        # BPE stats in one row per document (mirrors stages/text.py::
-        # doc_features — the four component definitions are unchanged)
-        "doc_features": doc_features_sql,
-        "quality_filter": f"""
+    quality_filter_sql = f"""
         SELECT doc_id,
                CAST(reject_reason = '' AS BIGINT) AS keep,
                reject_reason
@@ -1536,7 +1541,43 @@ def _build_training_oracles() -> dict[str, str]:
             SELECT doc_id, {qf_reason} AS reject_reason
             FROM ({doc_features_sql})
         )
-        """,
+        """
+
+    decontam_sql = """
+        WITH t AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(toks) - 4, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1] || chr(9) ||
+                            toks[i + 2] || chr(9) || toks[i + 3] || chr(9) ||
+                            toks[i + 4])) AS g
+            FROM t
+        ),
+        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+        corpus AS (
+            SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 20 <> 0
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated_shingles,
+               CAST(coalesce(c.n, 0) > 0 AS BIGINT) AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        LEFT JOIN (
+            SELECT corpus.doc_id, count(bench.g) AS n
+            FROM corpus JOIN bench USING (g)
+            GROUP BY 1
+        ) c ON d.doc_id = c.doc_id
+        """
+
+    return {
+        "tfidf_topk": tfidf_topk_sql(k=3),
+        # fused per-doc text analysis: token stats + quality + lang id +
+        # BPE stats in one row per document (mirrors stages/text.py::
+        # doc_features — the four component definitions are unchanged)
+        "doc_features": doc_features_sql,
+        "quality_filter": quality_filter_sql,
         # exact-arithmetic hash families (definitions shared with
         # webgraph_ray/functions/texthash.py)
         "fingerprints": _th.fingerprints_sql(),
@@ -1572,32 +1613,24 @@ def _build_training_oracles() -> dict[str, str]:
         """,
         # decontamination: same chr(9)-joined 5-token shingles as the Ray
         # side (exact string identity, no hashing)
-        "decontam": """
-        WITH t AS (
-            SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
-            FROM documents
+        "decontam": decontam_sql,
+        "curation_funnel": f"""
+        WITH qf AS ({quality_filter_sql}),
+        canon AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
         ),
-        sh AS (
-            SELECT doc_id, unnest(list_transform(
-                       generate_series(1, greatest(len(toks) - 4, 0)),
-                       i -> toks[i] || chr(9) || toks[i + 1] || chr(9) ||
-                            toks[i + 2] || chr(9) || toks[i + 3] || chr(9) ||
-                            toks[i + 4])) AS g
-            FROM t
-        ),
-        bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
-        corpus AS (
-            SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 20 <> 0
-        )
-        SELECT d.doc_id,
-               CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated_shingles,
-               CAST(coalesce(c.n, 0) > 0 AS BIGINT) AS contaminated
-        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
-        LEFT JOIN (
-            SELECT corpus.doc_id, count(bench.g) AS n
-            FROM corpus JOIN bench USING (g)
-            GROUP BY 1
-        ) c ON d.doc_id = c.doc_id
+        dec AS ({decontam_sql})
+        SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents
+        UNION ALL
+        SELECT 'quality_kept', count(*) FROM qf WHERE keep = 1
+        UNION ALL
+        SELECT 'canonical_kept', count(*)
+        FROM qf JOIN canon USING (doc_id) WHERE keep = 1
+        UNION ALL
+        SELECT 'curated', count(*)
+        FROM qf JOIN canon USING (doc_id) JOIN dec USING (doc_id)
+        WHERE keep = 1 AND contaminated = 0
         """,
         "cosine_dup_pairs": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
