@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+import pyarrow as pa
 import ray.data
 
 from webgraph_ray.stages import embed, media
@@ -212,3 +213,69 @@ def test_cosine_lsh_plane_scaling_bounds_buckets():
     assert counts.max() <= 20 * embed.COSINE_LSH_TARGET_BUCKET
     # the old fixed-5-planes default would put ~31k vectors per bucket
     assert counts.mean() < n / (1 << 5)
+
+
+def test_frame_sampling_roundtrip_and_stride():
+    from webgraph_ray.stages.media import sample_frames, to_video, FrameSampler
+
+    texts = [
+        "abcdefgh" * 7,         # 56 bytes -> 7 frames of 8 (padded to 56? 56/8=7 exact)
+        "xy",                   # 1 frame, padded
+        "",                     # 0 frames
+        "q" * 17,               # 3 frames (17 -> 24 padded)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ds = ray.data.from_pandas(df)
+
+    # every=1 reassembles each padded body exactly
+    all_frames = (
+        sample_frames(ds, every=1, frame_len=8)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    for doc_id, g in all_frames.groupby("doc_id"):
+        body = b"".join(g["frame"])
+        orig = texts[doc_id].encode()
+        pad = (-len(orig)) % 8
+        assert body == orig + b"\x00" * pad
+        assert list(g["frame_idx"]) == list(range(len(g)))
+    assert 2 not in set(all_frames["doc_id"])  # empty text -> no frames
+
+    # stride sampling picks frames 0, 3, 6, ...
+    sampled = (
+        sample_frames(ds, every=3, frame_len=8)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+    )
+    g0 = sampled[sampled["doc_id"] == 0]
+    assert list(g0["frame_idx"]) == [0, 3, 6]
+    full0 = all_frames[all_frames["doc_id"] == 0].set_index("frame_idx")
+    for r in g0.itertuples():
+        assert r.frame == full0.loc[r.frame_idx, "frame"]
+
+    # corrupt / foreign payloads fall through the unknown-container path
+    bad = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "payload": pa.array([b"NOPE" + b"\x00" * 20], pa.binary()),
+        }
+    )
+    out = FrameSampler(every=1)(bad)
+    assert out.num_rows == 0
+
+
+def test_frame_sampling_batch_invariant():
+    from webgraph_ray.stages.media import sample_frames
+
+    rng = np.random.default_rng(9)
+    texts = ["".join(rng.choice(list("abcdef"), size=rng.integers(0, 90))) for _ in range(30)]
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": texts})
+    one = (
+        sample_frames(ray.data.from_pandas(df).repartition(1), every=2, frame_len=16)
+        .to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
+    many = (
+        sample_frames(ray.data.from_pandas(df).repartition(7), every=2, frame_len=16)
+        .to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)

@@ -202,3 +202,146 @@ def media_meta(docs: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset
         batch_size=256,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# video frame-sampling plumbing (deterministic container, real Ray shape)
+# ---------------------------------------------------------------------------
+
+# No video codec exists in this container, so the CONTAINER is a
+# deterministic fake (clearly so: 'RAWV' magic + u32be frame count +
+# u32be frame length + fixed-length zero-padded frames) — but everything
+# Ray-side is the real shape a video pipeline needs: binary payload
+# column in, 1->k flat-map out (one row per sampled frame), vectorized
+# offset arithmetic over the Arrow buffers (no per-row Python), actor
+# pool with small batches, and an 'unknown container' fallback path.
+VIDEO_MAGIC = b"RAWV"
+_VIDEO_HDR_LEN = 12  # magic(4) + n_frames u32be(4) + frame_len u32be(4)
+
+
+def to_video(docs: ray.data.Dataset, frame_len: int = 32) -> ray.data.Dataset:
+    """documents -> (doc_id, payload, media_type='video'): the text body
+    split into fixed-length zero-padded frames behind a RAWV header."""
+    assert frame_len > 0
+
+    def fn(t: pa.Table) -> pa.Table:
+        start, blen, data = _binary_parts(pc.cast(t["text"], pa.binary()))
+        n = len(start)
+        n_frames = (blen + frame_len - 1) // frame_len  # 0 for empty text
+        # fixture-synthesis side (the per-row loop builds the fake
+        # containers a crawl would hand us already-encoded); the DECODE
+        # path in FrameSampler is the vectorized one
+        payloads = []
+        for i in range(n):
+            body = data[start[i] : start[i] + blen[i]].tobytes()
+            pad = (-len(body)) % frame_len
+            hdr = (
+                VIDEO_MAGIC
+                + int(n_frames[i]).to_bytes(4, "big")
+                + frame_len.to_bytes(4, "big")
+            )
+            payloads.append(hdr + body + b"\x00" * pad)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["video"] * n, pa.string()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class FrameSampler:
+    """Actor-pool 1->k flat-map: every ``every``-th frame of each RAWV
+    payload as its own row (doc_id, frame_idx, frame).  Frame extraction
+    is ONE vectorized gather over the batch's binary buffer — a
+    (total_sampled_frames, frame_len) index matrix — then a zero-copy
+    FixedSizeBinary wrap; payloads without the magic are dropped through
+    the same unknown-container fallback the image decoder uses."""
+
+    def __init__(self, every: int = 2):
+        assert every >= 1
+        self.every = every
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        start, length, data = _binary_parts(t["payload"])
+        n = len(start)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def empty(frame_len: int = 1) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int64()),
+                    "frame": pa.array([], pa.binary(frame_len)),
+                }
+            )
+
+        if n == 0 or not len(data):
+            return empty()
+        H = _VIDEO_HDR_LEN
+        idx = start[:, None] + np.arange(H)[None, :]
+        heads = np.where(
+            np.arange(H)[None, :] < length[:, None],
+            data[np.minimum(idx, len(data) - 1)],
+            0,
+        ).astype(np.int64)
+        magic = np.frombuffer(VIDEO_MAGIC, dtype=np.uint8).astype(np.int64)
+        ok = (length >= H) & (heads[:, :4] == magic).all(axis=1)
+        n_frames = (
+            (heads[:, 4] << 24) | (heads[:, 5] << 16) | (heads[:, 6] << 8) | heads[:, 7]
+        )
+        frame_len_col = (
+            (heads[:, 8] << 24) | (heads[:, 9] << 16) | (heads[:, 10] << 8) | heads[:, 11]
+        )
+        # containers written by to_video share one frame_len; a mixed batch
+        # would need per-group gathers — fail loudly rather than guess
+        ok &= frame_len_col > 0
+        # frame count must fit the payload (truncated blob fallback)
+        ok &= H + n_frames * frame_len_col <= length
+        if not ok.any():
+            return empty()
+        fl = np.unique(frame_len_col[ok])
+        assert len(fl) == 1, f"mixed frame lengths in one batch: {fl}"
+        frame_len = int(fl[0])
+
+        sampled = np.where(ok, (n_frames + self.every - 1) // self.every, 0)
+        total = int(sampled.sum())
+        if total == 0:
+            return empty(frame_len)
+        row_of = np.repeat(np.arange(n), sampled)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(sampled) - sampled, sampled
+        )
+        frame_idx = within * self.every
+        starts = start[row_of] + H + frame_idx * frame_len
+        gather = starts[:, None] + np.arange(frame_len)[None, :]
+        flat = np.ascontiguousarray(data[gather]).tobytes()
+        frames = pa.Array.from_buffers(
+            pa.binary(frame_len), total, [None, pa.py_buffer(flat)]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[row_of]),
+                "frame_idx": pa.array(frame_idx.astype(np.int64)),
+                "frame": frames,
+            }
+        )
+
+
+def sample_frames(
+    docs: ray.data.Dataset,
+    every: int = 2,
+    frame_len: int = 32,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Full video path: container wrap -> actor-pool frame sampling."""
+    return to_video(docs, frame_len=frame_len).map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=concurrency,
+    )
