@@ -408,6 +408,16 @@ def q_quality_filter(sf_dir: str):
     return quality_filter(_docs(sf_dir))
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic seeded random walks (GraphSAGE-style neighborhood
+    sampling with the RNG replaced by the shared string hash): L
+    streaming passes over the edge table, frontier broadcast each step,
+    adjacency never shuffles."""
+    from webgraph_ray.stages.walks import random_walks
+
+    return random_walks(_edges(sf_dir))
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end corpus-curation funnel counts (input -> quality_kept ->
     canonical_kept -> curated): quality filter, canonical exact-dedup and
@@ -1181,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "quality_filter": q_quality_filter,
         "curation_funnel": q_curation_funnel,
+        "random_walks": q_random_walks,
     }
 
 
@@ -1462,6 +1473,7 @@ def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.stages.text import BPE_TOKEN_PATTERN
 
     from webgraph_ray.stages.text import tfidf_topk_sql
+    from webgraph_ray.stages import walks as _rw
 
     doc_features_sql = f"""
         WITH t AS (
@@ -1605,6 +1617,7 @@ def _build_training_oracles() -> dict[str, str]:
         """,
         "stratified_sample": _sk.stratified_sample_sql(n=5),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),
+        "random_walks": _rw.random_walks_sql(_CTE_MAT),
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

@@ -1,0 +1,111 @@
+"""Deterministic random walks vs brute force + the DuckDB mirror."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from webgraph_ray.functions.texthash import M, hash_token_list
+from webgraph_ray.stages.walks import (
+    WALK_MULT_DST,
+    WALK_MULT_STEP,
+    random_walks,
+)
+
+
+def _edges_ds(pairs):
+    df = pd.DataFrame(pairs, columns=["src_key", "dst_key"])
+    df["edge_type"] = "t"
+    df["weight"] = np.int64(1)
+    return ray.data.from_pandas(df)
+
+
+def _th1(s):
+    return int(hash_token_list([s])[0])
+
+
+def brute_walks(pairs, length, seed_mod):
+    adj = {}
+    verts = set()
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    seeds = sorted(v for v in verts if _th1(v) % seed_mod == 0)
+    rows = [(w, 0, w) for w in seeds]
+    cur = {w: w for w in seeds}
+    for t in range(1, length + 1):
+        nxt = {}
+        for w, v in cur.items():
+            outs = adj.get(v)
+            if not outs:
+                continue
+            nxt[w] = min(
+                outs,
+                key=lambda d: (
+                    (_th1(d) * WALK_MULT_DST + t * WALK_MULT_STEP + _th1(v))
+                    % M,
+                    d,
+                ),
+            )
+        cur = nxt
+        rows += [(w, t, v) for w, v in sorted(cur.items())]
+    return (
+        pd.DataFrame(rows, columns=["walk_id", "step", "vertex_key"])
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def test_random_walks_vs_bruteforce_and_partitions():
+    rng = np.random.default_rng(17)
+    verts = [f"v{i:03d}" for i in range(120)]
+    pairs = list(
+        {
+            (verts[rng.integers(120)], verts[rng.integers(120)])
+            for _ in range(400)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    exp = brute_walks(pairs, length=4, seed_mod=7)
+    assert exp["walk_id"].nunique() > 3  # sampling actually fired
+    assert exp["step"].max() >= 2
+    for nparts in (1, 9):
+        got = random_walks(
+            _edges_ds(pairs).repartition(nparts), length=4, seed_mod=7
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_dtype=False
+        )
+
+
+def test_random_walks_dead_end_stops():
+    # w0 is a seed for seed_mod=1; chain w0 -> a -> b, b has no out-edge
+    pairs = [("w0", "a"), ("a", "b")]
+    got = random_walks(_edges_ds(pairs), length=5, seed_mod=1)
+    g = got[got["walk_id"] == "w0"]
+    assert list(g["vertex_key"]) == ["w0", "a", "b"]
+    assert list(g["step"]) == [0, 1, 2]
+
+
+def test_random_walks_vs_duckdb_oracle():
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry.queries()["random_walks"](sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    exp = con.execute(entry.oracle_sql()["random_walks"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        df["step"] = df["step"].astype("int64")
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
+    assert got["walk_id"].nunique() > 0

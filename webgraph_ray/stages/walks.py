@@ -1,0 +1,212 @@
+"""Deterministic graph random walks — the GraphSAGE-style neighborhood
+sampling a graph-training pipeline needs, made reproducible (and
+SQL-mirrorable) by replacing the RNG with the repo's shared capped
+polynomial string hash: at step ``t`` the walk at vertex ``src`` moves to
+
+    argmin over out-neighbors ``dst`` of
+        h = (tokhash(dst) * 131 + t * 16007 + tokhash(src)) % M
+    (ties broken by smaller dst_key)
+
+Reference analog: the per-visit neighborhood expansions in
+/root/reference/code/features/structure.py (ancestry / 2-hop walks); this
+generalizes them to fixed-length sampled walks.
+
+Scale shape: the adjacency NEVER shuffles — each step broadcasts the
+current frontier's distinct vertices (bounded by the seed count, which is
+the caller's sampling knob, NOT the data size), streams one filtered pass
+over the edge table computing per-batch partial argmins, and reduces the
+<= |frontier| winners on the driver.  L steps = L streaming passes; walk
+state is a tiny driver-side table throughout.  (On the BSP engine this
+would be one routed exchange per step; the broadcast shape wins while
+|frontier| << |edges|, which seed sampling guarantees.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from webgraph_ray.functions.texthash import M, hash_token_list
+
+WALK_MULT_DST = 131
+WALK_MULT_STEP = 16007
+WALK_SEED_MOD = 100
+WALK_LEN = 4
+# broadcast guard: the frontier is bounded by the seed count; fail loudly
+# if a caller disables sampling on a large graph
+WALK_MAX_FRONTIER = 1_000_000
+
+
+def _th(keys) -> np.ndarray:
+    """Capped polynomial hash of each string (the texthash token hash —
+    identical to sql_token_hash_expr on the SQL side)."""
+    return hash_token_list([str(k) for k in keys])
+
+
+def walk_seeds(narrow: ray.data.Dataset, seed_mod: int = WALK_SEED_MOD):
+    """Deterministic seed sample over the edge table's vertex universe
+    (src ∪ dst — the same universe the SQL mirror uses): vertex_key with
+    tokhash % seed_mod == 0.  The hash filter runs map-side, so only the
+    ~1/seed_mod survivors ever leave a batch."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(
+            np.concatenate(
+                [
+                    df["src_key"].to_numpy(dtype=object),
+                    df["dst_key"].to_numpy(dtype=object),
+                ]
+            )
+        ) if len(df) else np.array([], dtype=object)
+        m = (_th(keys) % seed_mod) == 0 if len(keys) else np.zeros(0, bool)
+        return pd.DataFrame({"vertex_key": keys[m]})
+
+    return narrow.map_batches(pick, batch_format="pandas")
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    length: int = WALK_LEN,
+    seed_mod: int = WALK_SEED_MOD,
+    max_frontier: int = WALK_MAX_FRONTIER,
+) -> pd.DataFrame:
+    """(walk_id = seed vertex_key, step, vertex_key) rows for steps
+    0..length; a walk stops early at a vertex with no out-edges.  Every
+    choice is the hash-argmin rule above — byte-deterministic under any
+    partitioning, mirrored exactly by random_walks_sql()."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        edges = edges.materialize()  # length streaming passes below
+    narrow = edges.select_columns(["src_key", "dst_key"]).materialize()
+
+    seeds = sorted(
+        set(walk_seeds(narrow, seed_mod).to_pandas()["vertex_key"])
+    )
+    if len(seeds) > max_frontier:
+        raise ValueError(
+            f"random_walks: {len(seeds)} seeds exceed max_frontier="
+            f"{max_frontier}; raise seed_mod"
+        )
+    out = [
+        pd.DataFrame(
+            {"walk_id": seeds, "step": np.int64(0), "vertex_key": seeds}
+        )
+    ]
+    cur = dict(zip(seeds, seeds))  # walk_id -> current vertex
+
+    for t in range(1, length + 1):
+        frontier = sorted(set(cur.values()))
+        if not frontier:
+            break
+        fref = ray.put(pa.array(frontier, pa.string()))
+
+        def step_partial(tab: pa.Table, _t=t) -> pa.Table:
+            import pyarrow.compute as pc
+
+            fr = ray.get(fref)
+            keep = pc.is_in(tab["src_key"], value_set=fr)
+            tab = tab.filter(keep)
+            if tab.num_rows == 0:
+                return pa.table(
+                    {
+                        "src_key": pa.array([], pa.string()),
+                        "dst_key": pa.array([], pa.string()),
+                        "h": pa.array([], pa.int64()),
+                    }
+                )
+            src = tab["src_key"].to_numpy(zero_copy_only=False)
+            dst = tab["dst_key"].to_numpy(zero_copy_only=False)
+            h = (
+                _th(dst) * WALK_MULT_DST + _t * WALK_MULT_STEP + _th(src)
+            ) % M
+            df = pd.DataFrame({"src_key": src, "dst_key": dst, "h": h})
+            # per-batch partial argmin per src: (h, dst_key) lexicographic
+            df = df.sort_values(["src_key", "h", "dst_key"], kind="mergesort")
+            df = df.drop_duplicates("src_key", keep="first")
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        parts = (
+            narrow.map_batches(step_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if len(parts):
+            parts = parts.sort_values(
+                ["src_key", "h", "dst_key"], kind="mergesort"
+            ).drop_duplicates("src_key", keep="first")
+            nxt = dict(zip(parts["src_key"], parts["dst_key"]))
+        else:
+            nxt = {}
+        cur = {w: nxt[v] for w, v in cur.items() if v in nxt}
+        if not cur:
+            break
+        out.append(
+            pd.DataFrame(
+                {
+                    "walk_id": list(cur.keys()),
+                    "step": np.int64(t),
+                    "vertex_key": list(cur.values()),
+                }
+            )
+        )
+    res = pd.concat(out, ignore_index=True)
+    return res.sort_values(
+        ["walk_id", "step"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def random_walks_sql(
+    edges_cte: str,
+    length: int = WALK_LEN,
+    seed_mod: int = WALK_SEED_MOD,
+    prefix: str = "rw",
+) -> str:
+    """DuckDB mirror: unrolled per-step argmin CTEs over the same hash."""
+    from webgraph_ray.functions.texthash import sql_token_hash_expr
+
+    x = prefix
+    th_v = sql_token_hash_expr("v.vertex_key")
+    th_src = sql_token_hash_expr("e.src_key")
+    th_dst = sql_token_hash_expr("e.dst_key")
+    parts = [
+        f"""
+, {x}_verts AS MATERIALIZED (
+    SELECT DISTINCT vertex_key FROM (
+        SELECT src_key AS vertex_key FROM edges
+        UNION ALL SELECT dst_key FROM edges
+    )
+), {x}_adj AS MATERIALIZED (
+    SELECT DISTINCT src_key, dst_key FROM edges
+), {x}_seeds AS (
+    SELECT vertex_key FROM {x}_verts v
+    WHERE {th_v} % {seed_mod} = 0
+), {x}_w0 AS (
+    SELECT vertex_key AS walk_id, vertex_key AS cur FROM {x}_seeds
+)"""
+    ]
+    for t in range(1, length + 1):
+        parts.append(
+            f"""
+, {x}_w{t} AS (
+    SELECT walk_id, dst_key AS cur FROM (
+        SELECT w.walk_id, e.dst_key,
+               row_number() OVER (
+                   PARTITION BY w.walk_id
+                   ORDER BY ({th_dst} * {WALK_MULT_DST}
+                             + {t} * {WALK_MULT_STEP} + {th_src}) % {M},
+                            e.dst_key
+               ) AS rn
+        FROM {x}_w{t - 1} w JOIN {x}_adj e ON e.src_key = w.cur
+    ) WHERE rn = 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, cur AS vertex_key "
+        f"FROM {x}_w{t}"
+        for t in range(length + 1)
+    )
+    return f"{edges_cte}{''.join(parts)}\n{union}"
