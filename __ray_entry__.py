@@ -418,6 +418,14 @@ def q_random_walks(sf_dir: str):
     return random_walks(_edges(sf_dir))
 
 
+def q_audio_meta(sf_dir: str):
+    """Audio modality path: REAL canonical WAV header wrap + actor-pool
+    header decode (channels/rate/bit depth/exact-integer duration)."""
+    from webgraph_ray.stages.media import audio_meta
+
+    return audio_meta(_docs(sf_dir))
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end corpus-curation funnel counts (input -> quality_kept ->
     canonical_kept -> curated): quality filter, canonical exact-dedup and
@@ -1192,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "curation_funnel": q_curation_funnel,
         "random_walks": q_random_walks,
+        "audio_meta": q_audio_meta,
     }
 
 
@@ -1693,6 +1702,20 @@ def _build_training_oracles() -> dict[str, str]:
                     END AS BIGINT) AS height,
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
                     ELSE 'unknown' END AS format
+        FROM documents
+        """,
+        # audio: the WAV wrap's deterministic formulas, decoded back
+        "audio_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 44100 ELSE 16000 END
+                    AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bit_depth,
+               CAST(octet_length(encode(text)) * 1000000 //
+                    (CASE WHEN doc_id % 3 = 0 THEN 44100 ELSE 16000 END
+                     * (1 + doc_id % 2) * 2) AS BIGINT) AS duration_us,
+               'wav' AS format
         FROM documents
         """,
         # --- time-window operators (exact integer cents; order-insensitive

@@ -279,3 +279,50 @@ def test_frame_sampling_batch_invariant():
         .to_pandas().sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_audio_decoder_external_wav_and_fallback():
+    """A spec-canonical WAV built independently of to_audio must decode
+    exactly; junk payloads take the unknown fallback."""
+    import struct
+
+    from webgraph_ray.stages.media import AudioDecoder
+
+    # 8000 Hz mono 16-bit, 2 samples (4 data bytes) — hand-packed header
+    body = b"\x01\x02\x03\x04"
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(body))
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([hdr + body, b"not audio at all"], pa.binary()),
+        }
+    )
+    out = AudioDecoder()(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "format"] == "wav"
+    assert out.loc[1, "channels"] == 1
+    assert out.loc[1, "sample_rate"] == 8000
+    assert out.loc[1, "bit_depth"] == 16
+    # 4 bytes / (8000 * 1 * 2 B/s) = 250 us exactly
+    assert out.loc[1, "duration_us"] == 250
+    assert out.loc[2, "format"] == "unknown"
+    assert out.loc[2, "duration_us"] == -1
+
+
+def test_audio_meta_roundtrip():
+    from webgraph_ray.stages.media import audio_meta
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": ["x" * (i * 3) for i in range(6)]}
+    )
+    got = audio_meta(ray.data.from_pandas(df)).to_pandas().set_index("doc_id").sort_index()
+    assert (got["format"] == "wav").all()
+    assert (got["channels"] == (1 + got.index % 2)).all()
+    assert (
+        got["sample_rate"]
+        == np.where(got.index % 3 == 0, 44100, 16000)
+    ).all()
+    assert (got["n_bytes"] == 44 + got.index * 3).all()
