@@ -426,6 +426,20 @@ def q_audio_meta(sf_dir: str):
     return audio_meta(_docs(sf_dir))
 
 
+def q_order_revenue(sf_dir: str):
+    """Two-big-table co-partitioned join (orders left-join lineitem
+    revenue partials): map-side fact pre-aggregation, one shared
+    orderkey-hash bucket groupby, C-path per-bucket merge."""
+    import ray.data as _rd
+
+    from webgraph_ray.stages.relational import order_revenue
+
+    return order_revenue(
+        _rd.read_parquet(os.path.join(sf_dir, "orders.parquet")),
+        _rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet")),
+    )
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end corpus-curation funnel counts (input -> quality_kept ->
     canonical_kept -> curated): quality filter, canonical exact-dedup and
@@ -1201,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": q_curation_funnel,
         "random_walks": q_random_walks,
         "audio_meta": q_audio_meta,
+        "order_revenue": q_order_revenue,
     }
 
 
@@ -1703,6 +1718,17 @@ def _build_training_oracles() -> dict[str, str]:
                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
                     ELSE 'unknown' END AS format
         FROM documents
+        """,
+        "order_revenue": """
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               CAST(coalesce(l.n, 0) AS BIGINT) AS n_items,
+               CAST(coalesce(l.rev, 0) AS BIGINT) AS revenue_cents
+        FROM orders o LEFT JOIN (
+            SELECT l_orderkey, count(*) AS n,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                  + 0.5) AS BIGINT)) AS rev
+            FROM lineitem GROUP BY 1
+        ) l ON o.o_orderkey = l.l_orderkey
         """,
         # audio: the WAV wrap's deterministic formulas, decoded back
         "audio_meta": """
