@@ -440,6 +440,16 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_pixel_stats(sf_dir: str):
+    """REAL pixel decode with no codec library: fully valid zlib-
+    compressed RGBA8 PNGs generated per document, then inflated and
+    defiltered back (stdlib zlib + numpy scanline filters) to exact
+    integer per-channel means in an actor pool."""
+    from webgraph_ray.stages.media import pixel_stats
+
+    return pixel_stats(_docs(sf_dir))
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end corpus-curation funnel counts (input -> quality_kept ->
     canonical_kept -> curated): quality filter, canonical exact-dedup and
@@ -1216,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q_random_walks,
         "audio_meta": q_audio_meta,
         "order_revenue": q_order_revenue,
+        "pixel_stats": q_pixel_stats,
     }
 
 
@@ -1729,6 +1740,29 @@ def _build_training_oracles() -> dict[str, str]:
                                   + 0.5) AS BIGINT)) AS rev
             FROM lineitem GROUP BY 1
         ) l ON o.o_orderkey = l.l_orderkey
+        """,
+        # pixel decode: closed form of the deterministic test pattern
+        # p(x,y,c,doc) = (x + 3y + 7c + doc) % 256 over the 8x8 grid
+        "pixel_stats": """
+        WITH grid AS (
+            SELECT a.range AS x, b.range AS y
+            FROM range(8) a CROSS JOIN range(8) b
+        ),
+        s AS (
+            SELECT d.doc_id,
+                   sum((g.x + 3 * g.y + d.doc_id) % 256) AS s0,
+                   sum((g.x + 3 * g.y + 7 + d.doc_id) % 256) AS s1,
+                   sum((g.x + 3 * g.y + 14 + d.doc_id) % 256) AS s2,
+                   sum((g.x + 3 * g.y + 21 + d.doc_id) % 256) AS s3
+            FROM documents d CROSS JOIN grid g GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+               CAST(s0 // 64 AS BIGINT) AS mean_r,
+               CAST(s1 // 64 AS BIGINT) AS mean_g,
+               CAST(s2 // 64 AS BIGINT) AS mean_b,
+               CAST(s3 // 64 AS BIGINT) AS mean_a
+        FROM s
         """,
         # audio: the WAV wrap's deterministic formulas, decoded back
         "audio_meta": """

@@ -326,3 +326,65 @@ def test_audio_meta_roundtrip():
         == np.where(got.index % 3 == 0, 44100, 16000)
     ).all()
     assert (got["n_bytes"] == 44 + got.index * 3).all()
+
+
+def test_png_pixel_decode_filters_sub_up():
+    """The spec defilter math (None/Sub/Up) pinned against hand-filtered
+    scanlines built independently of the decoder."""
+    import struct
+    import zlib
+
+    from webgraph_ray.stages.media import _png_chunk, decode_png_pixels
+
+    rng = np.random.default_rng(23)
+    w, h = 5, 3
+    pix = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    rows = []
+    # row 0: filter 0 (raw)
+    rows.append(bytes([0]) + pix[0].tobytes())
+    # row 1: filter 1 (Sub): raw[i] = x[i] - x[i-4]
+    flat = pix[1].reshape(-1).astype(np.int64)
+    sub = flat.copy()
+    sub[4:] = (flat[4:] - flat[:-4]) % 256
+    rows.append(bytes([1]) + sub.astype(np.uint8).tobytes())
+    # row 2: filter 2 (Up): raw[i] = x[i] - prev_row[i]
+    up = (pix[2].reshape(-1).astype(np.int64) - pix[1].reshape(-1)) % 256
+    rows.append(bytes([2]) + up.astype(np.uint8).tobytes())
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    dec = decode_png_pixels(png)
+    np.testing.assert_array_equal(dec, pix)
+    # Paeth must refuse loudly, not silently corrupt
+    bad_rows = bytes([4]) + pix[0].tobytes()
+    png_bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, 1, 8, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bad_rows))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="filter 4"):
+        decode_png_pixels(png_bad)
+
+
+def test_pixel_stats_pipeline_matches_brute():
+    from webgraph_ray.stages.media import PIXEL_H, PIXEL_W, pixel_stats
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64), "text": ["x"] * 5}
+    )
+    got = (
+        pixel_stats(ray.data.from_pandas(df))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    x, y, c = np.meshgrid(
+        np.arange(PIXEL_W), np.arange(PIXEL_H), np.arange(4), indexing="xy"
+    )
+    for d in range(5):
+        p = (x + 3 * y + 7 * c + d) % 256
+        for ci, col in enumerate(["mean_r", "mean_g", "mean_b", "mean_a"]):
+            assert got.loc[d, col] == int(p[..., ci].sum() // (PIXEL_W * PIXEL_H))
+    assert (got["width"] == PIXEL_W).all() and (got["height"] == PIXEL_H).all()
