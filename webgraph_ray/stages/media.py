@@ -1,8 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image codecs, so full pixel decode is gated behind a
-PIL import-try (``MediaDecoder(decode_pixels=True)`` raises without it) —
-but HEADER decode is REAL: ``to_media`` wraps each document in a genuine
+The container has no image codec LIBRARY — but that no longer gates
+pixel decode: ``PixelStats``/``decode_png_pixels`` (below) inflate and
+defilter real compressed PNG bytes with stdlib zlib + numpy.  The
+PIL-backed generic path (``MediaDecoder(decode_pixels=True)``) still
+raises without PIL.  HEADER decode is REAL too: ``to_media`` wraps each document in a genuine
 PNG or GIF container (true signature + IHDR / logical-screen descriptor),
 and ``MediaDecoder`` parses those bytes back — vectorized numpy over the
 Arrow binary buffers, no per-row Python — exactly as it would for real
