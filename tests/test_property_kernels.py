@@ -1,0 +1,140 @@
+"""Hypothesis property tests for the round-4 exact kernels: the
+vectorized implementations must agree with transparent pure-python
+references on arbitrary inputs (not just the curated fixtures)."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# token alphabet exercises repeats, unicode, and 1-char tokens
+_token = st.text(
+    alphabet=st.sampled_from(list("ab€x")), min_size=1, max_size=3
+)
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+def _brute_repetition(texts):
+    out = []
+    for t in texts:
+        toks = re.findall(r"\S+", t)
+        bgs = list(zip(toks, toks[1:]))
+        tgs = list(zip(toks, toks[1:], toks[2:]))
+        top = (
+            100 * Counter(bgs).most_common(1)[0][1] // len(bgs) if bgs else 0
+        )
+        dup = 100 * (len(tgs) - len(set(tgs))) // len(tgs) if tgs else 0
+        out.append((top, dup))
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_kernel_matches_brute(texts):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webgraph_ray.stages.text import (
+        _explode_ws_tokens,
+        _repetition_from_codes,
+    )
+
+    doc_idx, tokens = _explode_ws_tokens(pa.array(texts, pa.string()))
+    if len(tokens):
+        enc = pc.dictionary_encode(tokens)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        codes = np.empty(0, np.int64)
+    top, dup = _repetition_from_codes(doc_idx, codes, len(texts))
+    assert list(zip(top, dup)) == _brute_repetition(texts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=4),
+)
+def test_shingle_kernel_matches_brute(texts, n):
+    import pyarrow as pa
+
+    from webgraph_ray.stages.dedup import _shingle_strings
+
+    doc_idx, sh = _shingle_strings(pa.array(texts, pa.string()), n)
+    got = sorted(zip(doc_idx.tolist(), sh.to_pylist()))
+    exp = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\S+", t)
+        for j in range(len(toks) - n + 1):
+            exp.append((i, "\t".join(toks[j : j + n])))
+    assert got == sorted(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=4),
+)
+def test_frame_sampler_matches_brute(bodies, frame_len, every):
+    import pyarrow as pa
+
+    from webgraph_ray.stages.media import VIDEO_MAGIC, FrameSampler
+
+    payloads, exp = [], []
+    for i, body in enumerate(bodies):
+        n_frames = (len(body) + frame_len - 1) // frame_len
+        pad = (-len(body)) % frame_len
+        payloads.append(
+            VIDEO_MAGIC
+            + n_frames.to_bytes(4, "big")
+            + frame_len.to_bytes(4, "big")
+            + body
+            + b"\x00" * pad
+        )
+        padded = body + b"\x00" * pad
+        for f in range(0, n_frames, every):
+            exp.append((i, f, padded[f * frame_len : (f + 1) * frame_len]))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(bodies)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    out = FrameSampler(every=every)(t).to_pandas()
+    got = sorted(
+        zip(out["doc_id"], out["frame_idx"], (bytes(b) for b in out["frame"]))
+    )
+    assert got == sorted(exp)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(0.01, 9999.99, allow_nan=False),
+            st.floats(0.0, 0.5, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_revenue_cents_matches_duckdb_expression(rows):
+    """The Ray side's floor(x*(1-d)*100+0.5) must equal DuckDB's identical
+    expression bit-for-bit on arbitrary float inputs."""
+    import duckdb
+
+    price = np.array([p for p, _ in rows], np.float64)
+    disc = np.array([d for _, d in rows], np.float64)
+    ray_cents = np.floor(price * (1 - disc) * 100 + 0.5).astype(np.int64)
+    con = duckdb.connect()
+    df = pd.DataFrame({"p": price, "d": disc})
+    con.register("t", df)
+    sql = con.execute(
+        "SELECT CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT) FROM t"
+    ).df()
+    assert list(ray_cents) == list(sql.iloc[:, 0])
