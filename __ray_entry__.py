@@ -450,6 +450,15 @@ def q_pixel_stats(sf_dir: str):
     return pixel_stats(_docs(sf_dir))
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup pairs -> connected components -> canonical cluster id per
+    document (the dedup pipeline's actual deliverable): BSP components
+    over the tiny pair graph, singleton fill via broadcast mapping."""
+    from webgraph_ray.stages.dedup import dup_clusters
+
+    return dup_clusters(_docs(sf_dir), threshold=MINHASH_THRESHOLD)
+
+
 def q_curation_funnel(sf_dir: str):
     """End-to-end corpus-curation funnel counts (input -> quality_kept ->
     canonical_kept -> curated): quality filter, canonical exact-dedup and
@@ -1227,7 +1236,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_meta": q_audio_meta,
         "order_revenue": q_order_revenue,
         "pixel_stats": q_pixel_stats,
+        "dup_clusters": q_dup_clusters,
     }
+
+
+def _dup_clusters_sql() -> str:
+    """Doubling-round min-id components over the MinHash pair graph +
+    singleton fill (mirrors stages/dedup.py::dup_clusters)."""
+    from webgraph_ray.functions import texthash as _th
+    from webgraph_ray.functions.oracles import CC_ROUNDS, _doubling_rounds
+
+    rounds = _doubling_rounds("dcl", "dcl_und", "dcl_verts", CC_ROUNDS)
+    return f"""
+    WITH mp AS MATERIALIZED ({_th.minhash_pairs_sql(MINHASH_THRESHOLD)}),
+    dcl_und AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM mp
+        UNION ALL SELECT doc_b, doc_a FROM mp
+    ),
+    dcl_verts AS MATERIALIZED (SELECT DISTINCT a AS vertex_key FROM dcl_und)
+    {rounds}
+    SELECT d.doc_id,
+           CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d
+    LEFT JOIN dcl{CC_ROUNDS} c ON c.vertex_key = d.doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1730,6 +1762,7 @@ def _build_training_oracles() -> dict[str, str]:
                     ELSE 'unknown' END AS format
         FROM documents
         """,
+        "dup_clusters": _dup_clusters_sql(),
         "order_revenue": """
         SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
                CAST(coalesce(l.n, 0) AS BIGINT) AS n_items,

@@ -374,3 +374,47 @@ def test_quality_filter_first_match_order():
     assert got.loc[1, "reject_reason"] == "repetitive"
     assert got.loc[2, "reject_reason"] == "low_stopword"
     assert got.loc[3, "reject_reason"] == "repetitive"
+
+
+def test_dup_clusters_transitive_and_singletons():
+    """A~B and B~C must land in ONE cluster labeled min(doc_id) even when
+    A and C are not a direct pair; untouched docs map to themselves."""
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [" ".join(rng.choice(vocab, size=60)) for _ in range(30)]
+    toks = base[5].split()
+    chain_b = " ".join(toks[:-4])        # near dup of 5
+    chain_c = " ".join(toks[:-8])        # near dup of B, farther from A
+    texts = base + [chain_b, chain_c] + [base[9], base[9]]  # exact dups of 9
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    got = (
+        dedup.dup_clusters(ray.data.from_pandas(df), threshold=0.6)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert len(got) == len(texts)
+    # the chain collapses to min id 5
+    assert got.loc[30, "cluster_id"] == 5 and got.loc[5, "cluster_id"] == 5
+    assert got.loc[31, "cluster_id"] == 5
+    # exact dups of 9
+    assert got.loc[32, "cluster_id"] == 9 and got.loc[33, "cluster_id"] == 9
+    # a random untouched doc is a singleton
+    assert got.loc[0, "cluster_id"] == 0
+    # cluster ids are always the min member
+    for d, r in got.iterrows():
+        assert r["cluster_id"] <= d
+
+
+def test_dup_clusters_no_pairs():
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [f"totally unique document number {i} " + "x" * i for i in range(5)],
+        }
+    )
+    got = (
+        dedup.dup_clusters(ray.data.from_pandas(df), threshold=0.99)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert list(got["cluster_id"]) == list(got["doc_id"])

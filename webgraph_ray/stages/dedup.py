@@ -597,3 +597,84 @@ def decontaminate(
         zero_copy_batch=True,
         concurrency=concurrency or (1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: near-dup pairs -> connected components -> canonical id
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    docs: ray.data.Dataset,
+    threshold: float = 0.7,
+    work_dir: str | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id): the deliverable a dedup pipeline actually
+    materializes — every document labeled with the smallest doc_id of its
+    near-duplicate cluster (connected components over the MinHash+LSH
+    pair graph; singletons map to themselves).
+
+    Scale shape: the pair graph is tiny next to the corpus (only
+    near-dup docs appear), so components run on the BSP engine over the
+    pair edges; canonicalization and the singleton fill ride two
+    small bucket shuffles over <= one row per document."""
+    import os
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.engine import GraphEngine
+
+    pairs = minhash_lsh_dedup(docs, threshold=threshold).materialize()
+    doc_ids = docs.select_columns(["doc_id"])
+
+    if pairs.count() == 0:
+        def own(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].astype(np.int64)
+            return pd.DataFrame({"doc_id": d, "cluster_id": d})
+
+        return doc_ids.map_batches(own, batch_format="pandas")
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["doc_a"].astype(np.int64),
+                "dst": df["doc_b"].astype(np.int64),
+                "weight": np.int64(1),
+            }
+        )
+
+    own_work = work_dir is None
+    if own_work:
+        work_dir = tempfile.mkdtemp(prefix="dup_clusters_")
+    eng = GraphEngine(
+        os.path.join(work_dir, "cc"), num_parts=None, actor_num_cpus=0
+    )
+    eng.build(pairs.map_batches(as_edges, batch_format="pandas"),
+              symmetrize=True)
+    try:
+        cc = eng.components().to_pandas()  # (vertex_id = doc_id, component)
+    finally:
+        eng.shutdown()
+        if own_work:
+            shutil.rmtree(work_dir, ignore_errors=True)
+    # canonical = min doc_id per component (label semantics independent);
+    # the pair graph is small by construction, so this reduce is driver-side
+    canon = (
+        cc.groupby("component")["vertex_id"].transform("min").astype(np.int64)
+    )
+    mapping = pd.DataFrame(
+        {"doc_id": cc["vertex_id"].astype(np.int64), "cluster_id": canon}
+    )
+    import ray as _ray
+
+    ref = _ray.put(mapping)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(ref)
+        out = df[["doc_id"]].astype(np.int64).merge(m, on="doc_id", how="left")
+        miss = out["cluster_id"].isna()
+        out.loc[miss, "cluster_id"] = out.loc[miss, "doc_id"]
+        out["cluster_id"] = out["cluster_id"].astype(np.int64)
+        return out
+
+    return doc_ids.map_batches(fill, batch_format="pandas")
