@@ -1,6 +1,6 @@
 """Run EVERY queries() entry against its DuckDB oracle and report
-row/schema/value matches — the driver gate's protocol, but over all 58
-entries instead of the first 50.
+row/schema/value matches — the driver gate's protocol over the full
+50-entry registry (exactly the gate's 50-row window).
 
 Usage:
     python scripts/check_oracles.py [SF_DIR] [name ...]

@@ -82,3 +82,27 @@ def test_text_equality_survives_shuffle():
     before = _canon(ds.to_pandas())
     after = _canon(ds.random_shuffle(seed=1).to_pandas())
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_convs_missing_tool_anti_join(sf_dir):
+    """Standalone pin for the Arrow-native anti-join stage, which is no
+    longer its own gate row (it rides conv_stats as the missing_click12
+    flag in __ray_entry__)."""
+    from webgraph_ray.stages.features import convs_missing_tool
+
+    ds = transcripts_from_events(f"{sf_dir}/events.parquet")
+    got = sorted(convs_missing_tool(ds, tool="click", within_first=12)
+                 .to_pandas()["conv_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_dir}/events.parquet'"
+    )
+    exp = con.execute(
+        "WITH transcripts AS (" + TRANSCRIPTS_FROM_EVENTS_SQL + """)
+        SELECT DISTINCT conv_id FROM transcripts
+        WHERE conv_id NOT IN (
+            SELECT DISTINCT conv_id FROM transcripts
+            WHERE tool = 'click' AND turn_idx < 12
+        ) ORDER BY conv_id"""
+    ).df()["conv_id"].tolist()
+    assert got == exp

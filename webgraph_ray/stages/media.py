@@ -20,6 +20,7 @@ sizing, output layout — is the same Ray plumbing a real decode stage uses.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -346,6 +347,67 @@ def sample_frames(
         batch_format="pyarrow",
         batch_size=128,
         concurrency=concurrency,
+    )
+
+
+def video_frame_stats(
+    docs: ray.data.Dataset,
+    every: int = 2,
+    frame_len: int = 32,
+    concurrency: int = 2,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document summary of the sampled frame stream: (doc_id,
+    n_sampled_frames, frames_byte_sum) — the byte sum pins the actual
+    gathered frame contents (zero padding included), so it catches
+    off-by-one gather bugs a bare count would miss.  Map-side partial
+    per-doc sums over the fixed-size-binary buffer (one reshape + sum per
+    batch, no per-row Python), then the house doc-id-hash bucket combine."""
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    frames = sample_frames(
+        docs, every=every, frame_len=frame_len, concurrency=concurrency
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(doc_id), dtype=np.int64)
+        pos = 0
+        for chunk in t["frame"].chunks if hasattr(t["frame"], "chunks") else [t["frame"]]:
+            m = len(chunk)
+            if m == 0:
+                continue
+            fl = chunk.type.byte_width
+            buf = np.frombuffer(chunk.buffers()[1], dtype=np.uint8)
+            off = chunk.offset * fl
+            block = buf[off : off + m * fl].reshape(m, fl)
+            sums[pos : pos + m] = block.sum(axis=1, dtype=np.int64)
+            pos += m
+        df = pd.DataFrame({"doc_id": doc_id, "byte_sum": sums})
+        out = (
+            df.groupby("doc_id", sort=False)
+            .agg(n_sampled_frames=("doc_id", "size"), frames_byte_sum=("byte_sum", "sum"))
+            .reset_index()
+        )
+        out["__b"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("doc_id", sort=False)[["n_sampled_frames", "frames_byte_sum"]]
+            .sum()
+            .reset_index()
+        )
+        for c in ("n_sampled_frames", "frames_byte_sum"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        frames.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
     )
 
 
