@@ -764,32 +764,56 @@ def q_kmeans_clusters(sf_dir: str):
 
 
 def q_sketches(sf_dir: str):
-    """Both streaming sketches in one long-format gate row
+    """The streaming sketch/sampling family in one long-format gate row
     (sketch, key, value): the KMV distinct-count estimate of the corpus
     token universe (per-batch k-smallest partials, integer-floor
-    estimator) and the count-min hot-key detector over the edge stream's
-    dst_key (the hub-discovery pre-pass the engine's salted splits need).
-    Replaces the two separate round-3 entries kmv_distinct / cms_hot_keys."""
-    from webgraph_ray.stages.sketch import cms_hot_keys, kmv_distinct
+    estimator), the count-min hot-key detector over the edge stream's
+    dst_key (the hub-discovery pre-pass the engine's salted splits need),
+    and the deterministic per-event_type stratified sample (n smallest
+    affine id hashes, map-side partial top-n) keyed ``type:rank``.
+    Consolidates the former kmv_distinct / cms_hot_keys /
+    stratified_sample entries; stratified_sample stays independently
+    pytest-pinned vs DuckDB and brute force (tests/test_sketch.py)."""
+    from webgraph_ray.stages.sketch import (
+        cms_hot_keys,
+        kmv_distinct,
+        stratified_sample,
+    )
 
     kmv = kmv_distinct(_docs(sf_dir), k=256)
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
-    rows = [
-        ("kmv", "k", int(kmv["k"].iloc[0])),
-        ("kmv", "kth_hash", int(kmv["kth_hash"].iloc[0])),
-        ("kmv", "est_distinct", int(kmv["est_distinct"].iloc[0])),
-    ] + [("cms", k, int(v)) for k, v in zip(cms["vertex_key"], cms["est_count"])]
+    strat = stratified_sample(_raw_events(sf_dir), n=5)
+    rows = (
+        [
+            ("kmv", "k", int(kmv["k"].iloc[0])),
+            ("kmv", "kth_hash", int(kmv["kth_hash"].iloc[0])),
+            ("kmv", "est_distinct", int(kmv["est_distinct"].iloc[0])),
+        ]
+        + [("cms", k, int(v)) for k, v in zip(cms["vertex_key"], cms["est_count"])]
+        + [
+            ("stratified", f"{t}:{r}", int(e))
+            for t, r, e in zip(
+                strat["event_type"], strat["sample_rank"], strat["event_id"]
+            )
+        ]
+    )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
         {"value": np.int64}
     )
 
 
-def q_stratified_sample(sf_dir: str):
-    """Deterministic per-event_type uniform sample (n smallest affine id
-    hashes): map-side partial top-n, reproducible membership."""
-    from webgraph_ray.stages.sketch import stratified_sample
+SEQUENCE_PACK_BUDGET = 512
 
-    return stratified_sample(_raw_events(sf_dir), n=5)
+
+def q_sequence_pack(sf_dir: str):
+    """Sequence packing for pretraining shards: a distributed ordered
+    prefix scan (two-phase: per-bucket partial sums -> driver offset
+    cumsum -> in-bucket vectorized scan; no global sort) assigns every
+    document its (global_start, pack_id, pack_pos, n_packs_spanned) in
+    the fixed-budget concatenated token stream."""
+    from webgraph_ray.stages.pack import sequence_pack
+
+    return sequence_pack(_docs(sf_dir), budget=SEQUENCE_PACK_BUDGET)
 
 
 KCORE_K = 10
@@ -1283,7 +1307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     weight aggregates into endpoint_stats (vertex-key bucketed join); the
     convs-missing-tool anti-join into conv_stats as a flag; image header
     + WAV header + real pixel decode into media_meta (modality-tagged);
-    kmv + cms into sketches; fold_metrics into fit_fold_weights; the
+    kmv + cms + the stratified sample into sketches (long format, the
+    freed slot holds sequence_pack); fold_metrics into fit_fold_weights; the
     out-degree histogram into degrees; payload-size aggregates into
     tool_usage_stats; the triangle total into triangles_per_vertex; the
     deterministic sample flag into cv_folds; doc_hashes dropped (md5
@@ -1326,7 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_vertices": q_scored_vertices,
         "feature_importance": q_feature_importance,
         # --- sampling / sketches ---
-        "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
         "sketches": q_sketches,
         # --- text analysis (doc_features = token/quality/lang/bpe fused) ---
         "doc_features": q_doc_features,
@@ -1646,6 +1671,12 @@ def _mutation_impact_sql_oracle() -> str:
     )
 
 
+def _pack_sql() -> str:
+    from webgraph_ray.stages.pack import sequence_pack_sql
+
+    return sequence_pack_sql(budget=SEQUENCE_PACK_BUDGET)
+
+
 def _reciprocity_sql_oracle() -> str:
     from webgraph_ray.stages.features import reciprocity_sql
 
@@ -1817,8 +1848,13 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'cms' AS sketch, vertex_key AS key, est_count AS value
         FROM ({_sk.cms_hot_keys_sql(_CTE_MAT, key_col="dst_key", min_count=500)})
+        UNION ALL
+        SELECT 'stratified' AS sketch,
+               event_type || ':' || CAST(sample_rank AS VARCHAR) AS key,
+               event_id AS value
+        FROM ({_sk.stratified_sample_sql(n=5)})
         """,
-        "stratified_sample": _sk.stratified_sample_sql(n=5),
+        "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),
         "random_walks": _rw.random_walks_sql(_CTE_MAT),
         "exact_dedup": """
