@@ -352,9 +352,17 @@ def q_components(sf_dir: str):
 
 
 def q_labelprop(sf_dir: str):
+    """Label propagation in one method-tagged gate row: 'seeded' (the BSP
+    engine's frozen-seed min-label propagation — the reference's
+    ancestor-flag analog, labels rendered as strings for the union) and
+    'community' (unseeded deterministic mode-LPA community detection over
+    the distinct undirected pairs — a Ray Data composition: one bucketed
+    label⋈adjacency join + map-side vote partials + fixed-cardinality
+    bucket argmax per round)."""
     import shutil
     import tempfile
 
+    from webgraph_ray.graph.community import community_lpa
     from webgraph_ray.graph.engine import UNLABELED
 
     edges = _edges(sf_dir)
@@ -373,7 +381,7 @@ def q_labelprop(sf_dir: str):
             df["label"] = df["label"].where(df["label"] != UNLABELED, -1)
             return df
 
-        return (
+        seeded = (
             attach_keys(res, vertices)
             .select_columns(["vertex_key", "label"])
             .map_batches(unlabeled_to_minus1, batch_format="pandas")
@@ -382,6 +390,11 @@ def q_labelprop(sf_dir: str):
     finally:
         eng.shutdown()
         shutil.rmtree(work, ignore_errors=True)
+    seeded["label"] = seeded["label"].astype(np.int64).astype(str)
+    seeded.insert(0, "method", "seeded")
+    comm = community_lpa(edges).to_pandas()
+    comm.insert(0, "method", "community")
+    return pd.concat([seeded, comm], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1587,7 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _hits_sql_oracle(),
         "reciprocity": _reciprocity_sql_oracle(),
         "components": _graph_oracles.components_sql(_CTE_MAT),
-        "labelprop": _graph_oracles.labelprop_sql(_CTE_MAT),
+        "labelprop": _labelprop_methods_sql(),
         "mutation_impact": _mutation_impact_sql_oracle(),
         "greedy_mutation": _graph_oracles.greedy_mutation_sql(_CTE_MAT, rounds=3),
         **_TRAINING_ORACLES,
@@ -1669,6 +1682,20 @@ def _mutation_impact_sql_oracle() -> str:
     return _graph_oracles.mutation_impact_sql(
         _CTE_MAT, seed=MUTATION_SEED, digit_perm=DIGIT_PERM
     )
+
+
+def _labelprop_methods_sql() -> str:
+    """Combined method-tagged label-propagation oracle: the seeded frozen
+    min-label chain and the unseeded mode-LPA community chain, each a
+    self-contained WITH subquery over the same edge derivation."""
+    from webgraph_ray.graph.community import community_lpa_sql
+
+    return f"""
+SELECT 'seeded' AS method, vertex_key, CAST(label AS VARCHAR) AS label
+FROM ({_graph_oracles.labelprop_sql(_CTE_MAT)})
+UNION ALL
+SELECT 'community', vertex_key, label
+FROM ({community_lpa_sql(_CTE_MAT)})"""
 
 
 def _pack_sql() -> str:
