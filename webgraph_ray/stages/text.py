@@ -538,3 +538,62 @@ def quality_filter_batch(t: pa.Table) -> pa.Table:
 
 
 quality_filter = _stage(quality_filter_batch, fmt="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (beyond-reference curation op)
+#
+# Both sides of the parity contract run RE2 (Arrow's replace/count kernels
+# and DuckDB's regexp functions), so a single shared pattern string gives
+# identical leftmost non-overlapping match semantics.  Placeholders carry
+# no digits or '@', so the sequential email -> ipv4 -> phone replacement
+# order can't re-match its own output.  The driver fixtures contain no
+# PII-shaped strings (vacuous gate row), so this stage is pinned by the
+# DuckDB-mirror pytest on planted PII instead of a queries() entry.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii_batch(t: pa.Table) -> pa.Table:
+    """Zero-copy Arrow: classes apply sequentially in PII_PATTERNS order —
+    each class counts and replaces on the text AFTER the previous class's
+    replacement, so an email's digit-bearing parts are never double-counted
+    as an IP or phone."""
+    import pyarrow.compute as pc
+
+    text = t["text"]
+    cols = {"doc_id": pc.cast(t["doc_id"], pa.int64())}
+    red = text
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(red, pat), pa.int64()
+        )
+        red = pc.replace_substring_regex(red, pat, repl)
+    cols["redacted_text"] = red
+    cols["n_chars_redacted"] = pc.cast(pc.utf8_length(red), pa.int64())
+    return pa.table(cols)
+
+
+redact_pii = _stage(redact_pii_batch, fmt="pyarrow")
+
+
+def redact_pii_sql(table: str = "documents") -> str:
+    """Exact DuckDB mirror: same RE2 patterns, same sequential precedence
+    (each class counts on the text AFTER the previous replacements)."""
+    expr = "text"
+    selects = ["doc_id"]
+    for name, pat, repl in PII_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        selects.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat_sql}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    selects.append(f"{expr} AS redacted_text")
+    selects.append(f"CAST(length({expr}) AS BIGINT) AS n_chars_redacted")
+    return f"SELECT {', '.join(selects)} FROM {table}"
