@@ -183,6 +183,27 @@ def run_suite() -> dict:
     extras["semdedup_pruned"] = int(semdedup(embs).sum("is_dup"))
     queries["curation_ops"] = round(time.time() - t0, 3)
 
+    # 6a'. late round-4 curation ops: sequence packing (distributed ordered
+    # prefix scan, no global sort), PII redaction (RE2 count+replace), and
+    # mode-LPA community detection over the derived edge graph
+    from webgraph_ray.graph.community import community_lpa
+    from webgraph_ray.stages.pack import sequence_pack
+    from webgraph_ray.stages.text import redact_pii
+
+    t0 = time.time()
+    packed = sequence_pack(docs, budget=512)
+    extras["packed_windows"] = int(packed.max("pack_id")) + 1
+    redact_pii(docs).count()
+    extras["communities"] = int(
+        community_lpa(edges)
+        .map_batches(
+            lambda df: df[["label"]].drop_duplicates(), batch_format="pandas"
+        )
+        .to_pandas()["label"]
+        .nunique()
+    )
+    queries["pack_pii_community"] = round(time.time() - t0, 3)
+
     # ANN index quality: recall of the bucket-probed LSH index vs exact
     from webgraph_ray.stages.embed import lsh_ann_topk
 
