@@ -595,16 +595,19 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def q_ann_methods(sf_dir: str):
-    """All three ANN variants in one method-tagged gate row, each top-10
-    cosine neighbors for the same 5 query vectors: 'brute' (exact numpy
+    """All four ANN variants in one method-tagged gate row, each top-10
+    neighbors for the same 5 query vectors: 'brute' (exact cosine, numpy
     matmul against the broadcast query matrix), 'lsh' (hyperplane-bucket
-    hive-partitioned index, block-pruned probe) and 'ivf' (k-means coarse
-    quantizer, nprobe nearest cluster directories only).  Consolidates the
-    round-3 entries ann_topk / lsh_ann_topk / ivf_ann_topk (library
-    stages unchanged; the index/probe machinery is still bench-measured
+    hive-partitioned index, block-pruned probe), 'ivf' (k-means coarse
+    quantizer, nprobe nearest cluster directories only) and 'pq' (product
+    quantization: 8x16 exact-int64 codebooks, asymmetric-distance code
+    scan — the compressed-vector scale path).  Consolidates the round-3
+    entries ann_topk / lsh_ann_topk / ivf_ann_topk (library stages
+    unchanged; the index/probe machinery is still bench-measured
     separately with bytes-read fractions)."""
     from webgraph_ray.stages.cluster import ivf_ann_topk
     from webgraph_ray.stages.embed import ann_topk, lsh_ann_topk
+    from webgraph_ray.stages.pq import pq_ann_topk
 
     embs = _embs(sf_dir)
     parts = []
@@ -612,6 +615,7 @@ def q_ann_methods(sf_dir: str):
         ("brute", ann_topk(embs, ANN_QUERY_IDS, k=10)),
         ("lsh", lsh_ann_topk(embs, ANN_QUERY_IDS, k=10)),
         ("ivf", ivf_ann_topk(embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)),
+        ("pq", pq_ann_topk(embs, ANN_QUERY_IDS, k=10)),
     ):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         df = df[["query_id", "rank", "neighbor_id"]].copy()
@@ -1698,6 +1702,12 @@ SELECT 'community', vertex_key, label
 FROM ({community_lpa_sql(_CTE_MAT)})"""
 
 
+def _pq_ann_sql_oracle() -> str:
+    from webgraph_ray.stages.pq import pq_ann_sql
+
+    return pq_ann_sql(ANN_QUERY_IDS, k=10)
+
+
 def _pack_sql() -> str:
     from webgraph_ray.stages.pack import sequence_pack_sql
 
@@ -1933,6 +1943,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'ivf', query_id, rank, neighbor_id
         FROM ({_cl.ivf_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)})
+        UNION ALL
+        SELECT 'pq', query_id, rank, neighbor_id
+        FROM ({_pq_ann_sql_oracle()})
         """,
         "doc_source_rank": """
         WITH side AS (

@@ -236,6 +236,22 @@ def run_suite() -> dict:
         ap = set(ivf[ivf["query_id"] == q]["neighbor_id"])
         hits += len(ex & ap)
     extras["ivf_ann_recall_at_10"] = round(hits / 50.0, 3)
+
+    # PQ (compressed-code ADC scan): recall vs exact at 8 bytes/vector
+    from webgraph_ray.stages.pq import pq_ann_topk
+
+    t0 = time.time()
+    pq = pq_ann_topk(embs, [0, 1, 2, 3, 4], k=10)
+    queries["clustering"] = round(
+        queries.get("clustering", 0.0) + time.time() - t0, 3
+    )
+    hits = 0
+    for q in (0, 1, 2, 3, 4):
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        ap = set(pq[pq["query_id"] == q]["neighbor_id"])
+        hits += len(ex & ap)
+    extras["pq_ann_recall_at_10"] = round(hits / 50.0, 3)
+    extras["pq_bytes_per_vector"] = 8
     # union bytes over the 5-query batch (the actual probe I/O); a single
     # query touches nprobe/nlist of the index (0.125 here)
     extras["ivf_ann_scan_fraction"] = round(ivf_stats.get("scan_fraction", 1.0), 4)
