@@ -29,7 +29,7 @@ def _embs(n=160, dim=64, seed=3):
 def test_pq_codes_match_duckdb():
     df = _embs()
     got = (
-        pq_codes(ray.data.from_pandas(df).repartition(4))
+        pq_codes(ray.data.from_pandas(df).repartition(4), k=16)
         .to_pandas()
         .sort_values(["vec_id", "subspace"])
         .reset_index(drop=True)
@@ -38,7 +38,7 @@ def test_pq_codes_match_duckdb():
     con = duckdb.connect()
     con.register("embeddings", df)
     exp = (
-        con.execute(pq_codes_sql())
+        con.execute(pq_codes_sql(k=16))
         .df()
         .sort_values(["vec_id", "subspace"])
         .reset_index(drop=True)
@@ -46,7 +46,7 @@ def test_pq_codes_match_duckdb():
     )
     pd.testing.assert_frame_equal(got, exp)
     assert got["code"].between(0, 15).all()
-    assert len(got) == len(df) * PQ_M  # 8 bytes/vector vs 512 raw
+    assert len(got) == len(df) * PQ_M  # 8 codes/vector vs 512 raw bytes
 
 
 def test_pq_ann_matches_duckdb_and_partitioning():
@@ -55,7 +55,7 @@ def test_pq_ann_matches_duckdb_and_partitioning():
     con = duckdb.connect()
     con.register("embeddings", df)
     exp = (
-        con.execute(pq_ann_sql(qids, k=5))
+        con.execute(pq_ann_sql(qids, k=5, ksub=16))
         .df()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -63,10 +63,34 @@ def test_pq_ann_matches_duckdb_and_partitioning():
     )
     for parts in (2, 9):
         got = (
-            pq_ann_topk(ray.data.from_pandas(df).repartition(parts), qids, k=5)
+            pq_ann_topk(
+                ray.data.from_pandas(df).repartition(parts), qids, k=5, ksub=16
+            )
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, exp)
     assert (exp.groupby("query_id").size() == 5).all()
     assert not (exp["neighbor_id"] == exp["query_id"]).any()
+
+
+def test_pq_shrunken_codebook_when_fewer_vectors_than_codes():
+    # default ksub=256 with only 60 vectors: both sides fall back to a
+    # 60-entry codebook (LIMIT k of the id-ordered rows), codes stay valid
+    df = _embs(n=60, seed=1)
+    qids = [2, 5]
+    got = (
+        pq_ann_topk(ray.data.from_pandas(df).repartition(3), qids, k=4)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", df)
+    exp = (
+        con.execute(pq_ann_sql(qids, k=4))
+        .df()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got, exp)

@@ -42,7 +42,7 @@ from webgraph_ray.stages.cluster import (
 )
 
 PQ_M = 8  # subspaces
-PQ_K = 16  # codes per subspace
+PQ_K = 256  # codes per subspace (standard PQ: one byte per code)
 PQ_ITERS = 2  # Lloyd rounds per subspace
 
 
@@ -195,6 +195,7 @@ def pq_ann_topk(
     itself is excluded."""
     C = pq_fit(embeddings, m=m, k=ksub, iters=iters)
     sub = C.shape[2]
+    ksub = C.shape[1]  # fewer vectors than codes -> shrunken codebooks
 
     # raw query vectors (tiny: is_in filter inside map_batches)
     qdf = (
