@@ -459,12 +459,19 @@ def q_quality_filter(sf_dir: str):
 
 def q_random_walks(sf_dir: str):
     """Deterministic seeded random walks (GraphSAGE-style neighborhood
-    sampling with the RNG replaced by the shared string hash): L
-    streaming passes over the edge table, frontier broadcast each step,
-    adjacency never shuffles."""
-    from webgraph_ray.stages.walks import random_walks
+    sampling with the RNG replaced by the shared string hash), computed by
+    the routed-actor walk engine: the adjacency partitions ONCE
+    (hive-partitioned by src-owner), per-partition CSR actors advance the
+    walkers, and each step ships only (walk_id, vertex) pairs between
+    actors — per-step cost is O(frontier), independent of |E| (the
+    round-4 scan path rescanned the full edge table once per step; a
+    pytest pins the two paths byte-identical)."""
+    import tempfile
 
-    return random_walks(_edges(sf_dir))
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+
+    with tempfile.TemporaryDirectory(prefix="walk_layout_") as wd:
+        return random_walks_engine(_edges(sf_dir), wd)
 
 
 def q_order_revenue(sf_dir: str):
@@ -595,18 +602,21 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def q_ann_methods(sf_dir: str):
-    """All four ANN variants in one method-tagged gate row, each top-10
+    """All five ANN variants in one method-tagged gate row, each top-10
     neighbors for the same 5 query vectors: 'brute' (exact cosine, numpy
     matmul against the broadcast query matrix), 'lsh' (hyperplane-bucket
     hive-partitioned index, block-pruned probe), 'ivf' (k-means coarse
-    quantizer, nprobe nearest cluster directories only) and 'pq' (product
-    quantization: 8x16 exact-int64 codebooks, asymmetric-distance code
-    scan — the compressed-vector scale path).  Consolidates the round-3
-    entries ann_topk / lsh_ann_topk / ivf_ann_topk (library stages
-    unchanged; the index/probe machinery is still bench-measured
-    separately with bytes-read fractions)."""
+    quantizer, nprobe nearest cluster directories only), 'pq' (product
+    quantization: 8x256 exact-int64 codebooks, asymmetric-distance code
+    scan) and 'ivfpq' (the composed 100-TB index: residual PQ codes
+    hive-partitioned by coarse cluster — sub-linear probe AND 64x
+    compression, stages/ivfpq.py).  Consolidates the round-3 entries
+    ann_topk / lsh_ann_topk / ivf_ann_topk (library stages unchanged; the
+    index/probe machinery is still bench-measured separately with
+    bytes-read fractions)."""
     from webgraph_ray.stages.cluster import ivf_ann_topk
     from webgraph_ray.stages.embed import ann_topk, lsh_ann_topk
+    from webgraph_ray.stages.ivfpq import ivfpq_ann_topk
     from webgraph_ray.stages.pq import pq_ann_topk
 
     embs = _embs(sf_dir)
@@ -616,6 +626,7 @@ def q_ann_methods(sf_dir: str):
         ("lsh", lsh_ann_topk(embs, ANN_QUERY_IDS, k=10)),
         ("ivf", ivf_ann_topk(embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)),
         ("pq", pq_ann_topk(embs, ANN_QUERY_IDS, k=10)),
+        ("ivfpq", ivfpq_ann_topk(embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)),
     ):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         df = df[["query_id", "rank", "neighbor_id"]].copy()
@@ -1261,11 +1272,19 @@ def q_cv_folds(sf_dir: str):
 
 
 def q_scored_vertices(sf_dir: str):
-    from webgraph_ray.pipelines.classify import scored_vertices
+    """Actor-pool model scoring PLUS the per-fold prediction-probability
+    report (reference's per-row predict_proba files,
+    /root/reference/code/classification/classify.py:77-235): z_pctile_fp
+    is the exact empirical-CDF percentile of the fitted score within its
+    fold, computed from a bounded (fold, z) histogram reduce + broadcast
+    lookup — no per-fold sort of the full table."""
+    from webgraph_ray.pipelines.classify import scored_with_percentiles
 
     key = (sf_dir, "scored_vertices")
     if key not in _CACHE:
-        _CACHE[key] = scored_vertices(q_vertex_features(sf_dir)).materialize()
+        _CACHE[key] = scored_with_percentiles(
+            q_vertex_features(sf_dir)
+        ).materialize()
     return _CACHE[key]
 
 
@@ -1708,6 +1727,12 @@ def _pq_ann_sql_oracle() -> str:
     return pq_ann_sql(ANN_QUERY_IDS, k=10)
 
 
+def _ivfpq_ann_sql_oracle() -> str:
+    from webgraph_ray.stages.ivfpq import ivfpq_ann_sql
+
+    return ivfpq_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)
+
+
 def _pack_sql() -> str:
     from webgraph_ray.stages.pack import sequence_pack_sql
 
@@ -1946,6 +1971,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'pq', query_id, rank, neighbor_id
         FROM ({_pq_ann_sql_oracle()})
+        UNION ALL
+        SELECT 'ivfpq', query_id, rank, neighbor_id
+        FROM ({_ivfpq_ann_sql_oracle()})
         """,
         "doc_source_rank": """
         WITH side AS (
@@ -2024,28 +2052,40 @@ def _build_training_oracles() -> dict[str, str]:
         )
         UNION ALL
         -- video: RAWV frame sampler (every 2nd 32-byte zero-padded frame
-        -- of the ASCII text body); n_sampled = ceil(ceil(L/32)/2), byte
-        -- sum over sampled frames = ord-sum of text bytes whose 32-byte
-        -- frame index is even (padding zeros contribute nothing)
+        -- of the UTF-8 text body); n_sampled = ceil(ceil(L/32)/2) over
+        -- BYTE length, byte sum over sampled frames = sum of UTF-8 bytes
+        -- whose 32-byte frame index is even (padding zeros contribute
+        -- nothing).  Bytes come from hex(encode(text)) two-hex-digit
+        -- decoding — the Ray side frames ENCODED bytes, and a char-based
+        -- ord/substring would diverge on any multi-byte character (and a
+        -- byte slice of UTF-8 need not be valid VARCHAR).  Empty-text
+        -- docs sample zero frames and emit no row, same as the Ray path.
         SELECT d.doc_id, 'video', 'rawv', CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
                CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
-               CAST(((length(d.text) + 31) // 32 + 1) // 2 AS BIGINT),
+               CAST(((octet_length(encode(d.text)) + 31) // 32 + 1) // 2
+                    AS BIGINT),
                CAST(coalesce(vb.byte_sum, 0) AS BIGINT)
         FROM documents d LEFT JOIN (
             WITH ex AS (
-                SELECT doc_id, text, unnest(range(length(text))) AS i
+                SELECT doc_id, hex(encode(text)) AS h,
+                       unnest(range(octet_length(encode(text)))) AS i
                 FROM documents
             )
             SELECT doc_id,
                    sum(CASE WHEN ((i // 32) % 2) = 0
-                       THEN ord(substring(text, CAST(i AS INT) + 1, 1))
+                       THEN (instr('0123456789ABCDEF',
+                                   substring(h, CAST(2 * i + 1 AS INT), 1)) - 1)
+                                * 16
+                          + (instr('0123456789ABCDEF',
+                                   substring(h, CAST(2 * i + 2 AS INT), 1)) - 1)
                        ELSE 0 END) AS byte_sum
             FROM ex GROUP BY 1
         ) vb ON d.doc_id = vb.doc_id
+        WHERE octet_length(encode(d.text)) > 0
         """,
         "dup_clusters": _dup_clusters_sql(),
         "order_revenue": """

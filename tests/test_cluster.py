@@ -169,8 +169,43 @@ def test_semdedup_vs_duckdb_oracle():
 
 
 def test_semdedup_max_cluster_gate():
+    """IDENTICAL points can't be split by any projection: the loud fail
+    remains for a degenerate identical-point mass above max_cluster."""
     from webgraph_ray.stages.cluster import semdedup
 
     mat = np.tile(np.linspace(-1, 1, 64), (30, 1))  # one tight cluster
     with pytest.raises(ValueError, match="max_cluster"):
         semdedup(_emb_ds(mat), k=1, iters=1, max_cluster=5).materialize()
+
+
+def test_semdedup_skewed_cluster_shards_instead_of_raising():
+    """A dense-but-not-identical clump (the 100-TB web-text reality) that
+    round 4 rejected now LSH-shards in-cluster: no raise, every vector
+    accounted for exactly once, dup links stay within-cluster and
+    deterministic across runs; planted exact twins still dedup."""
+    from webgraph_ray.stages.cluster import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    mat = base[None, :] + 0.15 * rng.standard_normal((40, 64))
+    mat[25] = mat[5]  # exact twin inside the clump
+    got = (
+        semdedup(_emb_ds(mat), k=1, iters=1, max_cluster=10)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["vec_id"]) == list(range(40))
+    dups = got[got["is_dup"] == 1]
+    assert (dups["dup_of"] < dups["vec_id"]).all()
+    assert (got.loc[got["is_dup"] == 0, "dup_of"] == -1).all()
+    again = (
+        semdedup(_emb_ds(mat), k=1, iters=1, max_cluster=10)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again)
+    # identical vectors always share an LSH code, so the twin pair lands
+    # in one shard: 25 must dedup against an id no larger than its twin 5
+    assert got.loc[25, "is_dup"] == 1 and got.loc[25, "dup_of"] <= 5

@@ -86,6 +86,63 @@ def test_random_walks_dead_end_stops():
     assert list(g["step"]) == [0, 1, 2]
 
 
+def test_walk_engine_equals_scan_path(tmp_path):
+    """The routed-actor engine (graph/walk_engine.py) must be
+    byte-identical to the per-step-scan path under any partition count —
+    every choice is a pure function of (src, dst, t)."""
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+
+    rng = np.random.default_rng(23)
+    verts = [f"n{i:03d}" for i in range(150)]
+    pairs = list(
+        {
+            (verts[rng.integers(150)], verts[rng.integers(150)])
+            for _ in range(500)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    exp = random_walks(_edges_ds(pairs), length=4, seed_mod=5)
+    assert exp["walk_id"].nunique() > 3
+    for i, nparts in enumerate((1, 4)):
+        got = random_walks_engine(
+            _edges_ds(pairs),
+            str(tmp_path / f"wl{i}"),
+            length=4,
+            seed_mod=5,
+            num_parts=nparts,
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            exp.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_walk_engine_every_vertex_and_dead_end(tmp_path):
+    """seed_mod=1 walks from EVERY vertex (the GraphSAGE workload the
+    scan path's driver-frontier bound disallowed at scale) and dead ends
+    stop walks."""
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+
+    pairs = [("w0", "a"), ("a", "b"), ("c", "a")]
+    got = random_walks_engine(
+        _edges_ds(pairs), str(tmp_path / "wl"), length=5, seed_mod=1,
+        num_parts=3,
+    )
+    # every vertex seeds a walk
+    assert set(got[got["step"] == 0]["walk_id"]) == {"w0", "a", "b", "c"}
+    g = got[got["walk_id"] == "w0"]
+    assert list(g["vertex_key"]) == ["w0", "a", "b"]
+    assert list(g["step"]) == [0, 1, 2]
+    # b has no out-edges: its walk is just step 0
+    assert len(got[got["walk_id"] == "b"]) == 1
+    exp = random_walks(_edges_ds(pairs), length=5, seed_mod=1)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
 def test_random_walks_vs_duckdb_oracle():
     import sys
 

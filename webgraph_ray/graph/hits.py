@@ -47,8 +47,6 @@ def hits(
 ) -> ray.data.Dataset:
     """(vertex_id, auth_fp, hub_fp) after ``iters`` alternating exact-int64
     half-steps with L1 normalization."""
-    import pyarrow.compute as pc
-
     assert iters >= 1, "hits needs at least one iteration"
     from ray.data.dataset import MaterializedDataset
 
@@ -56,15 +54,14 @@ def hits(
         # three consumers below (weight scan, forward build, reversed
         # build) — a lazy input would re-execute its upstream each time
         edges = edges.materialize()
-    max_w = 0
-    for batch in edges.select_columns(["weight"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        if len(batch):
-            mm = pc.min_max(batch["weight"]).as_py()
-            max_w = max(
-                max_w, abs(mm["min"] or 0), abs(mm["max"] or 0)
-            )
+    # overflow bound: distributed min/max aggregate over the pruned weight
+    # column (round 4 streamed every batch through the driver here)
+    from ray.data.aggregate import Max, Min
+
+    agg = edges.select_columns(["weight"]).aggregate(
+        Min("weight", alias_name="w_min"), Max("weight", alias_name="w_max")
+    )
+    max_w = max(abs(agg.get("w_min") or 0), abs(agg.get("w_max") or 0))
     assert scale * scale * max(max_w, 1) < 2**62, (
         f"hits overflow bound violated: scale={scale}, max |weight|={max_w}"
     )

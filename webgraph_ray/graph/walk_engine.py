@@ -1,0 +1,334 @@
+"""Routed random walks: per-partition adjacency actors advance walker
+state through an actor-to-actor exchange — one tiny routed message per
+step — instead of rescanning the edge table every step.
+
+The round-4 scan-path (`stages/walks.py`) streams ONE full pass over the
+edge table per step to advance a frontier that fits in a page; at 100 TB
+with length=7 that is 7 full-corpus scans.  Here the adjacency partitions
+ONCE (hive-partitioned parquet by src-owner, the same build-once contract
+as `graph/engine.py` layouts), each actor holds its partition's CSR in
+memory, and a step costs O(sum deg(frontier)) work plus one P-way
+exchange of (walk_id, vertex) pairs whose size is the ACTIVE WALKER
+count — independent of |E|.  That also lifts the scan path's
+driver-frontier bound: walks can start from EVERY vertex (seed_mod=1,
+the GraphSAGE workload) because walker state lives sharded in the
+actors, never on the driver.
+
+Choice rule (identical to stages/walks.py, so the same DuckDB mirror
+applies and a pytest pins engine-path == scan-path):
+
+    at step t the walk at ``src`` moves to the out-neighbor ``dst``
+    minimizing (tokhash(dst)*131 + t*16007 + tokhash(src)) % M,
+    ties to the smaller dst_key; a walk at a vertex with no out-edges
+    stops.
+
+Every choice is a pure function of (src, dst, t), so results are
+byte-identical under any partitioning or exchange order.
+
+Reference analog: the per-visit neighborhood expansions in
+/root/reference/code/features/structure.py:129-163 (ancestry / 2-hop
+walks), generalized to fixed-length sampled walks; the routed-state
+design is the round-4 verdict's item #2.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from webgraph_ray.functions.texthash import M, hash_token_list
+from webgraph_ray.stages.walks import (
+    WALK_LEN,
+    WALK_MULT_DST,
+    WALK_MULT_STEP,
+    WALK_SEED_MOD,
+)
+
+
+def _th(keys) -> np.ndarray:
+    return hash_token_list([str(k) for k in keys])
+
+
+def build_walk_layout(
+    edges: ray.data.Dataset, work_dir: str, num_parts: int
+) -> None:
+    """One-time partitioned layout: edges hive-partitioned by the OWNER of
+    their src vertex (owner = tokhash % P — computable anywhere from the
+    key string, no global id assignment needed), plus a vertex-universe
+    table partitioned by owner (so seed selection sees src-only AND
+    dst-only vertices).  Token hashes are computed once here and stored,
+    never recomputed per step."""
+    P = int(num_parts)
+    narrow = edges.select_columns(["src_key", "dst_key"])
+
+    def prep_edges(t: pa.Table) -> pa.Table:
+        src = t["src_key"].to_numpy(zero_copy_only=False)
+        dst = t["dst_key"].to_numpy(zero_copy_only=False)
+        ths, thd = _th(src), _th(dst)
+        return pa.table(
+            {
+                "src_key": t["src_key"],
+                "dst_key": t["dst_key"],
+                "th_src": pa.array(ths),
+                "th_dst": pa.array(thd),
+                "part": pa.array(ths % P),
+            }
+        )
+
+    narrow.map_batches(prep_edges, batch_format="pyarrow").write_parquet(
+        os.path.join(work_dir, "edges"), partition_cols=["part"]
+    )
+
+    def prep_verts(t: pa.Table) -> pa.Table:
+        src = t["src_key"].to_numpy(zero_copy_only=False)
+        dst = t["dst_key"].to_numpy(zero_copy_only=False)
+        keys = (
+            pd.unique(np.concatenate([src, dst]))
+            if len(t)
+            else np.array([], dtype=object)
+        )
+        th = _th(keys)
+        return pa.table(
+            {
+                "vertex_key": pa.array(keys, pa.string()),
+                "th": pa.array(th),
+                "part": pa.array(th % P),
+            }
+        )
+
+    narrow.map_batches(prep_verts, batch_format="pyarrow").write_parquet(
+        os.path.join(work_dir, "verts"), partition_cols=["part"]
+    )
+
+
+@ray.remote(num_cpus=0)
+class WalkPartition:
+    """Owns the out-adjacency of every vertex whose tokhash % P equals
+    ``part_id`` (CSR over key-sorted edges, built ONCE in __init__) plus
+    the walkers currently AT one of those vertices.  ``step`` advances
+    them vectorized and returns P outgoing slices routed by the next
+    vertex's owner — the engine-exchange dataflow: the driver passes refs
+    between actors and never touches walker data."""
+
+    def __init__(self, work_dir: str, part_id: int, num_parts: int):
+        import pyarrow.parquet as pq
+
+        self.part_id = int(part_id)
+        self.P = int(num_parts)
+
+        def _read(sub: str, columns) -> pa.Table:
+            d = os.path.join(work_dir, sub, f"part={part_id}")
+            if not os.path.isdir(d):
+                return None
+            files = [
+                os.path.join(dp, f)
+                for dp, _, fns in os.walk(d)
+                for f in fns
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return None
+            return pa.concat_tables(
+                [pq.read_table(f, columns=columns) for f in files]
+            )
+
+        et = _read("edges", ["src_key", "dst_key", "th_src", "th_dst"])
+        if et is None or et.num_rows == 0:
+            self.usrc = np.array([], dtype=object)
+            self.indptr = np.zeros(1, dtype=np.int64)
+            self.dst = np.array([], dtype=object)
+            self.th_dst = np.array([], dtype=np.int64)
+            self.th_usrc = np.array([], dtype=np.int64)
+        else:
+            df = pd.DataFrame(
+                {
+                    "src_key": et["src_key"].to_numpy(zero_copy_only=False),
+                    "dst_key": et["dst_key"].to_numpy(zero_copy_only=False),
+                    "th_src": et["th_src"].to_numpy(zero_copy_only=False),
+                    "th_dst": et["th_dst"].to_numpy(zero_copy_only=False),
+                }
+            ).sort_values(["src_key", "dst_key"], kind="mergesort")
+            src = df["src_key"].to_numpy(dtype=object)
+            bounds = np.flatnonzero(src[1:] != src[:-1]) + 1
+            starts = np.concatenate([[0], bounds])
+            self.usrc = src[starts]
+            self.indptr = np.concatenate([starts, [len(src)]]).astype(np.int64)
+            self.dst = df["dst_key"].to_numpy(dtype=object)
+            self.th_dst = df["th_dst"].to_numpy(np.int64)
+            self.th_usrc = df["th_src"].to_numpy(np.int64)[starts]
+
+        vt = _read("verts", ["vertex_key", "th"])
+        if vt is None or vt.num_rows == 0:
+            self.verts = np.array([], dtype=object)
+            self.th_verts = np.array([], dtype=np.int64)
+        else:
+            vk = vt["vertex_key"].to_numpy(zero_copy_only=False)
+            th = vt["th"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vk, idx = np.unique(vk.astype(object), return_index=True)
+            self.verts = vk
+            self.th_verts = th[idx]
+
+        self._empty = np.empty(0, dtype=object)
+        self.act_wid = self._empty
+        self.act_cur = self._empty
+        self.rows: list[tuple[np.ndarray, int, np.ndarray]] = []
+
+    def init_walks(self, seed_mod: int) -> int:
+        """Seed walkers at owned vertices with tokhash % seed_mod == 0 and
+        emit their step-0 rows.  Returns the local seed count."""
+        m = (self.th_verts % seed_mod) == 0 if len(self.verts) else np.zeros(0, bool)
+        seeds = self.verts[m]
+        self.act_wid = seeds.copy()
+        self.act_cur = seeds.copy()
+        self.rows = [(seeds, 0, seeds)] if len(seeds) else []
+        return int(len(seeds))
+
+    def _advance(self, wid: np.ndarray, cur: np.ndarray, t: int):
+        """Vectorized hash-argmin step for walkers at owned vertices.
+        Returns (next wid, next vertex) for the survivors."""
+        if len(wid) == 0:
+            return self._empty, self._empty
+        ucur, inv = np.unique(cur, return_inverse=True)
+        pos = np.searchsorted(self.usrc, ucur)
+        found = (pos < len(self.usrc))
+        found[found] &= self.usrc[pos[found]] == ucur[found]
+        # next vertex per unique frontier vertex (object; None = dead end)
+        nxt_u = np.full(len(ucur), None, dtype=object)
+        fpos = pos[found]
+        if len(fpos):
+            starts = self.indptr[fpos]
+            ends = self.indptr[fpos + 1]
+            lens = (ends - starts).astype(np.int64)
+            total = int(lens.sum())
+            offs = np.cumsum(lens) - lens
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(offs, lens)
+                + np.repeat(starts, lens)
+            )
+            h = (
+                self.th_dst[idx] * WALK_MULT_DST
+                + t * WALK_MULT_STEP
+                + np.repeat(self.th_usrc[fpos], lens)
+            ) % M
+            minh = np.minimum.reduceat(h, offs)
+            # first index achieving the min: neighbors are dst_key-sorted,
+            # so first achiever == smallest qualifying dst_key
+            cand = np.where(
+                h == np.repeat(minh, lens), np.arange(total, dtype=np.int64), total
+            )
+            first = np.minimum.reduceat(cand, offs)
+            nxt_u[found] = self.dst[idx[first]]
+        nxt = nxt_u[inv]
+        alive = np.array([v is not None for v in nxt], dtype=bool)
+        return wid[alive], nxt[alive].astype(object)
+
+    def step(self, t: int, *incoming):
+        """Advance resident + incoming walkers one step; emit step-t rows;
+        return P outgoing (wid, cur) slices routed by owner(next).  The
+        self slice stays resident and its return slot is empty."""
+        wids = [self.act_wid]
+        curs = [self.act_cur]
+        for inc in incoming:
+            if inc is None:
+                continue
+            w, c = inc
+            if len(w):
+                wids.append(np.asarray(w, dtype=object))
+                curs.append(np.asarray(c, dtype=object))
+        wid = np.concatenate(wids) if len(wids) > 1 else wids[0]
+        cur = np.concatenate(curs) if len(curs) > 1 else curs[0]
+
+        nwid, ncur = self._advance(wid, cur, t)
+        if len(nwid):
+            self.rows.append((nwid, int(t), ncur))
+        owner = (_th(ncur) % self.P) if len(ncur) else np.empty(0, np.int64)
+        out = []
+        for q in range(self.P):
+            if q == self.part_id:
+                m = owner == q
+                self.act_wid = nwid[m]
+                self.act_cur = ncur[m]
+                out.append((self._empty, self._empty))
+            else:
+                m = owner == q
+                out.append((nwid[m], ncur[m]))
+        if self.P == 1:
+            return out[0]
+        return out
+
+    def result(self) -> pa.Table:
+        """All (walk_id, step, vertex_key) rows this partition emitted."""
+        if not self.rows:
+            return pa.table(
+                {
+                    "walk_id": pa.array([], pa.string()),
+                    "step": pa.array([], pa.int64()),
+                    "vertex_key": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "walk_id": pa.array(
+                    np.concatenate([r[0] for r in self.rows]), pa.string()
+                ),
+                "step": pa.array(
+                    np.concatenate(
+                        [np.full(len(r[0]), r[1], np.int64) for r in self.rows]
+                    )
+                ),
+                "vertex_key": pa.array(
+                    np.concatenate([r[2] for r in self.rows]), pa.string()
+                ),
+            }
+        )
+
+
+def random_walks_engine(
+    edges: ray.data.Dataset,
+    work_dir: str,
+    length: int = WALK_LEN,
+    seed_mod: int = WALK_SEED_MOD,
+    num_parts: int | None = None,
+) -> pd.DataFrame:
+    """Same contract and byte-identical output as
+    `stages.walks.random_walks` (the DuckDB mirror
+    `stages.walks.random_walks_sql` applies unchanged), computed by the
+    routed-actor exchange: adjacency partitions once, each step ships only
+    (walk_id, vertex) pairs between actors.  ``work_dir`` holds the
+    partitioned layout (reusable across calls, like engine layouts)."""
+    if num_parts is None:
+        num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    P = int(num_parts)
+    if not os.path.isdir(os.path.join(work_dir, "edges")):
+        build_walk_layout(edges, work_dir, P)
+    actors = [WalkPartition.remote(work_dir, q, P) for q in range(P)]
+    try:
+        ray.get([a.init_walks.remote(seed_mod) for a in actors])
+        # outs[p][q]: (wid, cur) slice from p to q after the latest step
+        outs: list[list] = [[None] * P for _ in range(P)]
+        for t in range(1, length + 1):
+            new_outs = []
+            for q, a in enumerate(actors):
+                inc = [outs[p][q] for p in range(P) if p != q]
+                if P == 1:
+                    new_outs.append([a.step.remote(t)])
+                else:
+                    new_outs.append(
+                        list(a.step.options(num_returns=P).remote(t, *inc))
+                    )
+            outs = new_outs
+        tables = ray.get([a.result.remote() for a in actors])
+        res = pa.concat_tables(tables).to_pandas()
+        return res.sort_values(
+            ["walk_id", "step"], kind="mergesort"
+        ).reset_index(drop=True)
+    finally:
+        for a in actors:
+            ray.kill(a, no_restart=True)

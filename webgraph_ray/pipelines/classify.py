@@ -146,6 +146,70 @@ def scored_vertices(
     )
 
 
+PCTILE_SCALE = 10**6
+
+
+def scored_with_percentiles(
+    features: ray.data.Dataset, k: int = NUM_FOLDS, concurrency: int = 2
+) -> ray.data.Dataset:
+    """scored_vertices plus the per-fold prediction-probability report the
+    reference writes per CV fold
+    (/root/reference/code/classification/classify.py:77-235 emits per-row
+    predict_proba files; the exact-integer analog is the empirical-CDF
+    percentile of the fitted score within its fold):
+
+        z_pctile_fp = (#same-fold rows with strictly smaller z)
+                      * 10^6 // fold_n
+
+    Distributed shape: pass 1 reduces a bounded (fold, z) histogram
+    (map-side partials, z is a small-range integer score); the driver
+    builds per-fold cumulative strictly-less tables (tiny) and broadcasts
+    them; pass 2 attaches the percentile by vectorized searchsorted —
+    no per-fold sort of the full table, order-independent exact ints."""
+    scored = scored_vertices(features, concurrency=concurrency).materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["fold", "z"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["fold", "z"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    maps: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+    for fold, g in hist.groupby("fold", sort=True):
+        zs = g["z"].to_numpy(np.int64)  # sorted ascending
+        ns = g["n"].to_numpy(np.int64)
+        less = np.concatenate([[0], np.cumsum(ns)[:-1]])
+        maps[int(fold)] = (zs, less, int(ns.sum()))
+    import ray as _ray
+
+    mref = _ray.put(maps)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(mref)
+        z = df["z"].to_numpy(np.int64)
+        fold = df["fold"].to_numpy(np.int64)
+        pct = np.zeros(len(df), dtype=np.int64)
+        for f in np.unique(fold):
+            zs, less, n = m[int(f)]
+            sel = fold == f
+            pct[sel] = less[np.searchsorted(zs, z[sel])] * PCTILE_SCALE // n
+        out = df.copy()
+        out["z_pctile_fp"] = pct
+        return out
+
+    return scored.map_batches(attach, batch_format="pandas")
+
+
 def fold_metrics(scored: ray.data.Dataset) -> ray.data.Dataset:
     """Per-fold confusion counts: n, predicted positives, target positives,
     agreement — all exact integers."""
@@ -421,10 +485,17 @@ def _scored_ctes(base_cte: str, k: int = NUM_FOLDS) -> str:
 
 
 def scored_vertices_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
+    """Mirror of scored_with_percentiles: rank()-1 counts the same-fold
+    rows with strictly smaller z (ties share the count), the exact
+    empirical-CDF numerator of the Ray side's histogram lookup."""
     return (
         _scored_ctes(base_cte, k)
-        + "\nSELECT vertex_key, fold, CAST(z AS BIGINT) AS z, pred, is_target"
-        + " FROM clf_scored"
+        + f"""
+SELECT vertex_key, fold, CAST(z AS BIGINT) AS z, pred, is_target,
+       CAST((rank() OVER (PARTITION BY fold ORDER BY z) - 1)
+            * {PCTILE_SCALE}
+            // (count(*) OVER (PARTITION BY fold)) AS BIGINT) AS z_pctile_fp
+FROM clf_scored"""
     )
 
 

@@ -504,6 +504,8 @@ QUALIFY rank <= {k}"""
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_MAX_CLUSTER = 200_000
+SEMDEDUP_SHARD_BITS = 12  # max 4096-way LSH split of one dense cluster
+SEMDEDUP_SHARD_SEED = 29
 
 
 def semdedup(
@@ -512,6 +514,7 @@ def semdedup(
     iters: int = 3,
     threshold: float = 0.4,
     max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+    shard_bits: int = SEMDEDUP_SHARD_BITS,
 ) -> ray.data.Dataset:
     """Semantic near-duplicate pruning in the SemDeDup shape (Abbas et
     al. 2023: k-means the embedding space, then compare pairs ONLY within
@@ -523,13 +526,93 @@ def semdedup(
     Scale shape: the coarse quantizer caps the quadratic — per-cluster
     work is O((n/k)^2) and k grows with n; the per-batch assign reuses
     the broadcast centroids (ray.put once), vectors travel to their
-    cluster's group as float64 blobs through ONE cluster groupby, and a
-    cluster larger than ``max_cluster`` fails loudly (raise k) instead of
-    silently materializing an n^2 block."""
-    from webgraph_ray.stages.embed import _normalize
+    cluster's group as float64 blobs through ONE cluster groupby.
+
+    Skewed-cluster recovery (real 100-TB web text is NOT isotropic — one
+    dense k-means cluster is the norm, not the exception): a tiny
+    counting pre-pass histograms (cluster, lsh-code) sizes; any cluster
+    above ``max_cluster`` is sharded in-cluster by the smallest
+    power-of-two prefix of a deterministic hyperplane-LSH code that
+    bounds every shard — pairs then compare within (cluster, shard).
+    Finer sharding only tightens the approximation the coarse quantizer
+    already makes (cross-shard near-dups are missed the same way
+    cross-cluster ones are); clusters under the cap keep the exact
+    oracle-mirrored semantics.  Only a shard that STILL exceeds the cap
+    at full code width (a degenerate identical-point mass bigger than
+    max_cluster) raises."""
+    from webgraph_ray.stages.embed import _normalize, lsh_planes
 
     C, _ = kmeans_fit(embeddings, k=k, iters=iters)
     ref = ray.put(C)
+    dim = C.shape[1]
+    planes = lsh_planes(dim, shard_bits, 1, SEMDEDUP_SHARD_SEED)[0]
+    pw = 1 << np.arange(shard_bits, dtype=np.int64)
+    planes_ref = ray.put(planes)
+
+    def _codes(t: pa.Table, Ct: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # hyperplane signs of the RESIDUAL from the assigned centroid: a
+        # dense cluster is directionally tight (every member on the same
+        # side of almost any hyperplane through the ORIGIN), but its
+        # residuals spread in all directions around the centroid, so
+        # centered planes split it evenly; identical points still share a
+        # code (they must — no projection separates them)
+        X = _scaled_matrix(t)
+        a = _assign_ids(X, Ct)
+        R = (X - Ct[a]).astype(np.float64)
+        code = ((R @ ray.get(planes_ref)) > 0) @ pw
+        return a, code.astype(np.int64)
+
+    # pre-pass: (cluster, code) histogram — bounded at k * 2^shard_bits
+    # rows per batch, reduced on the driver (mergeable-partials pattern)
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"cluster": [], "code": [], "n": []}).astype(
+                np.int64
+            )
+        a, code = _codes(t, ray.get(ref))
+        df = pd.DataFrame({"cluster": a, "code": code})
+        return (
+            df.groupby(["cluster", "code"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    hist = (
+        embeddings.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+        .groupby(["cluster", "code"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    shard_mod: dict[int, int] = {}
+    for c, g in hist.groupby("cluster"):
+        total = int(g["n"].sum())
+        if total <= max_cluster:
+            continue
+        chosen = None
+        for j in range(1, shard_bits + 1):
+            s = 1 << j
+            worst = int(
+                g.assign(r=g["code"].to_numpy(np.int64) & (s - 1))
+                .groupby("r")["n"]
+                .sum()
+                .max()
+            )
+            if worst <= max_cluster:
+                chosen = s
+                break
+        if chosen is None:
+            raise ValueError(
+                f"semdedup: cluster {int(c)} holds {total} rows and even "
+                f"{1 << shard_bits}-way LSH sharding leaves a shard above "
+                f"max_cluster={max_cluster} (degenerate identical-point "
+                f"mass); raise max_cluster or shard_bits"
+            )
+        shard_mod[int(c)] = chosen
+    shard_ref = ray.put(shard_mod)
 
     def assign_blob(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -540,11 +623,17 @@ def semdedup(
                 {
                     "vec_id": pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int64()),
+                    "leaf": pa.array([], pa.int64()),
                     "blob": pa.array([], pa.binary()),
                 }
             )
-        X = _scaled_matrix(t)
-        a = _assign_ids(X, Ct)
+        a, code = _codes(t, Ct)
+        smap = ray.get(shard_ref)
+        shard = np.zeros(len(a), dtype=np.int64)
+        for c, s in smap.items():
+            m = a == c
+            shard[m] = code[m] & (s - 1)
+        leaf = a * (1 << shard_bits) + shard
         # np.stack over per-row ndarrays handles both list<float> and
         # tensor-extension layouts (and respects zero-copy block slices)
         M = _normalize(
@@ -556,6 +645,7 @@ def semdedup(
             {
                 "vec_id": pc.cast(t["vec_id"], pa.int64()),
                 "cluster": pa.array(a),
+                "leaf": pa.array(leaf),
                 "blob": pa.array([row.tobytes() for row in M], pa.binary()),
             }
         )
@@ -565,9 +655,8 @@ def semdedup(
         n = len(g)
         if n > max_cluster:
             raise ValueError(
-                f"semdedup: cluster of {n} rows exceeds max_cluster="
-                f"{max_cluster}; raise k so per-cluster pair blocks stay "
-                f"bounded"
+                f"semdedup: leaf of {n} rows exceeds max_cluster="
+                f"{max_cluster} after sharding — should be unreachable"
             )
         ids = g["vec_id"].to_numpy(np.int64)
         out = pd.DataFrame(
@@ -593,7 +682,7 @@ def semdedup(
         embeddings.map_batches(
             assign_blob, batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("cluster")
+        .groupby("leaf")
         .map_groups(cluster_dups, batch_format="pandas")
     )
 

@@ -72,8 +72,27 @@ def sequence_pack(
         num_buckets = default_num_buckets()
     ids = docs.select_columns(["doc_id", "text"])
     if max_doc_id is None:
-        # column-pruned scan of the id column only
-        max_doc_id = int(docs.select_columns(["doc_id"]).max("doc_id"))
+        # column-pruned scan of the id column only; max() is None on an
+        # empty input — return the empty result with the output schema
+        max_doc_id = docs.select_columns(["doc_id"]).max("doc_id")
+        if max_doc_id is None:
+            empty = pa.array([], pa.int64())
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        c: empty
+                        for c in (
+                            "doc_id",
+                            "n_tokens",
+                            "global_start",
+                            "pack_id",
+                            "pack_pos",
+                            "n_packs_spanned",
+                        )
+                    }
+                )
+            )
+        max_doc_id = int(max_doc_id)
     width = max(1, (int(max_doc_id) + num_buckets) // num_buckets)
 
     def count_batch(t: pa.Table) -> pa.Table:

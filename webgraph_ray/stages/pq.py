@@ -1,9 +1,9 @@
 """Product quantization (PQ) ANN — the compressed-vector scale path.
 
 At 100 TB an embedding column cannot be rescanned per query; PQ stores an
-m-byte code per vector (here m=8 subspaces x 16 codes = 8 bytes vs 512
-for the raw float64[64]) and answers queries with an asymmetric-distance
-(ADC) scan over the codes.  Everything is exact int64 fixed-point so a
+m-byte code per vector (here m=8 subspaces x 256 codes, 1 byte/code =
+8-byte codes vs 512 for the raw float64[64]) and answers queries with an
+asymmetric-distance (ADC) scan over the codes.  Everything is exact int64 fixed-point so a
 DuckDB oracle mirrors it bit-for-bit:
 
 - training: per-subspace Lloyd, SAME arithmetic as `stages/cluster.py`
@@ -36,7 +36,6 @@ from webgraph_ray.stages.cluster import (
     KMEANS_BATCH_ROWS,
     SCALE,
     _assign_ids,
-    _init_centroids,
     _scaled_matrix,
     _trunc_div,
 )
@@ -46,18 +45,53 @@ PQ_K = 256  # codes per subspace (standard PQ: one byte per code)
 PQ_ITERS = 2  # Lloyd rounds per subspace
 
 
+def _matrix(t: pa.Table, col: str = "embedding", prescaled: bool = False) -> np.ndarray:
+    """Batch -> int64 scaled matrix.  ``prescaled`` reads an int64
+    fixed-size-list column as-is (the IVF-PQ residual path); otherwise the
+    float embedding column goes through the shared floor fixed-point
+    scaling."""
+    if not prescaled:
+        return _scaled_matrix(t)
+    arr = t[col].combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat.reshape(len(t), arr.type.list_size)
+
+
+def _init_rows(
+    ds: ray.data.Dataset, k: int, col: str, prescaled: bool
+) -> np.ndarray:
+    """Scaled vectors of the k smallest vec_ids (per-batch partial min-k,
+    no global sort) — cluster._init_centroids generalized to any column."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.argsort(ids, kind="stable")[:k]
+        return t.select(["vec_id", col]).take(pa.array(keep))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("vec_id", kind="mergesort").head(k)
+    M = np.stack(parts[col].to_numpy())
+    if prescaled:
+        return M.astype(np.int64)
+    return np.floor(M.astype(np.float64) * SCALE).astype(np.int64)
+
+
 def pq_fit(
     embeddings: ray.data.Dataset,
     m: int = PQ_M,
     k: int = PQ_K,
     iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
+    col: str = "embedding",
+    prescaled: bool = False,
 ) -> np.ndarray:
     """Train m codebooks; returns int64 (m, k, dim//m).  One streaming
-    pass per iteration covers every subspace."""
+    pass per iteration covers every subspace.  ``col``/``prescaled``
+    select the input column (float embeddings by default; int64 residual
+    lists for IVF-PQ)."""
     assert dim % m == 0, (dim, m)
     sub = dim // m
-    init = _init_centroids(embeddings, k)  # (k, dim) scaled rows
+    init = _init_rows(embeddings, k, col, prescaled)  # (k, dim) scaled rows
     C = np.stack([init[:, j * sub : (j + 1) * sub] for j in range(m)])
 
     for _ in range(iters):
@@ -71,7 +105,7 @@ def pq_fit(
                 return pa.table(
                     {"sub": empty, "cid": empty, "dim": empty, "s": empty, "n": empty}
                 )
-            X = _scaled_matrix(t)
+            X = _matrix(t, col, prescaled)
             subs, cids, dims, sums, ns = [], [], [], [], []
             for j in range(mm):
                 Xj = X[:, j * ss : (j + 1) * ss]
@@ -116,7 +150,12 @@ def pq_fit(
     return C
 
 
-def _encode(embeddings: ray.data.Dataset, C: np.ndarray) -> ray.data.Dataset:
+def _encode(
+    embeddings: ray.data.Dataset,
+    C: np.ndarray,
+    col: str = "embedding",
+    prescaled: bool = False,
+) -> ray.data.Dataset:
     """(vec_id, codes fixed-size list<int64> of length m)."""
     ref = ray.put(C)
     m, _, sub = C.shape
@@ -130,7 +169,7 @@ def _encode(embeddings: ray.data.Dataset, C: np.ndarray) -> ray.data.Dataset:
                     "codes": pa.array([], pa.list_(pa.int64(), Ct.shape[0])),
                 }
             )
-        X = _scaled_matrix(t)
+        X = _matrix(t, col, prescaled)
         codes = np.stack(
             [
                 _assign_ids(X[:, j * sub : (j + 1) * sub], Ct[j])
