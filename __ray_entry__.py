@@ -1289,18 +1289,31 @@ def q_scored_vertices(sf_dir: str):
 
 
 def q_fit_fold_weights(sf_dir: str):
-    """Per-fold report: the closed-form least-squares FIT of the linear
-    scorer + holdout evaluation (the reference's train->evaluate cycle,
-    /root/reference/code/classification/classify.py:260-323) joined with
-    the fixed-model confusion counts (n / predicted positives / targets /
-    agreement) for the same fold — both per-fold tables are O(k) rows, so
-    the join is a driver-side merge.  Absorbs the round-3 fold_metrics
-    entry (library function unchanged, pytest-covered)."""
-    from webgraph_ray.pipelines.classify import fit_fold_weights, fold_metrics
+    """Per-fold model-fit report: the closed-form least-squares FIT of
+    the linear scorer + holdout evaluation (the reference's
+    train->evaluate cycle,
+    /root/reference/code/classification/classify.py:260-323), the
+    NONLINEAR depth-2 decision-tree fit over distributed feature
+    histograms (the reference's per-fold RandomForest analog — exact
+    integer accuracy splits, leave-one-fold-out, its own holdout
+    agreement) and the fixed-model confusion counts, one wide row per
+    fold — every per-fold table is O(k) rows, so the joins are
+    driver-side merges.  Absorbs the round-3 fold_metrics entry."""
+    from webgraph_ray.pipelines.classify import (
+        fit_fold_trees,
+        fit_fold_weights,
+        fold_metrics,
+    )
 
-    fit = fit_fold_weights(q_vertex_features(sf_dir))
+    vf = q_vertex_features(sf_dir)
+    fit = fit_fold_weights(vf)
+    trees = fit_fold_trees(vf)
     fm = fold_metrics(q_scored_vertices(sf_dir)).to_pandas()
-    out = fit.merge(fm, on="fold", how="inner").sort_values("fold")
+    out = (
+        fit.merge(fm, on="fold", how="inner")
+        .merge(trees, on="fold", how="inner")
+        .sort_values("fold")
+    )
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
@@ -1656,12 +1669,19 @@ def _classify_sql(which: str) -> str:
     if which == "scored_vertices":
         return _clf.scored_vertices_sql(_CTE_MAT)
     if which == "fit_fold_weights":
-        # fit + holdout eval joined with the fixed-model per-fold
-        # confusion counts (round-3's fold_metrics entry, consolidated)
+        # linear fit + holdout eval + depth-2 tree fit (all from
+        # fit_fold_weights_sql's CTE chain) joined with the fixed-model
+        # per-fold confusion counts (round-3's fold_metrics entry)
         return f"""
         SELECT f.fold, f.n_train, f.w0_fp, f.w1_fp, f.w2_fp,
                f.holdout_n, f.holdout_agree,
-               m.n, m.n_pred_pos, m.n_target, m.n_agree
+               m.n, m.n_pred_pos, m.n_target, m.n_agree,
+               f.tree_root_feat, f.tree_root_thr,
+               f.tree_left_feat, f.tree_left_thr,
+               f.tree_ll_pred, f.tree_lh_pred,
+               f.tree_right_feat, f.tree_right_thr,
+               f.tree_rl_pred, f.tree_rh_pred,
+               f.tree_holdout_n, f.tree_holdout_agree
         FROM ({_clf.fit_fold_weights_sql(_CTE_MAT)}) f
         JOIN ({_clf.fold_metrics_sql(_CTE_MAT)}) m USING (fold)
         ORDER BY f.fold"""

@@ -103,3 +103,29 @@ def test_feature_importance_exact():
         assert r.contrib == wx.sum()
         assert r.abs_contrib == np.abs(wx).sum()
         assert r.n_nonzero == int((df[r.feature] != 0).sum())
+
+
+def test_tree_fit_deterministic_and_sane():
+    """fit_fold_trees: identical output across partitionings (histogram
+    sums are order-independent), holdout covers every non-tool row once,
+    and the fitted root split beats or matches the constant classifier on
+    its training set (the split criterion maximizes exactly that)."""
+    from webgraph_ray.pipelines.classify import TREE_FEATURES, fit_fold_trees
+
+    df = _toy_features(n=300, k_convs=30, seed=11)
+    outs = [
+        fit_fold_trees(ray.data.from_pandas(df).repartition(p))
+        for p in (1, 7)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    assert int(out["tree_holdout_n"].sum()) == 300
+    assert (out["tree_holdout_agree"] <= out["tree_holdout_n"]).all()
+    assert out["tree_root_feat"].between(0, len(TREE_FEATURES) - 1).all()
+    # chain_depth >= 6 defines the label, so the accuracy-maximizing
+    # depth-2 tree must recover a chain_depth split at the root
+    ci = TREE_FEATURES.index("chain_depth")
+    assert (out["tree_root_feat"] == ci).all()
+    assert (out["tree_root_thr"] == 5).all()
+    # holdout agreement should be perfect for this separable toy
+    assert (out["tree_holdout_agree"] == out["tree_holdout_n"]).all()

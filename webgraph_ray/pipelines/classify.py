@@ -406,6 +406,237 @@ def fit_fold_weights(
     return res.sort_values("fold").reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Model FIT #2: per-fold depth-2 decision tree over feature histograms
+# ---------------------------------------------------------------------------
+
+# Tree features: every integer model column.  Split criterion is exact
+# integer "training rows classified correctly by the best constant on each
+# side" (majority-count accuracy) — Gini needs rational compares; the
+# accuracy objective keeps every intermediate a plain int64 count, so the
+# DuckDB mirror is bit-exact.  Ties: higher correct, then smaller feature
+# index, then smaller threshold.
+TREE_FEATURES = tuple(sorted(MODEL_WEIGHTS))
+
+
+def _tree_best_split(h: pd.DataFrame):
+    """Best (feat, thr) over a (feat, val, n, npos) training histogram.
+    Returns (feat, thr, p_low, p_high) where p_low/p_high are the leaf
+    majority predictions (1 iff 2*pos > n; ties -> 0) of the <=thr and
+    >thr sides, or None on an empty histogram."""
+    best = None  # (correct, feat, thr, p_low, p_high)
+    for feat, g in h.groupby("feat", sort=True):
+        g = g.sort_values("val", kind="mergesort")
+        cn = g["n"].to_numpy(np.int64).cumsum()
+        cp = g["npos"].to_numpy(np.int64).cumsum()
+        tn, tp = cn[-1], cp[-1]
+        correct = np.maximum(cp, cn - cp) + np.maximum(
+            tp - cp, (tn - cn) - (tp - cp)
+        )
+        i = int(np.argmax(correct))  # first max = smallest threshold
+        cand = (int(correct[i]), int(feat), int(g["val"].to_numpy()[i]))
+        if best is None or (cand[0], -cand[1], -cand[2]) > (
+            best[0], -best[1], -best[2]
+        ):
+            best = (
+                cand[0],
+                cand[1],
+                cand[2],
+                int(2 * cp[i] > cn[i]),
+                int(2 * (tp - cp[i]) > (tn - cn[i])),
+            )
+    if best is None:
+        return None
+    return best[1], best[2], best[3], best[4]
+
+
+def fit_fold_trees(
+    features: ray.data.Dataset, k: int = NUM_FOLDS
+) -> pd.DataFrame:
+    """Leave-one-fold-out depth-2 decision tree per CV fold — the
+    nonlinear analog of the reference's per-fold RandomForest fit
+    (/root/reference/code/classification/classify.py:260-323), via
+    distributed feature histograms (the XGBoost-style shape: per-batch
+    (fold, feature, value) -> (count, positives) partials, tiny driver
+    reduce; candidate thresholds are the observed values):
+
+    pass 1  root histograms; leave-one-out train hist = totals - fold
+            (same subtraction trick as fit_fold_weights); exact integer
+            accuracy argmax -> root split per fold
+    pass 2  per-(fold, root-side) histograms — each row contributes to
+            the k-1 trees whose training set contains it, routed by that
+            tree's root split (broadcast k x 2 ints) -> child splits +
+            leaf majority predictions
+    pass 3  holdout: each row routed through ITS OWN fold's tree (which
+            never saw it); per-fold agreement counts
+
+    Returns one row per fold with the fitted tree (feature ids index
+    TREE_FEATURES) and holdout agreement; empty training sides carry the
+    sentinel (feat=-1, thr=0, preds 0).  Deterministic across
+    partitionings: histograms are order-independent integer sums."""
+
+    def hist1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fold = _fold_of(df["vertex_key"], k)
+        keep = fold >= 0
+        y = (df["label"].to_numpy() == TARGET_LABEL).astype(np.int64)[keep]
+        fv = fold[keep]
+        parts = []
+        for fi, c in enumerate(TREE_FEATURES):
+            x = df[c].to_numpy(np.int64)[keep]
+            p = pd.DataFrame(
+                {"fold": fv, "feat": np.int64(fi), "val": x, "n": 1, "npos": y}
+            )
+            parts.append(
+                p.groupby(["fold", "feat", "val"], sort=False, as_index=False).sum()
+            )
+        if not parts:
+            return pd.DataFrame(
+                {"fold": [], "feat": [], "val": [], "n": [], "npos": []}
+            ).astype(np.int64)
+        return pd.concat(parts, ignore_index=True)
+
+    hist1 = (
+        features.map_batches(hist1_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["fold", "feat", "val"], sort=True, as_index=False)
+        .sum()
+    )
+    totals = hist1.groupby(["feat", "val"], sort=True, as_index=False)[
+        ["n", "npos"]
+    ].sum()
+    roots: dict[int, tuple[int, int]] = {}
+    for f in range(k):
+        own = hist1[hist1["fold"] == f]
+        train = totals.merge(
+            own[["feat", "val", "n", "npos"]],
+            on=["feat", "val"],
+            how="left",
+            suffixes=("", "_o"),
+        ).fillna(0)
+        train["n"] = (train["n"] - train["n_o"]).astype(np.int64)
+        train["npos"] = (train["npos"] - train["npos_o"]).astype(np.int64)
+        train = train[train["n"] > 0]
+        s = _tree_best_split(train)
+        assert s is not None, f"fold {f}: empty training set"
+        roots[f] = (s[0], s[1])
+
+    def hist2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fold = _fold_of(df["vertex_key"], k)
+        keep = fold >= 0
+        y = (df["label"].to_numpy() == TARGET_LABEL).astype(np.int64)[keep]
+        fv = fold[keep]
+        X = {c: df[c].to_numpy(np.int64)[keep] for c in TREE_FEATURES}
+        parts = []
+        for f in range(k):
+            m = fv != f
+            if not m.any():
+                continue
+            rfeat, rthr = roots[f]
+            side = (X[TREE_FEATURES[rfeat]][m] <= rthr).astype(np.int64)
+            for fi, c in enumerate(TREE_FEATURES):
+                p = pd.DataFrame(
+                    {
+                        "f": np.int64(f),
+                        "side": side,
+                        "feat": np.int64(fi),
+                        "val": X[c][m],
+                        "n": 1,
+                        "npos": y[m],
+                    }
+                )
+                parts.append(
+                    p.groupby(
+                        ["f", "side", "feat", "val"], sort=False, as_index=False
+                    ).sum()
+                )
+        if not parts:
+            return pd.DataFrame(
+                {"f": [], "side": [], "feat": [], "val": [], "n": [], "npos": []}
+            ).astype(np.int64)
+        return pd.concat(parts, ignore_index=True)
+
+    hist2 = (
+        features.map_batches(hist2_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["f", "side", "feat", "val"], sort=True, as_index=False)
+        .sum()
+    )
+    children: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+    for f in range(k):
+        for side in (0, 1):
+            h = hist2[(hist2["f"] == f) & (hist2["side"] == side)]
+            s = _tree_best_split(h)
+            children[(f, side)] = s if s is not None else (-1, 0, 0, 0)
+
+    trees_b = {
+        f: (roots[f], children[(f, 1)], children[(f, 0)]) for f in range(k)
+    }
+
+    def holdout_partial(df: pd.DataFrame) -> pd.DataFrame:
+        fold = _fold_of(df["vertex_key"], k)
+        keep = fold >= 0
+        y = (df["label"].to_numpy() == TARGET_LABEL).astype(np.int64)[keep]
+        fv = fold[keep]
+        X = {c: df[c].to_numpy(np.int64)[keep] for c in TREE_FEATURES}
+        pred = np.zeros(len(fv), dtype=np.int64)
+        for f in np.unique(fv):
+            m = fv == f
+            (rfeat, rthr), left, right = trees_b[int(f)]
+            side = X[TREE_FEATURES[rfeat]][m] <= rthr
+            for sval, (cfeat, cthr, p_low, p_high) in ((True, left), (False, right)):
+                sm = side == sval
+                if not sm.any():
+                    continue
+                if cfeat < 0:
+                    p = np.zeros(int(sm.sum()), dtype=np.int64)
+                else:
+                    p = np.where(
+                        X[TREE_FEATURES[cfeat]][m][sm] <= cthr, p_low, p_high
+                    ).astype(np.int64)
+                idx = np.flatnonzero(m)[sm]
+                pred[idx] = p
+        out = pd.DataFrame(
+            {
+                "fold": fv,
+                "tree_holdout_n": np.ones(len(fv), dtype=np.int64),
+                "tree_holdout_agree": (pred == y).astype(np.int64),
+            }
+        )
+        return out.groupby("fold", sort=False, as_index=False).sum()
+
+    ho = (
+        features.map_batches(holdout_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("fold", as_index=False)
+        .sum()
+    )
+    rows = []
+    for f in range(k):
+        (rfeat, rthr), (lf, lt, llp, lhp), (rf_, rt, rlp, rhp) = trees_b[f]
+        rows.append(
+            (f, rfeat, rthr, lf, lt, llp, lhp, rf_, rt, rlp, rhp)
+        )
+    res = pd.DataFrame(
+        rows,
+        columns=[
+            "fold",
+            "tree_root_feat",
+            "tree_root_thr",
+            "tree_left_feat",
+            "tree_left_thr",
+            "tree_ll_pred",
+            "tree_lh_pred",
+            "tree_right_feat",
+            "tree_right_thr",
+            "tree_rl_pred",
+            "tree_rh_pred",
+        ],
+    ).merge(ho, on="fold", how="left")
+    for c in res.columns:
+        res[c] = res[c].fillna(0).astype(np.int64)
+    return res.sort_values("fold").reset_index(drop=True)
+
+
 def feature_importance(features: ray.data.Dataset) -> pd.DataFrame:
     """Per-weight contribution aggregates of the fixed linear model over
     the feature table — the analog of the reference's feature-importance
@@ -571,16 +802,152 @@ def fit_fold_weights_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
                     THEN 1 ELSE 0 END) AS holdout_agree
     FROM fit_rows r JOIN fit_weights w USING (fold)
     GROUP BY r.fold
-)
+)"""
+        + _tree_ctes(k)
+        + """
 SELECT w.fold, CAST(w.n_train AS BIGINT) AS n_train,
        CAST(w.w0_fp AS BIGINT) AS w0_fp,
        CAST(w.w1_fp AS BIGINT) AS w1_fp,
        CAST(w.w2_fp AS BIGINT) AS w2_fp,
        CAST(coalesce(h.holdout_n, 0) AS BIGINT) AS holdout_n,
-       CAST(coalesce(h.holdout_agree, 0) AS BIGINT) AS holdout_agree
+       CAST(coalesce(h.holdout_agree, 0) AS BIGINT) AS holdout_agree,
+       t.tree_root_feat, t.tree_root_thr,
+       t.tree_left_feat, t.tree_left_thr, t.tree_ll_pred, t.tree_lh_pred,
+       t.tree_right_feat, t.tree_right_thr, t.tree_rl_pred, t.tree_rh_pred,
+       t.tree_holdout_n, t.tree_holdout_agree
 FROM fit_weights w LEFT JOIN fit_holdout h USING (fold)
+     JOIN tr_final t ON t.fold = w.fold
 ORDER BY w.fold"""
     )
+
+
+def _tree_ctes(k: int = NUM_FOLDS) -> str:
+    """Mirror of :func:`fit_fold_trees` (appended after _scored_ctes +
+    vf_final): histogram CTEs, window-function prefix sums, exact integer
+    accuracy argmax with the (correct DESC, feat, val) tie order, sentinel
+    (-1, 0, 0, 0) for empty training sides."""
+    nf = len(TREE_FEATURES)
+    xcols = ",\n           ".join(
+        f"v.{c} AS x{i}" for i, c in enumerate(TREE_FEATURES)
+    )
+
+    def case_x(pfx: str) -> str:
+        return (
+            "CASE "
+            + " ".join(f"WHEN {pfx}.feat = {i} THEN r.x{i}" for i in range(nf))
+            + " END"
+        )
+
+    h1_union = "\n    UNION ALL\n    ".join(
+        f"SELECT fold, {i} AS feat, x{i} AS val, CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(sum(y) AS BIGINT) AS npos FROM tree_rows GROUP BY 1, 3"
+        for i in range(nf)
+    )
+    h2_union = "\n    UNION ALL\n    ".join(
+        f"SELECT f, side, {i} AS feat, x{i} AS val, CAST(count(*) AS BIGINT)"
+        f" AS n, CAST(sum(y) AS BIGINT) AS npos FROM tr_rooted GROUP BY 1, 2, 4"
+        for i in range(nf)
+    )
+    correct = (
+        "(GREATEST(cp, cn - cp) + GREATEST(tp - cp, (tn - cn) - (tp - cp)))"
+    )
+    return f"""
+, tree_rows AS MATERIALIZED (
+    SELECT s.fold,
+           {xcols},
+           s.is_target AS y
+    FROM clf_scored s JOIN vf_final v USING (vertex_key)
+    WHERE s.fold >= 0
+), tr_h1 AS MATERIALIZED (
+    {h1_union}
+), tr_tot AS (
+    SELECT feat, val, sum(n) AS n, sum(npos) AS npos FROM tr_h1 GROUP BY 1, 2
+), tr_train AS (
+    SELECT f.fold, t.feat, t.val,
+           t.n - coalesce(o.n, 0) AS n,
+           t.npos - coalesce(o.npos, 0) AS npos
+    FROM (SELECT unnest(range({k})) AS fold) f
+    CROSS JOIN tr_tot t
+    LEFT JOIN tr_h1 o ON o.fold = f.fold AND o.feat = t.feat AND o.val = t.val
+), tr_sc1 AS (
+    SELECT fold, feat, val,
+           SUM(n) OVER w AS cn, SUM(npos) OVER w AS cp,
+           SUM(n) OVER wp AS tn, SUM(npos) OVER wp AS tp
+    FROM tr_train WHERE n > 0
+    WINDOW w AS (PARTITION BY fold, feat ORDER BY val
+                 ROWS UNBOUNDED PRECEDING),
+           wp AS (PARTITION BY fold, feat)
+), tr_root AS MATERIALIZED (
+    SELECT fold, feat, val AS thr FROM (
+        SELECT fold, feat, val,
+               row_number() OVER (
+                   PARTITION BY fold
+                   ORDER BY {correct} DESC, feat, val) AS rn
+        FROM tr_sc1) WHERE rn = 1
+), tr_rooted AS MATERIALIZED (
+    SELECT f.fold AS f, r.*,
+           CAST(({case_x("rt")}) <= rt.thr AS BIGINT) AS side
+    FROM tree_rows r
+    JOIN (SELECT unnest(range({k})) AS fold) f ON r.fold <> f.fold
+    JOIN tr_root rt ON rt.fold = f.fold
+), tr_h2 AS MATERIALIZED (
+    {h2_union}
+), tr_sc2 AS (
+    SELECT f, side, feat, val,
+           SUM(n) OVER w AS cn, SUM(npos) OVER w AS cp,
+           SUM(n) OVER wp AS tn, SUM(npos) OVER wp AS tp
+    FROM tr_h2
+    WINDOW w AS (PARTITION BY f, side, feat ORDER BY val
+                 ROWS UNBOUNDED PRECEDING),
+           wp AS (PARTITION BY f, side, feat)
+), tr_child AS (
+    SELECT f, side, feat, val AS thr,
+           CAST(2 * cp > cn AS BIGINT) AS p_low,
+           CAST(2 * (tp - cp) > (tn - cn) AS BIGINT) AS p_high
+    FROM (
+        SELECT f, side, feat, val, cn, cp, tn, tp,
+               row_number() OVER (
+                   PARTITION BY f, side
+                   ORDER BY {correct} DESC, feat, val) AS rn
+        FROM tr_sc2) WHERE rn = 1
+), tr_child_full AS (
+    SELECT g.fold AS f, g.side,
+           CAST(coalesce(c.feat, -1) AS BIGINT) AS feat,
+           CAST(coalesce(c.thr, 0) AS BIGINT) AS thr,
+           CAST(coalesce(c.p_low, 0) AS BIGINT) AS p_low,
+           CAST(coalesce(c.p_high, 0) AS BIGINT) AS p_high
+    FROM (SELECT f.fold, s.side
+          FROM (SELECT unnest(range({k})) AS fold) f
+          CROSS JOIN (VALUES (0), (1)) s(side)) g
+    LEFT JOIN tr_child c ON c.f = g.fold AND c.side = g.side
+), tr_holdout AS (
+    SELECT r.fold,
+           CAST(count(*) AS BIGINT) AS tree_holdout_n,
+           CAST(sum(CASE WHEN (CASE WHEN c.feat = -1 THEN 0
+                               WHEN ({case_x("c")}) <= c.thr THEN c.p_low
+                               ELSE c.p_high END) = r.y
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tree_holdout_agree
+    FROM tree_rows r
+    JOIN tr_root rt ON rt.fold = r.fold
+    JOIN tr_child_full c ON c.f = r.fold
+         AND c.side = CAST(({case_x("rt")}) <= rt.thr AS BIGINT)
+    GROUP BY 1
+), tr_final AS (
+    SELECT rt.fold,
+           CAST(rt.feat AS BIGINT) AS tree_root_feat,
+           CAST(rt.thr AS BIGINT) AS tree_root_thr,
+           l.feat AS tree_left_feat, l.thr AS tree_left_thr,
+           l.p_low AS tree_ll_pred, l.p_high AS tree_lh_pred,
+           rr.feat AS tree_right_feat, rr.thr AS tree_right_thr,
+           rr.p_low AS tree_rl_pred, rr.p_high AS tree_rh_pred,
+           CAST(coalesce(h.tree_holdout_n, 0) AS BIGINT) AS tree_holdout_n,
+           CAST(coalesce(h.tree_holdout_agree, 0) AS BIGINT)
+               AS tree_holdout_agree
+    FROM tr_root rt
+    JOIN tr_child_full l ON l.f = rt.fold AND l.side = 1
+    JOIN tr_child_full rr ON rr.f = rt.fold AND rr.side = 0
+    LEFT JOIN tr_holdout h ON h.fold = rt.fold
+)"""
 
 
 def feature_importance_sql(base_cte: str) -> str:
