@@ -1145,22 +1145,28 @@ def q_tool_usage_stats(sf_dir: str):
 
 
 def q_mutation_impact(sf_dir: str):
-    """Robustness-analysis check across FOUR mutation styles — the
+    """Robustness-analysis check across SIX mutation styles — the
     reference's mutate -> re-extract -> re-classify cycle
     (/root/reference/robustness/structure_mutation/greedy_mutation.py:162-334)
     and its content obfuscators
     (/root/reference/robustness/content_mutation/obfuscation.py:15-190),
     each made deterministic so the whole check is oracle-expressible:
 
-    - tool_rename:  rank-ordered tool renaming (round-3 style)
-    - key_suffix:   seeded consistent md5 suffix per tool key (the
-                    query-string VALUE randomizer analog)
-    - conv_rewrite: seeded conversation-id rewrite across every turn key
-                    (the domain-rename analog; vectorized, no driver map)
-    - text_digits:  fixed digit-permutation of the turn text (the numeric
-                    value randomizer analog; length-preserving)
+    - tool_rename:      rank-ordered tool renaming (round-3 style)
+    - key_suffix:       seeded consistent md5 suffix per tool key (the
+                        query-param ADD / value randomizer analog)
+    - param_strip:      the INVERSE mapping applied on top of key_suffix
+                        (query-param REMOVE analog): two real remaps +
+                        rebuilds must round-trip to the baseline scores
+    - subdomain_prefix: seeded group prefix per tool key
+                        (``tool:click`` -> ``tool:g7.click``, the
+                        subdomain-rewrite analog; bijective)
+    - conv_rewrite:     seeded conversation-id rewrite across every turn
+                        key (the domain-rename analog; vectorized)
+    - text_digits:      fixed digit-permutation of the turn text (the
+                        numeric value randomizer analog)
 
-    The three key-level styles really rebuild the graph and re-run exact
+    The key-level styles really rebuild the graph and re-run exact
     fixed-point PageRank (bijective renames => bit-identical scores, which
     the oracle asserts); text_digits really rewrites the text and reports
     the per-tool digit-value sum before/after (values DIFFER by the
@@ -1177,6 +1183,7 @@ def q_mutation_impact(sf_dir: str):
         key_suffix_mapping,
         mutate_text_digits,
         remap_vertices,
+        subdomain_prefix_mapping,
         tool_obfuscation_mapping,
     )
 
@@ -1198,17 +1205,37 @@ def q_mutation_impact(sf_dir: str):
 
     rows = []
     rename = tool_obfuscation_mapping(edges)
-    for style, mapping in (
-        ("tool_rename", rename),
-        ("key_suffix", key_suffix_mapping(edges, MUTATION_SEED)),
+    suffix_map = key_suffix_mapping(edges, MUTATION_SEED)
+    suffixed = remap_vertices(edges, suffix_map).materialize()
+    g_suffix = pr_of(suffixed)
+    for style, mapping, g_m in (
+        ("tool_rename", rename, pr_of(remap_vertices(edges, rename).materialize())),
+        ("key_suffix", suffix_map, g_suffix),
+        (
+            "subdomain_prefix",
+            subdomain_prefix_mapping(edges, MUTATION_SEED),
+            None,  # computed below to keep the tuple literal cheap
+        ),
     ):
-        g_m = pr_of(remap_vertices(edges, mapping).materialize())
+        if g_m is None:
+            g_m = pr_of(remap_vertices(edges, mapping).materialize())
         for old_key, new_key in sorted(mapping.items()):
             new_id = hash_keys(np.array([new_key], dtype=object))[0]
             rows.append(
                 (style, old_key, new_key, "pagerank_fp",
                  np.int64(g_o.loc[old_key]), np.int64(g_m.loc[new_id]))
             )
+    # param_strip: invert the suffix mapping ON the suffixed graph — a
+    # genuine remove-the-decoration pass whose scores must round-trip to
+    # the baseline at the ORIGINAL keys
+    strip_map = {v: k for k, v in suffix_map.items()}
+    g_round = pr_of(remap_vertices(suffixed, strip_map).materialize())
+    for old_key in sorted(suffix_map):
+        kid = hash_keys(np.array([old_key], dtype=object))[0]
+        rows.append(
+            ("param_strip", old_key, old_key, "pagerank_fp",
+             np.int64(g_o.loc[old_key]), np.int64(g_round.loc[kid]))
+        )
     g_m = pr_of(conv_rewrite_edges(edges, MUTATION_SEED).materialize())
     for old_key in sorted(rename):
         kid = hash_keys(np.array([old_key], dtype=object))[0]

@@ -1,6 +1,7 @@
-"""Mutation-loop analog across the four deterministic mutation styles:
-PageRank invariance under the three bijective key renames, and the
-digit-permutation text mutation really changing the digit-value sums."""
+"""Mutation-loop analog across the six deterministic mutation styles:
+PageRank invariance under the five bijective key renames (including the
+suffix-then-strip roundtrip), and the digit-permutation text mutation
+really changing the digit-value sums."""
 
 import numpy as np
 import pandas as pd
@@ -11,13 +12,15 @@ import __ray_entry__ as entrymod
 def test_mutation_styles(sf_dir):
     df = entrymod.q_mutation_impact(sf_dir)
     assert set(df["style"]) == {
-        "tool_rename", "key_suffix", "conv_rewrite", "text_digits",
+        "tool_rename", "key_suffix", "param_strip", "subdomain_prefix",
+        "conv_rewrite", "text_digits",
     }
 
     pr = df[df["metric"] == "pagerank_fp"]
     assert len(pr) > 0
     # fixed-point pagerank is bit-exact under a bijective rename — for all
-    # three key-level styles, including the vectorized conv-id rewrite
+    # five key-level styles, including the vectorized conv-id rewrite and
+    # the param_strip suffix->strip roundtrip back to baseline
     np.testing.assert_array_equal(
         pr["before_fp"].to_numpy(), pr["after_fp"].to_numpy()
     )
@@ -28,6 +31,16 @@ def test_mutation_styles(sf_dir):
     # seeded suffix: consistent, key-derived, 6 hex chars after '~'
     sfx = df.loc[df["style"] == "key_suffix", "new_key"]
     assert sfx.str.match(r"^tool:.+~[0-9a-f]{6}$").all()
+    # subdomain prefix: seeded single-hex group, original name preserved
+    sub = df[df["style"] == "subdomain_prefix"]
+    assert sub["new_key"].str.match(r"^tool:g[0-9a-f]\..+$").all()
+    assert (
+        sub["new_key"].str.replace(r"^tool:g[0-9a-f]\.", "tool:", regex=True)
+        == sub["old_key"]
+    ).all()
+    # param_strip round-trips to the original key
+    ps = df[df["style"] == "param_strip"]
+    assert len(ps) > 0 and (ps["new_key"] == ps["old_key"]).all()
 
     # the content mutation really happened: digit-value sums change
     td = df[df["style"] == "text_digits"]

@@ -601,11 +601,13 @@ WHERE TRUE{alive}"""
 
 
 def mutation_impact_sql(base_cte: str, seed: str, digit_perm: str) -> str:
-    """Full oracle for the four-style robustness check.  The three
+    """Full oracle for the six-style robustness check.  The five
     key-level styles rely on fixed-point PageRank being exactly invariant
-    under a bijective vertex rename (after == before); the obfuscated key
-    itself is recomputed in SQL (rank rename / seeded md5 suffix) so the
-    mapping machinery is verified, not just the invariance.  text_digits
+    under a bijective vertex rename (after == before; param_strip adds
+    the remove-roundtrip: suffix then strip must land back on baseline);
+    the obfuscated key itself is recomputed in SQL (rank rename / seeded
+    md5 suffix / seeded group prefix) so the mapping machinery is
+    verified, not just the invariance.  text_digits
     recomputes the per-tool digit-value sums from BOTH the original text
     and ``translate(text, '0123456789', perm)`` — the two sums differ
     deterministically, so a no-op mutation on the Ray side fails."""
@@ -638,6 +640,16 @@ FROM mi_map m JOIN pr{PR_FP_ITERS} p ON p.vertex_key = m.old
 UNION ALL
 SELECT 'key_suffix', t.old,
        t.old || '~' || substr(md5('{seed}' || t.old), 1, 6),
+       'pagerank_fp', CAST(p.val AS BIGINT), CAST(p.val AS BIGINT)
+FROM mi_tools t JOIN pr{PR_FP_ITERS} p ON p.vertex_key = t.old
+UNION ALL
+SELECT 'subdomain_prefix', t.old,
+       'tool:g' || substr(md5('{seed}' || t.old), 1, 1)
+           || '.' || substr(t.old, 6),
+       'pagerank_fp', CAST(p.val AS BIGINT), CAST(p.val AS BIGINT)
+FROM mi_tools t JOIN pr{PR_FP_ITERS} p ON p.vertex_key = t.old
+UNION ALL
+SELECT 'param_strip', t.old, t.old,
        'pagerank_fp', CAST(p.val AS BIGINT), CAST(p.val AS BIGINT)
 FROM mi_tools t JOIN pr{PR_FP_ITERS} p ON p.vertex_key = t.old
 UNION ALL

@@ -206,6 +206,39 @@ def key_suffix_mapping(
     }
 
 
+def subdomain_prefix_mapping(
+    edges: ray.data.Dataset, seed: str = MUTATION_SEED
+) -> dict[str, str]:
+    """Seeded subdomain-style rewrite: every tool key gains a
+    deterministic group prefix (``tool:click`` -> ``tool:g7.click`` with
+    ``7`` = first hex char of md5(seed+key)) — the subdomain-rewrite
+    obfuscator analog
+    (/root/reference/robustness/content_mutation/obfuscation.py:15-190).
+    The original name survives after the prefix, so the rename stays
+    bijective and exact fixed-point PageRank is invariant."""
+    import hashlib
+
+    tool_keys = sorted(
+        set(
+            edges.map_batches(
+                lambda t: t.filter(
+                    pc.starts_with(t["dst_key"], "tool:")
+                ).select(["dst_key"]),
+                batch_format="pyarrow",
+            ).unique("dst_key")
+        )
+    )
+    return {
+        k: (
+            "tool:g"
+            + hashlib.md5((seed + k).encode()).hexdigest()[:1]
+            + "."
+            + k[len("tool:") :]
+        )
+        for k in tool_keys
+    }
+
+
 def conv_rewrite_edges(
     edges: ray.data.Dataset, seed: str = MUTATION_SEED
 ) -> ray.data.Dataset:
