@@ -211,6 +211,31 @@ def run_suite() -> dict:
 
     timed("vertex_features", st_vertex_features)
 
+    # 5c. routed random walks (walk engine): adjacency partitions once,
+    # each step is one P-way exchange of (walk_id, vertex) pairs — report
+    # layout-build vs walk time so the |E|-independent step cost is
+    # visible (the round-4 scan path paid a full edge scan per step)
+    from webgraph_ray.graph.walk_engine import build_walk_layout, random_walks_engine
+
+    def st_random_walks():
+        wd = wdir("wl")
+        t0 = time.time()
+        build_walk_layout(edges, wd, num_parts)
+        extras["walk_layout_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        res = random_walks_engine(edges, wd, num_parts=num_parts)
+        extras["walk_steps_sec"] = round(time.time() - t0, 3)
+        extras["walk_rows"] = len(res)
+        # the GraphSAGE workload the scan path's driver-frontier bound
+        # disallowed: a walk from EVERY vertex (state stays sharded in
+        # the actors; the same partitioned layout is reused)
+        t0 = time.time()
+        res_all = random_walks_engine(edges, wd, seed_mod=1, num_parts=num_parts)
+        extras["walk_every_vertex_sec"] = round(time.time() - t0, 3)
+        extras["walk_every_vertex_rows"] = len(res_all)
+
+    timed("random_walks", st_random_walks)
+
     # 6. training-data ops over documents/embeddings (dedup + text + ANN)
     import ray.data as rd
 
