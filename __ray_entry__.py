@@ -602,15 +602,17 @@ ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
 def q_ann_methods(sf_dir: str):
-    """All five ANN variants in one method-tagged gate row, each top-10
+    """All six ANN variants in one method-tagged gate row, each top-10
     neighbors for the same 5 query vectors: 'brute' (exact cosine, numpy
     matmul against the broadcast query matrix), 'lsh' (hyperplane-bucket
     hive-partitioned index, block-pruned probe), 'ivf' (k-means coarse
     quantizer, nprobe nearest cluster directories only), 'pq' (product
     quantization: 8x256 exact-int64 codebooks, asymmetric-distance code
-    scan) and 'ivfpq' (the composed 100-TB index: residual PQ codes
+    scan), 'ivfpq' (the composed 100-TB index: residual PQ codes
     hive-partitioned by coarse cluster — sub-linear probe AND 64x
-    compression, stages/ivfpq.py).  Consolidates the round-3 entries
+    compression, stages/ivfpq.py) and 'ivfpq_rerank' (the same probe
+    plus the standard refine: ADC top-50 shortlist re-ranked by exact
+    scaled-int64 L2).  Consolidates the round-3 entries
     ann_topk / lsh_ann_topk / ivf_ann_topk (library stages unchanged; the
     index/probe machinery is still bench-measured separately with
     bytes-read fractions)."""
@@ -627,6 +629,12 @@ def q_ann_methods(sf_dir: str):
         ("ivf", ivf_ann_topk(embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)),
         ("pq", pq_ann_topk(embs, ANN_QUERY_IDS, k=10)),
         ("ivfpq", ivfpq_ann_topk(embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)),
+        (
+            "ivfpq_rerank",
+            ivfpq_ann_topk(
+                embs, ANN_QUERY_IDS, k=10, nlist=8, nprobe=2, rerank=50
+            ),
+        ),
     ):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         df = df[["query_id", "rank", "neighbor_id"]].copy()
@@ -1775,9 +1783,11 @@ def _pq_ann_sql_oracle() -> str:
 
 
 def _ivfpq_ann_sql_oracle() -> str:
-    from webgraph_ray.stages.ivfpq import ivfpq_ann_sql
+    from webgraph_ray.stages.ivfpq import ivfpq_both_methods_sql
 
-    return ivfpq_ann_sql(ANN_QUERY_IDS, k=10, nlist=8, nprobe=2)
+    return ivfpq_both_methods_sql(
+        ANN_QUERY_IDS, k=10, nlist=8, nprobe=2, rerank=50
+    )
 
 
 def _pack_sql() -> str:
@@ -2019,7 +2029,7 @@ def _build_training_oracles() -> dict[str, str]:
         SELECT 'pq', query_id, rank, neighbor_id
         FROM ({_pq_ann_sql_oracle()})
         UNION ALL
-        SELECT 'ivfpq', query_id, rank, neighbor_id
+        SELECT method, query_id, rank, neighbor_id
         FROM ({_ivfpq_ann_sql_oracle()})
         """,
         "doc_source_rank": """

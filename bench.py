@@ -387,6 +387,25 @@ def run_suite() -> dict:
         ivfpq_stats.get("scan_fraction", 1.0), 4
     )
     extras["ivfpq_ann_per_query_scan_fraction"] = round(4 / 32, 4)
+
+    # + the refine step: ADC top-100 shortlist re-ranked by exact L2 —
+    # recovers quantization loss at O(queries x 100) exact distances
+    ivfpq_r = timed(
+        "ivfpq_rerank",
+        lambda: ivfpq_ann_topk(
+            embs, [0, 1, 2, 3, 4], k=10, nlist=32, nprobe=4, rerank=100
+        ),
+    )
+    hits = 0
+    for q in (0, 1, 2, 3, 4):
+        qv = X[vids == q][0]
+        d2 = ((X - qv) ** 2).sum(axis=1)
+        mask = vids != q
+        order = _np.lexsort((vids[mask], d2[mask]))[:10]
+        ex = set(vids[mask][order])
+        ap = set(ivfpq_r[ivfpq_r["query_id"] == q]["neighbor_id"])
+        hits += len(ex & ap)
+    extras["ivfpq_rerank_recall_at_10_l2"] = round(hits / 50.0, 3)
     # union bytes over the 5-query batch (the actual probe I/O); a single
     # query touches nprobe/nlist of the index (0.125 here)
     extras["ivf_ann_scan_fraction"] = round(ivf_stats.get("scan_fraction", 1.0), 4)

@@ -1,0 +1,90 @@
+"""IVF-PQ composed index: probe restriction, rerank exactness,
+partitioning determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from webgraph_ray.stages.cluster import SCALE, _assign_ids, kmeans_fit
+from webgraph_ray.stages.ivfpq import ivfpq_ann_topk
+
+
+def _emb_ds(mat, nparts=1):
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(mat), dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in mat],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+def _fixture(n=80, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, 64))
+
+
+def test_ivfpq_full_rerank_equals_probed_exact():
+    """With rerank >= all candidates, the refine step must return the
+    EXACT int64-L2 top-k among vectors in the probed clusters — the PQ
+    approximation fully cancels."""
+    mat = _fixture()
+    queries = [0, 3, 7]
+    got = ivfpq_ann_topk(
+        _emb_ds(mat), queries, k=5, nlist=4, nprobe=2, rerank=10_000
+    )
+
+    # reference: same coarse assignment, exact scaled-int64 L2 in probed
+    C, _ = kmeans_fit(_emb_ds(mat), k=4, iters=3)
+    X = np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
+    assign = _assign_ids(X, C)
+    for q in queries:
+        d2c = ((X[q][None, :] - C) ** 2).sum(axis=1)
+        probe = np.argsort(d2c, kind="stable")[:2]
+        cand = np.flatnonzero(np.isin(assign, probe) & (np.arange(len(mat)) != q))
+        d2 = ((X[cand] - X[q]) ** 2).sum(axis=1, dtype=np.int64)
+        order = np.lexsort((cand, d2))[:5]
+        exp = list(cand[order])
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["neighbor_id"]) == exp, (q, list(g["neighbor_id"]), exp)
+
+
+def test_ivfpq_deterministic_across_partitionings():
+    mat = _fixture(seed=9)
+    outs = [
+        ivfpq_ann_topk(_emb_ds(mat, p), [1, 4], k=6, nlist=4, nprobe=2, rerank=20)
+        for p in (1, 5)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_ivfpq_probe_prunes_index_reads():
+    mat = _fixture(seed=13)
+    st: dict = {}
+    ivfpq_ann_topk(_emb_ds(mat), [2], k=5, nlist=8, nprobe=2, stats_out=st)
+    assert st["files_read"] < st["files_total"]
+    assert st["scan_fraction"] < 1.0
+
+
+def test_ivfpq_rerank_recall_not_worse():
+    """Exact rerank of the ADC shortlist can only improve (or match)
+    recall vs the plain ADC ranking against the exact-L2 truth."""
+    mat = _fixture(n=120, seed=21)
+    queries = [0, 1, 2]
+    plain = ivfpq_ann_topk(_emb_ds(mat), queries, k=10, nlist=4, nprobe=2)
+    rer = ivfpq_ann_topk(
+        _emb_ds(mat), queries, k=10, nlist=4, nprobe=2, rerank=40
+    )
+    X = np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
+    r_plain = r_rer = 0
+    for q in queries:
+        d2 = ((X - X[q]) ** 2).sum(axis=1, dtype=np.int64)
+        ids = np.arange(len(mat))
+        mask = ids != q
+        order = np.lexsort((ids[mask], d2[mask]))[:10]
+        truth = set(ids[mask][order])
+        r_plain += len(truth & set(plain[plain["query_id"] == q]["neighbor_id"]))
+        r_rer += len(truth & set(rer[rer["query_id"] == q]["neighbor_id"]))
+    assert r_rer >= r_plain

@@ -90,6 +90,7 @@ def ivfpq_ann_topk(
     dim: int = EMB_DIM,
     index_dir: str | None = None,
     stats_out: dict | None = None,
+    rerank: int = 0,
 ) -> pd.DataFrame:
     """(query_id, rank, neighbor_id): approximate-L2 top-k by ADC distance
     over residual PQ codes, restricted to each query's ``nprobe`` nearest
@@ -100,7 +101,14 @@ def ivfpq_ann_topk(
     by coarse cluster — a probe reads nprobe/nlist of the FILES and scans
     only codes, never raw vectors; per-(query, probed-cluster) LUTs
     (m x ksub ints each) broadcast once.  ``stats_out`` reports true
-    bytes/files read vs the whole index."""
+    bytes/files read vs the whole index.
+
+    ``rerank`` > 0 adds the standard refine step: the ADC scan shortlists
+    ``rerank`` candidates per query, whose RAW vectors are fetched (here
+    one pruned ``is_in`` pass over the base table; at scale a point read
+    from the vec_id-sorted base layout) and re-ranked by exact int64
+    squared distance — recovers most of the quantization loss while the
+    scan stays codes-only and the exact work is O(queries x rerank)."""
     C, _ = kmeans_fit(embeddings, k=nlist, iters=km_iters)
     res = _residuals(embeddings, C).materialize()
     CB = pq_fit(res, m=m, k=ksub, iters=pq_iters, dim=dim, col="r", prescaled=True)
@@ -269,6 +277,38 @@ def ivfpq_ann_topk(
         parts = parts.sort_values(
             ["query_id", "d2", "neighbor_id"], kind="mergesort"
         )
+        if rerank > 0:
+            short = parts.groupby("query_id", sort=True).head(rerank)
+            need = np.unique(
+                np.concatenate(
+                    [short["neighbor_id"].to_numpy(np.int64), np.asarray(q_ids)]
+                )
+            )
+            fetch = (
+                embeddings.map_batches(
+                    lambda t: t.filter(
+                        pa.compute.is_in(
+                            t["vec_id"], value_set=pa.array(need, pa.int64())
+                        )
+                    ),
+                    batch_format="pyarrow",
+                )
+                .to_pandas()
+                .sort_values("vec_id")
+            )
+            V = np.floor(
+                np.stack(fetch["embedding"].to_numpy()).astype(np.float64)
+                * SCALE
+            ).astype(np.int64)
+            pos = {int(v): i for i, v in enumerate(fetch["vec_id"].to_numpy())}
+            qv = short["query_id"].to_numpy(np.int64)
+            nv = short["neighbor_id"].to_numpy(np.int64)
+            diff = V[[pos[int(q)] for q in qv]] - V[[pos[int(n)] for n in nv]]
+            exact = (diff * diff).sum(axis=1, dtype=np.int64)
+            parts = (
+                short.assign(d2=exact)
+                .sort_values(["query_id", "d2", "neighbor_id"], kind="mergesort")
+            )
         top = parts.groupby("query_id", sort=True).head(k).copy()
         top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
         return (
@@ -298,10 +338,12 @@ def ivfpq_ann_sql(
     ksub: int = PQ_K,
     pq_iters: int = PQ_ITERS,
     dim: int = EMB_DIM,
+    rerank: int = 0,
 ) -> str:
     """Bit-exact mirror: coarse k-means CTEs -> residual table (aliased
     ``pq_scaled`` so the shared per-subspace Lloyd CTEs apply unchanged)
-    -> per-(query, probed-cluster, subspace) LUT -> ADC group-by."""
+    -> per-(query, probed-cluster, subspace) LUT -> ADC group-by; with
+    ``rerank`` the ADC shortlist re-ranks by exact scaled-int64 L2."""
     sub = dim // m
     km_cte, asg = _kmeans_ctes(nlist, km_iters, dim)
     ids = "(" + ", ".join(str(int(q)) for q in query_ids) + ")"
@@ -373,15 +415,89 @@ def ivfpq_ann_sql(
     GROUP BY 1, 2
 )"""
     )
-    return (
-        km_cte
-        + ",\n"
-        + ",\n".join(ctes)
-        + f"""
+    if rerank <= 0:
+        return (
+            km_cte
+            + ",\n"
+            + ",\n".join(ctes)
+            + f"""
 SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
     SELECT query_id, neighbor_id,
            row_number() OVER (
                PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
     FROM ipq_adc WHERE neighbor_id <> query_id)
+WHERE rank <= {k}"""
+        )
+    return (
+        km_cte
+        + ",\n"
+        + ",\n".join(ctes)
+        + _rerank_tail(k, rerank)
+        + f"""
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY d2e, neighbor_id) AS rank
+    FROM ipq_exact)
+WHERE rank <= {k}"""
+    )
+
+
+def _rerank_tail(k: int, rerank: int) -> str:
+    """Shared shortlist + exact-rerank CTEs appended after ipq_adc."""
+    return f""",
+ipq_ranked AS MATERIALIZED (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM ipq_adc WHERE neighbor_id <> query_id
+),
+ipq_exact AS (
+    SELECT s.query_id, s.neighbor_id,
+           list_sum(list_transform(list_zip(q.e, n.e),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2e
+    FROM (SELECT query_id, neighbor_id FROM ipq_ranked
+          WHERE rn <= {rerank}) s
+    JOIN scaled q ON q.vec_id = s.query_id
+    JOIN scaled n ON n.vec_id = s.neighbor_id
+)"""
+
+
+def ivfpq_both_methods_sql(
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    km_iters: int = 3,
+    m: int = PQ_M,
+    ksub: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    dim: int = EMB_DIM,
+    rerank: int = 50,
+) -> str:
+    """(method, query_id, rank, neighbor_id) for method in
+    ('ivfpq', 'ivfpq_rerank') from ONE shared CTE chain — the
+    coarse-kmeans + residual-codebook CTEs are the expensive part of the
+    mirror and must not run once per method row."""
+    plain = ivfpq_ann_sql(
+        query_ids, k=k, nlist=nlist, nprobe=nprobe, km_iters=km_iters,
+        m=m, ksub=ksub, pq_iters=pq_iters, dim=dim, rerank=0,
+    )
+    # split off the final SELECT so both method rows share the WITH chain
+    marker = "\nSELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM ("
+    chain = plain[: plain.index(marker)]
+    return (
+        chain
+        + _rerank_tail(k, rerank)
+        + f"""
+SELECT 'ivfpq' AS method, query_id,
+       CAST(rn AS BIGINT) AS rank, neighbor_id
+FROM ipq_ranked WHERE rn <= {k}
+UNION ALL
+SELECT 'ivfpq_rerank', query_id, CAST(rank AS BIGINT), neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY d2e, neighbor_id) AS rank
+    FROM ipq_exact)
 WHERE rank <= {k}"""
     )
