@@ -166,3 +166,29 @@ def test_random_walks_vs_duckdb_oracle():
 
     pd.testing.assert_frame_equal(norm(got), norm(exp), check_dtype=False)
     assert got["walk_id"].nunique() > 0
+
+
+def test_walk_engine_sharded_output(tmp_path):
+    """output_dir: each actor writes its own parquet shard, the returned
+    Dataset matches the driver-collected result row for row."""
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+
+    pairs = [("w0", "a"), ("a", "b"), ("c", "a"), ("b", "c")]
+    collected = random_walks_engine(
+        _edges_ds(pairs), str(tmp_path / "l1"), length=3, seed_mod=1,
+        num_parts=2,
+    )
+    ds = random_walks_engine(
+        _edges_ds(pairs), str(tmp_path / "l2"), length=3, seed_mod=1,
+        num_parts=2, output_dir=str(tmp_path / "out"),
+    )
+    got = (
+        ds.to_pandas()
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, collected, check_dtype=False)
+    import os
+
+    shards = [f for f in os.listdir(tmp_path / "out") if f.endswith(".parquet")]
+    assert len(shards) == 2  # one per partition actor

@@ -263,6 +263,19 @@ class WalkPartition:
             return out[0]
         return out
 
+    def save_result(self, out_dir: str) -> int:
+        """Write this partition's rows as its own parquet file — the
+        scale sink for every-vertex walks (output stays sharded; a failed
+        run re-writes only missing partitions).  Returns the row count."""
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        t = self.result()
+        pq.write_table(
+            t, os.path.join(out_dir, f"part-{self.part_id:05d}.parquet")
+        )
+        return t.num_rows
+
     def result(self) -> pa.Table:
         """All (walk_id, step, vertex_key) rows this partition emitted."""
         if not self.rows:
@@ -296,13 +309,19 @@ def random_walks_engine(
     length: int = WALK_LEN,
     seed_mod: int = WALK_SEED_MOD,
     num_parts: int | None = None,
-) -> pd.DataFrame:
+    output_dir: str | None = None,
+) -> pd.DataFrame | ray.data.Dataset:
     """Same contract and byte-identical output as
     `stages.walks.random_walks` (the DuckDB mirror
     `stages.walks.random_walks_sql` applies unchanged), computed by the
     routed-actor exchange: adjacency partitions once, each step ships only
     (walk_id, vertex) pairs between actors.  ``work_dir`` holds the
-    partitioned layout (reusable across calls, like engine layouts)."""
+    partitioned layout (reusable across calls, like engine layouts).
+
+    With ``output_dir`` the result NEVER lands on the driver: each actor
+    writes its own parquet shard and a ``ray.data.Dataset`` over the
+    directory is returned — the required shape for every-vertex walks
+    (seed_mod=1), whose output is O(V * length) rows."""
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
@@ -324,6 +343,9 @@ def random_walks_engine(
                         list(a.step.options(num_returns=P).remote(t, *inc))
                     )
             outs = new_outs
+        if output_dir is not None:
+            ray.get([a.save_result.remote(output_dir) for a in actors])
+            return ray.data.read_parquet(output_dir)
         tables = ray.get([a.result.remote() for a in actors])
         res = pa.concat_tables(tables).to_pandas()
         return res.sort_values(
