@@ -208,8 +208,26 @@ def run_suite() -> dict:
             tri=tri_pv,
         )
         extras["vertex_feature_rows"] = vf.count()
+        return vf
 
-    timed("vertex_features", st_vertex_features)
+    vf = timed("vertex_features", st_vertex_features)
+
+    # 5b'. model fit over the feature table: closed-form per-fold least
+    # squares (integer Gram partials) + the depth-2 histogram decision
+    # tree (leave-one-fold-out, exact integer split gains) — the
+    # distributed train->evaluate cycle end to end
+    from webgraph_ray.pipelines.classify import fit_fold_trees, fit_fold_weights
+
+    def st_model_fit():
+        fit_fold_weights(vf)
+        trees = fit_fold_trees(vf)
+        extras["tree_holdout_agree_frac"] = round(
+            float(trees["tree_holdout_agree"].sum())
+            / max(int(trees["tree_holdout_n"].sum()), 1),
+            4,
+        )
+
+    timed("model_fit", st_model_fit)
 
     # 5c. routed random walks (walk engine): adjacency partitions once,
     # each step is one P-way exchange of (walk_id, vertex) pairs — report
