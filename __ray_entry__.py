@@ -458,20 +458,30 @@ def q_quality_filter(sf_dir: str):
 
 
 def q_random_walks(sf_dir: str):
-    """Deterministic seeded random walks (GraphSAGE-style neighborhood
-    sampling with the RNG replaced by the shared string hash), computed by
-    the routed-actor walk engine: the adjacency partitions ONCE
-    (hive-partitioned by src-owner), per-partition CSR actors advance the
-    walkers, and each step ships only (walk_id, vertex) pairs between
-    actors — per-step cost is O(frontier), independent of |E| (the
-    round-4 scan path rescanned the full edge table once per step; a
-    pytest pins the two paths byte-identical)."""
+    """Deterministic seeded random walks in one method-tagged gate row,
+    both computed by the routed-actor walk engine over ONE shared
+    partitioned layout: 'simple' (first-order hash-argmin — the
+    GraphSAGE-style neighborhood sampler) and 'nobacktrack' (the
+    second-order node2vec-family variant: the immediate predecessor is
+    excluded unless it is the sole out-neighbor, i.e. candidates rank
+    (is-prev, h, dst)).  The adjacency partitions ONCE (hive-partitioned
+    by src-owner), per-partition CSR actors advance the walkers, and
+    each step ships only (walk_id, vertex, prev) tuples between actors —
+    per-step cost is O(frontier), independent of |E| (the round-4 scan
+    path rescanned the full edge table once per step; pytests pin engine
+    == scan path for both variants)."""
     import tempfile
 
     from webgraph_ray.graph.walk_engine import random_walks_engine
 
+    edges = _edges(sf_dir)
+    parts = []
     with tempfile.TemporaryDirectory(prefix="walk_layout_") as wd:
-        return random_walks_engine(_edges(sf_dir), wd)
+        for method, nb in (("simple", False), ("nobacktrack", True)):
+            df = random_walks_engine(edges, wd, no_backtrack=nb)
+            df.insert(0, "method", method)
+            parts.append(df)
+    return pd.concat(parts, ignore_index=True)
 
 
 def q_order_revenue(sf_dir: str):
@@ -1975,7 +1985,13 @@ def _build_training_oracles() -> dict[str, str]:
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),
-        "random_walks": _rw.random_walks_sql(_CTE_MAT),
+        "random_walks": f"""
+        SELECT 'simple' AS method, walk_id, step, vertex_key
+        FROM ({_rw.random_walks_sql(_CTE_MAT)})
+        UNION ALL
+        SELECT 'nobacktrack', walk_id, step, vertex_key
+        FROM ({_rw.random_walks_sql(_CTE_MAT, prefix="rwnb", no_backtrack=True)})
+        """,
         "exact_dedup": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS canonical_doc_id,

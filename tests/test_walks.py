@@ -192,3 +192,85 @@ def test_walk_engine_sharded_output(tmp_path):
 
     shards = [f for f in os.listdir(tmp_path / "out") if f.endswith(".parquet")]
     assert len(shards) == 2  # one per partition actor
+
+
+def brute_walks_nb(pairs, length, seed_mod):
+    """Non-backtracking reference: rank candidates (is-prev, h, dst);
+    the predecessor is chosen only when it is the sole out-neighbor."""
+    adj = {}
+    verts = set()
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    seeds = sorted(v for v in verts if _th1(v) % seed_mod == 0)
+    rows = [(w, 0, w) for w in seeds]
+    cur = {w: (w, None) for w in seeds}
+    for t in range(1, length + 1):
+        nxt = {}
+        for w, (v, p) in cur.items():
+            outs = adj.get(v)
+            if not outs:
+                continue
+            nxt[w] = (
+                min(
+                    outs,
+                    key=lambda d: (
+                        d == p,
+                        (_th1(d) * WALK_MULT_DST + t * WALK_MULT_STEP + _th1(v)) % M,
+                        d,
+                    ),
+                ),
+                v,
+            )
+        cur = nxt
+        rows += [(w, t, v) for w, (v, _) in sorted(cur.items())]
+    return (
+        pd.DataFrame(rows, columns=["walk_id", "step", "vertex_key"])
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def test_no_backtrack_walks_scan_engine_brute(tmp_path):
+    """nb variant: scan path == engine path == brute force; and on a
+    two-cycle with an escape, the nb walk escapes where the simple walk
+    may bounce."""
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+
+    rng = np.random.default_rng(31)
+    verts = [f"m{i:03d}" for i in range(100)]
+    pairs = list(
+        {
+            (verts[rng.integers(100)], verts[rng.integers(100)])
+            for _ in range(350)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    exp = brute_walks_nb(pairs, length=4, seed_mod=5)
+    assert exp["walk_id"].nunique() > 2
+    got_scan = random_walks(
+        _edges_ds(pairs).repartition(3), length=4, seed_mod=5,
+        no_backtrack=True,
+    )
+    pd.testing.assert_frame_equal(
+        got_scan.reset_index(drop=True), exp, check_dtype=False
+    )
+    got_eng = random_walks_engine(
+        _edges_ds(pairs), str(tmp_path / "nb"), length=4, seed_mod=5,
+        num_parts=4, no_backtrack=True,
+    )
+    pd.testing.assert_frame_equal(
+        got_eng.reset_index(drop=True), exp, check_dtype=False
+    )
+
+    # pure 2-cycle a<->b with escape b->c: nb must go a->b->c (not bounce
+    # back), and at a sole-neighbor dead-end pair x<->y it takes prev
+    pairs2 = [("w0", "b"), ("b", "w0"), ("b", "c")]
+    nb = random_walks(_edges_ds(pairs2), length=3, seed_mod=1, no_backtrack=True)
+    g = nb[nb["walk_id"] == "w0"]
+    assert list(g["vertex_key"])[:3] == ["w0", "b", "c"]
+    # sole out-neighbor == prev: walk returns (x<->y forever)
+    pairs3 = [("w0", "y"), ("y", "w0")]
+    nb3 = random_walks(_edges_ds(pairs3), length=3, seed_mod=1, no_backtrack=True)
+    g3 = nb3[nb3["walk_id"] == "w0"]
+    assert list(g3["vertex_key"]) == ["w0", "y", "w0", "y"]

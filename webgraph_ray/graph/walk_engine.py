@@ -177,28 +177,53 @@ class WalkPartition:
         self._empty = np.empty(0, dtype=object)
         self.act_wid = self._empty
         self.act_cur = self._empty
+        self.act_prev = self._empty
+        self.no_backtrack = False
         self.rows: list[tuple[np.ndarray, int, np.ndarray]] = []
 
-    def init_walks(self, seed_mod: int) -> int:
+    def init_walks(self, seed_mod: int, no_backtrack: bool = False) -> int:
         """Seed walkers at owned vertices with tokhash % seed_mod == 0 and
         emit their step-0 rows.  Returns the local seed count."""
+        self.no_backtrack = bool(no_backtrack)
         m = (self.th_verts % seed_mod) == 0 if len(self.verts) else np.zeros(0, bool)
         seeds = self.verts[m]
         self.act_wid = seeds.copy()
         self.act_cur = seeds.copy()
+        self.act_prev = np.full(len(seeds), None, dtype=object)
         self.rows = [(seeds, 0, seeds)] if len(seeds) else []
         return int(len(seeds))
 
-    def _advance(self, wid: np.ndarray, cur: np.ndarray, t: int):
+    def _advance(self, wid: np.ndarray, cur: np.ndarray, prev: np.ndarray, t: int):
         """Vectorized hash-argmin step for walkers at owned vertices.
-        Returns (next wid, next vertex) for the survivors."""
+        Returns (next wid, next vertex, vertex-left) for the survivors.
+        In no_backtrack mode candidates rank (is-predecessor, h, dst) —
+        the predecessor is taken only when it is the sole out-neighbor."""
         if len(wid) == 0:
-            return self._empty, self._empty
-        ucur, inv = np.unique(cur, return_inverse=True)
+            return self._empty, self._empty, self._empty
+        if self.no_backtrack:
+            # the choice depends on (cur, prev): group by the pair.
+            # prev None (step 0) encodes as '' — vertex keys are
+            # non-empty, so '' never matches a neighbor
+            pair_codes, upairs = pd.factorize(
+                pd.Series(
+                    [
+                        f"{c}\x1f{p if p is not None else ''}"
+                        for c, p in zip(cur, prev)
+                    ],
+                    dtype=object,
+                ),
+                sort=True,
+            )
+            ucur = np.array([s.split("\x1f", 1)[0] for s in upairs], dtype=object)
+            uprev = np.array([s.split("\x1f", 1)[1] for s in upairs], dtype=object)
+            inv = pair_codes
+        else:
+            ucur, inv = np.unique(cur, return_inverse=True)
+            uprev = None
         pos = np.searchsorted(self.usrc, ucur)
         found = (pos < len(self.usrc))
         found[found] &= self.usrc[pos[found]] == ucur[found]
-        # next vertex per unique frontier vertex (object; None = dead end)
+        # next vertex per unique frontier state (object; None = dead end)
         nxt_u = np.full(len(ucur), None, dtype=object)
         fpos = pos[found]
         if len(fpos):
@@ -217,6 +242,11 @@ class WalkPartition:
                 + t * WALK_MULT_STEP
                 + np.repeat(self.th_usrc[fpos], lens)
             ) % M
+            if self.no_backtrack:
+                # rank key = is_prev * (M+1) + h (exact: h < M < 2^31)
+                prev_rep = np.repeat(uprev[found], lens)
+                is_prev = self.dst[idx] == prev_rep
+                h = h + is_prev.astype(np.int64) * (M + 1)
             minh = np.minimum.reduceat(h, offs)
             # first index achieving the min: neighbors are dst_key-sorted,
             # so first achiever == smallest qualifying dst_key
@@ -227,38 +257,41 @@ class WalkPartition:
             nxt_u[found] = self.dst[idx[first]]
         nxt = nxt_u[inv]
         alive = np.array([v is not None for v in nxt], dtype=bool)
-        return wid[alive], nxt[alive].astype(object)
+        return wid[alive], nxt[alive].astype(object), cur[alive]
 
     def step(self, t: int, *incoming):
         """Advance resident + incoming walkers one step; emit step-t rows;
-        return P outgoing (wid, cur) slices routed by owner(next).  The
-        self slice stays resident and its return slot is empty."""
+        return P outgoing (wid, cur, prev) slices routed by owner(next).
+        The self slice stays resident and its return slot is empty."""
         wids = [self.act_wid]
         curs = [self.act_cur]
+        prevs = [self.act_prev]
         for inc in incoming:
             if inc is None:
                 continue
-            w, c = inc
+            w, c, p = inc
             if len(w):
                 wids.append(np.asarray(w, dtype=object))
                 curs.append(np.asarray(c, dtype=object))
+                prevs.append(np.asarray(p, dtype=object))
         wid = np.concatenate(wids) if len(wids) > 1 else wids[0]
         cur = np.concatenate(curs) if len(curs) > 1 else curs[0]
+        prev = np.concatenate(prevs) if len(prevs) > 1 else prevs[0]
 
-        nwid, ncur = self._advance(wid, cur, t)
+        nwid, ncur, nprev = self._advance(wid, cur, prev, t)
         if len(nwid):
             self.rows.append((nwid, int(t), ncur))
         owner = (_th(ncur) % self.P) if len(ncur) else np.empty(0, np.int64)
         out = []
         for q in range(self.P):
+            m = owner == q
             if q == self.part_id:
-                m = owner == q
                 self.act_wid = nwid[m]
                 self.act_cur = ncur[m]
-                out.append((self._empty, self._empty))
+                self.act_prev = nprev[m]
+                out.append((self._empty, self._empty, self._empty))
             else:
-                m = owner == q
-                out.append((nwid[m], ncur[m]))
+                out.append((nwid[m], ncur[m], nprev[m]))
         if self.P == 1:
             return out[0]
         return out
@@ -310,6 +343,7 @@ def random_walks_engine(
     seed_mod: int = WALK_SEED_MOD,
     num_parts: int | None = None,
     output_dir: str | None = None,
+    no_backtrack: bool = False,
 ) -> pd.DataFrame | ray.data.Dataset:
     """Same contract and byte-identical output as
     `stages.walks.random_walks` (the DuckDB mirror
@@ -329,7 +363,7 @@ def random_walks_engine(
         build_walk_layout(edges, work_dir, P)
     actors = [WalkPartition.remote(work_dir, q, P) for q in range(P)]
     try:
-        ray.get([a.init_walks.remote(seed_mod) for a in actors])
+        ray.get([a.init_walks.remote(seed_mod, no_backtrack) for a in actors])
         # outs[p][q]: (wid, cur) slice from p to q after the latest step
         outs: list[list] = [[None] * P for _ in range(P)]
         for t in range(1, length + 1):

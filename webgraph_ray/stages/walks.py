@@ -73,11 +73,18 @@ def random_walks(
     length: int = WALK_LEN,
     seed_mod: int = WALK_SEED_MOD,
     max_frontier: int = WALK_MAX_FRONTIER,
+    no_backtrack: bool = False,
 ) -> pd.DataFrame:
     """(walk_id = seed vertex_key, step, vertex_key) rows for steps
     0..length; a walk stops early at a vertex with no out-edges.  Every
     choice is the hash-argmin rule above — byte-deterministic under any
-    partitioning, mirrored exactly by random_walks_sql()."""
+    partitioning, mirrored exactly by random_walks_sql().
+
+    ``no_backtrack=True`` selects the second-order variant (the
+    node2vec-family sampling rule with the return bias pushed to its
+    deterministic limit): the immediate predecessor is excluded from the
+    candidate set unless it is the ONLY out-neighbor — equivalently, rank
+    candidates by (is-previous-vertex, h, dst_key) and take the minimum."""
     from ray.data.dataset import MaterializedDataset
 
     if not isinstance(edges, MaterializedDataset):
@@ -97,12 +104,15 @@ def random_walks(
             {"walk_id": seeds, "step": np.int64(0), "vertex_key": seeds}
         )
     ]
-    cur = dict(zip(seeds, seeds))  # walk_id -> current vertex
+    # walk_id -> (cur, prev); prev None at step 0 (nothing to exclude)
+    cur = {w: (w, None) for w in seeds}
 
     for t in range(1, length + 1):
-        frontier = sorted(set(cur.values()))
-        if not frontier:
+        # distinct (cur, prev) states — the choice depends on both
+        pairs = sorted({(c, p) for c, p in cur.values()})
+        if not pairs:
             break
+        frontier = sorted({c for c, _ in pairs})
         fref = ray.put(pa.array(frontier, pa.string()))
 
         def step_partial(tab: pa.Table, _t=t) -> pa.Table:
@@ -125,6 +135,12 @@ def random_walks(
                 _th(dst) * WALK_MULT_DST + _t * WALK_MULT_STEP + _th(src)
             ) % M
             df = pd.DataFrame({"src_key": src, "dst_key": dst, "h": h})
+            if no_backtrack:
+                # keep ALL candidate edges of frontier vertices: the
+                # per-(cur, prev) ranking happens on the driver (the
+                # frontier's total out-degree is the partial size)
+                df = df.drop_duplicates(["src_key", "dst_key"])
+                return pa.Table.from_pandas(df, preserve_index=False)
             # per-batch partial argmin per src: (h, dst_key) lexicographic
             df = df.sort_values(["src_key", "h", "dst_key"], kind="mergesort")
             df = df.drop_duplicates("src_key", keep="first")
@@ -134,14 +150,33 @@ def random_walks(
             narrow.map_batches(step_partial, batch_format="pyarrow")
             .to_pandas()
         )
+        nxt: dict = {}
         if len(parts):
-            parts = parts.sort_values(
-                ["src_key", "h", "dst_key"], kind="mergesort"
-            ).drop_duplicates("src_key", keep="first")
-            nxt = dict(zip(parts["src_key"], parts["dst_key"]))
-        else:
-            nxt = {}
-        cur = {w: nxt[v] for w, v in cur.items() if v in nxt}
+            if no_backtrack:
+                parts = parts.drop_duplicates(["src_key", "dst_key"])
+                by_src = dict(tuple(parts.groupby("src_key", sort=False)))
+                for c, p in pairs:
+                    g = by_src.get(c)
+                    if g is None:
+                        continue
+                    bt = (g["dst_key"] == p).to_numpy() if p is not None else (
+                        np.zeros(len(g), dtype=bool)
+                    )
+                    order = np.lexsort(
+                        (g["dst_key"].to_numpy(), g["h"].to_numpy(), bt)
+                    )
+                    nxt[(c, p)] = g["dst_key"].to_numpy()[order[0]]
+            else:
+                parts = parts.sort_values(
+                    ["src_key", "h", "dst_key"], kind="mergesort"
+                ).drop_duplicates("src_key", keep="first")
+                firsts = dict(zip(parts["src_key"], parts["dst_key"]))
+                nxt = {(c, p): firsts[c] for c, p in pairs if c in firsts}
+        cur = {
+            w: (nxt[(c, p)], c)
+            for w, (c, p) in cur.items()
+            if (c, p) in nxt
+        }
         if not cur:
             break
         out.append(
@@ -149,7 +184,7 @@ def random_walks(
                 {
                     "walk_id": list(cur.keys()),
                     "step": np.int64(t),
-                    "vertex_key": list(cur.values()),
+                    "vertex_key": [c for c, _ in cur.values()],
                 }
             )
         )
@@ -164,8 +199,13 @@ def random_walks_sql(
     length: int = WALK_LEN,
     seed_mod: int = WALK_SEED_MOD,
     prefix: str = "rw",
+    no_backtrack: bool = False,
 ) -> str:
-    """DuckDB mirror: unrolled per-step argmin CTEs over the same hash."""
+    """DuckDB mirror: unrolled per-step argmin CTEs over the same hash.
+    ``no_backtrack`` carries the previous vertex through the CTE chain
+    and ranks candidates (is-prev, h, dst_key) — identical to the Ray
+    rule: prefer any non-predecessor; fall back to the predecessor only
+    when it is the sole out-neighbor."""
     from webgraph_ray.functions.texthash import sql_token_hash_expr
 
     x = prefix
@@ -185,18 +225,25 @@ def random_walks_sql(
     SELECT vertex_key FROM {x}_verts v
     WHERE {th_v} % {seed_mod} = 0
 ), {x}_w0 AS (
-    SELECT vertex_key AS walk_id, vertex_key AS cur FROM {x}_seeds
+    SELECT vertex_key AS walk_id, vertex_key AS cur,
+           CAST(NULL AS VARCHAR) AS prev
+    FROM {x}_seeds
 )"""
     ]
+    bt = (
+        "CASE WHEN e.dst_key = w.prev THEN 1 ELSE 0 END,\n                            "
+        if no_backtrack
+        else ""
+    )
     for t in range(1, length + 1):
         parts.append(
             f"""
 , {x}_w{t} AS (
-    SELECT walk_id, dst_key AS cur FROM (
-        SELECT w.walk_id, e.dst_key,
+    SELECT walk_id, dst_key AS cur, cur_was AS prev FROM (
+        SELECT w.walk_id, e.dst_key, w.cur AS cur_was,
                row_number() OVER (
                    PARTITION BY w.walk_id
-                   ORDER BY ({th_dst} * {WALK_MULT_DST}
+                   ORDER BY {bt}({th_dst} * {WALK_MULT_DST}
                              + {t} * {WALK_MULT_STEP} + {th_src}) % {M},
                             e.dst_key
                ) AS rn
