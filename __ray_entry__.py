@@ -568,10 +568,17 @@ def q_near_dup_pairs(sf_dir: str):
     pairs -> exact-Jaccard verify), the exact n-gram-Jaccard path
     (inverted-index merge), both at the same threshold, plus the
     embedding-cosine near-dup path over the embeddings table (size-gated
-    broadcast matmul / hyperplane-LSH buckets).  Replaces the three
-    round-3 entries minhash_dup_pairs / jaccard_dup_pairs /
-    cosine_dup_pairs."""
-    from webgraph_ray.stages.dedup import jaccard_dup_pairs, minhash_lsh_dedup
+    broadcast matmul / hyperplane-LSH buckets), plus the SPAN-level
+    criterion of Lee et al. 2022 ('substring': two docs share a verbatim
+    run of 6 whitespace tokens — catches shared boilerplate between
+    documents whose whole-document similarity is below every threshold).
+    Replaces the three round-3 entries minhash_dup_pairs /
+    jaccard_dup_pairs / cosine_dup_pairs."""
+    from webgraph_ray.stages.dedup import (
+        jaccard_dup_pairs,
+        minhash_lsh_dedup,
+        substring_dup_pairs,
+    )
     from webgraph_ray.stages.embed import cosine_dup_pairs
 
     def tag(method: str):
@@ -605,7 +612,12 @@ def q_near_dup_pairs(sf_dir: str):
     cs = cosine_dup_pairs(_embs(sf_dir), threshold=0.4).map_batches(
         cos_tag, batch_format="pyarrow"
     )
-    return mh.union(jc).union(cs)
+    ss = (
+        substring_dup_pairs(_docs(sf_dir), window=SUBSTRING_WINDOW)
+        .select_columns(["doc_a", "doc_b"])
+        .map_batches(tag("substring"), batch_format="pyarrow")
+    )
+    return mh.union(jc).union(cs).union(ss)
 
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1704,6 +1716,10 @@ def _lang_scores_sql() -> str:
 
 
 MINHASH_THRESHOLD = 0.5
+# span-dedup window (tokens): 6 separates the planted near-dup spans from
+# coincidental fixture n-grams (W=4 matches 400+ coincidences, W=6 the ~25
+# real shared runs); Lee et al. use 50 BPE tokens at corpus scale
+SUBSTRING_WINDOW = 6
 
 
 def _classify_sql(which: str) -> str:
@@ -1816,6 +1832,7 @@ def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
     from webgraph_ray.graph import kcore as _kc
     from webgraph_ray.stages import cluster as _cl
+    from webgraph_ray.stages import dedup as _dd
     from webgraph_ray.stages import sketch as _sk
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
 
@@ -1965,6 +1982,9 @@ def _build_training_oracles() -> dict[str, str]:
         SELECT 'cosine' AS method, a.vec_id AS doc_a, b.vec_id AS doc_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        UNION ALL
+        SELECT 'substring' AS method, doc_a, doc_b
+        FROM ({_dd.substring_pairs_sql(SUBSTRING_WINDOW)})
         """,
         "kmeans_clusters": _cl.kmeans_sql(k=8, iters=3),
         "semdedup": _cl.semdedup_sql(k=8, iters=3, threshold=0.4),

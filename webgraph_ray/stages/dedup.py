@@ -357,6 +357,146 @@ def jaccard_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": verbatim-repeated token runs are
+# the dedup unit, not whole-document similarity)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_pairs(
+    docs: ray.data.Dataset,
+    window: int = 8,
+    num_buckets: int | None = None,
+    max_gram_docs: int = 256,
+) -> ray.data.Dataset:
+    """Exact duplicate-substring pairs: (doc_a < doc_b) iff the two docs
+    share at least one verbatim run of ``window`` consecutive whitespace
+    tokens.  This is the span-level dedup criterion of Lee et al. 2022 —
+    it catches shared boilerplate paragraphs between documents whose
+    OVERALL similarity is far below any Jaccard/MinHash threshold, the
+    case whole-document methods structurally miss.  (Lee et al. use 50
+    BPE tokens at corpus scale; ``window`` is the same knob.)
+
+    Scale shape: token windows are built per batch entirely in Arrow C
+    (one ``utf8_split_whitespace`` explode + ``window`` shifted takes +
+    ``binary_join_element_wise``), each batch pre-distincts its own
+    (gram, doc) pairs with an Arrow hash group-by (map-side combine),
+    the ONE shuffle moves ``num_buckets`` SipHash-bucket groups (the
+    house bucket pattern — the gram STRING stays the exact group key
+    inside a bucket, so bucketing never changes semantics), a per-bucket
+    C-path self-merge enumerates co-occurring doc pairs, and one
+    ``bucket_distinct`` collapses pairs discovered via different grams.
+    Hot grams (boilerplate shared by > ``max_gram_docs`` docs) fail
+    LOUDLY: pair output is inherently quadratic in a gram's doc count,
+    so past the gate the caller must either raise ``window`` or switch
+    to cluster semantics (``dup_clusters`` over these pairs).
+
+    The DuckDB mirror groups on the identical space-joined gram string
+    (``array_to_string(tokens[i : i+window-1], ' ')``) — no hash
+    mirroring needed."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import (
+        bucket_distinct,
+        default_num_buckets,
+    )
+    from webgraph_ray.stages.text import _explode_ws_tokens
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    nb = num_buckets or default_num_buckets()
+    W = int(window)
+
+    def explode_grams(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "__b": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc_idx, flat = _explode_ws_tokens(t["text"])
+        n = len(flat)
+        if n < W:
+            return empty
+        # window starts that stay inside one document: position-in-doc
+        # arithmetic over the flat token array (doc_idx is sorted)
+        starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        valid = pos <= np.repeat(lens, lens) - W
+        idx = np.flatnonzero(valid)
+        if len(idx) == 0:
+            return empty
+        parts = [flat.take(pa.array(idx + k, pa.int64())) for k in range(W)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        doc_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = pa.table(
+            {"gram": grams, "doc_id": pa.array(doc_np[doc_idx[idx]])}
+        )
+        # map-side combine: a doc repeating its own boilerplate internally
+        # still contributes ONE (gram, doc) row
+        out = out.group_by(["gram", "doc_id"]).aggregate([])
+        b = np.abs(
+            hash_keys(out["gram"].to_numpy(zero_copy_only=False))
+        ) % np.int64(nb)
+        return out.append_column("__b", pa.array(b, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["gram", "doc_id"]]
+        if len(g):
+            vc = g["gram"].value_counts()
+            if int(vc.iloc[0]) > max_gram_docs:
+                raise ValueError(
+                    f"substring_dup_pairs: a {W}-token span is shared by "
+                    f"{int(vc.iloc[0])} docs (> max_gram_docs="
+                    f"{max_gram_docs}); pair output would be quadratic — "
+                    "raise window, raise max_gram_docs explicitly, or use "
+                    "dup_clusters semantics for boilerplate this hot"
+                )
+        m = g.merge(g, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (
+            m[["doc_id_a", "doc_id_b"]]
+            .drop_duplicates()
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        )
+        return out.astype({"doc_a": np.int64, "doc_b": np.int64})
+
+    pairs = (
+        docs.map_batches(explode_grams, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # the same pair can surface via different grams in different buckets
+    return bucket_distinct(pairs, ["doc_a", "doc_b"], num_buckets=nb)
+
+
+def substring_pairs_sql(window: int = 8) -> str:
+    """DuckDB mirror of ``substring_dup_pairs`` (same \\S+ tokens, same
+    space-joined gram keys, 1-based inclusive list slice)."""
+    W = int(window)
+    return f"""
+    WITH ss_toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    ss_grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i.i : i.i + {W - 1}], ' ') AS gram
+        FROM ss_toks, unnest(range(1, len(t) - {W} + 2)) AS i(i)
+        WHERE len(t) >= {W}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ss_grams a JOIN ss_grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
