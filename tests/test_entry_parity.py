@@ -14,12 +14,18 @@ TABLES = [
 ]
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture
 def con(sf_dir):
+    # function-scoped on purpose: one shared in-memory connection
+    # accumulates buffer-pool blocks across ~50 unrolled-CTE oracles and
+    # eventually hits bad_alloc on the late alphabetical queries; a fresh
+    # connection per query costs only 10 CREATE VIEWs and mirrors the
+    # real driver gate
     c = duckdb.connect()
     for t in TABLES:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    return c
+    yield c
+    c.close()
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
