@@ -827,18 +827,24 @@ def q_sketches(sf_dir: str):
     token universe (per-batch k-smallest partials, integer-floor
     estimator), the count-min hot-key detector over the edge stream's
     dst_key (the hub-discovery pre-pass the engine's salted splits need),
-    and the deterministic per-event_type stratified sample (n smallest
-    affine id hashes, map-side partial top-n) keyed ``type:rank``.
-    Consolidates the former kmv_distinct / cms_hot_keys /
-    stratified_sample entries; stratified_sample stays independently
-    pytest-pinned vs DuckDB and brute force (tests/test_sketch.py)."""
+    the deterministic per-event_type stratified sample (n smallest
+    affine id hashes, map-side partial top-n) keyed ``type:rank``, and
+    the HyperLogLog register sketch over the same distinct-token
+    universe as KMV (256 one-byte registers, elementwise-max merge; the
+    register_sum row is an exact integer fingerprint of the full
+    register state).  Consolidates the former kmv_distinct /
+    cms_hot_keys / stratified_sample entries; stratified_sample stays
+    independently pytest-pinned vs DuckDB and brute force
+    (tests/test_sketch.py)."""
     from webgraph_ray.stages.sketch import (
         cms_hot_keys,
+        hll_distinct,
         kmv_distinct,
         stratified_sample,
     )
 
     kmv = kmv_distinct(_docs(sf_dir), k=256)
+    hll = hll_distinct(_docs(sf_dir))
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
     strat = stratified_sample(_raw_events(sf_dir), n=5)
     rows = (
@@ -846,6 +852,15 @@ def q_sketches(sf_dir: str):
             ("kmv", "k", int(kmv["k"].iloc[0])),
             ("kmv", "kth_hash", int(kmv["kth_hash"].iloc[0])),
             ("kmv", "est_distinct", int(kmv["est_distinct"].iloc[0])),
+        ]
+        + [
+            ("hll", c, int(hll[c].iloc[0]))
+            for c in (
+                "m",
+                "nonzero_registers",
+                "register_sum",
+                "est_distinct",
+            )
         ]
         + [("cms", k, int(v)) for k, v in zip(cms["vertex_key"], cms["est_count"])]
         + [
@@ -1994,6 +2009,14 @@ def _build_training_oracles() -> dict[str, str]:
                    unnest([k, kth_hash, est_distinct]) AS value
             FROM ({_sk.kmv_distinct_sql(k=256)})
         ) s
+        UNION ALL
+        SELECT 'hll' AS sketch, h.key, h.value FROM (
+            SELECT unnest(['m', 'nonzero_registers', 'register_sum',
+                           'est_distinct']) AS key,
+                   unnest([m, nonzero_registers, register_sum,
+                           est_distinct]) AS value
+            FROM ({_sk.hll_distinct_sql()})
+        ) h
         UNION ALL
         SELECT 'cms' AS sketch, vertex_key AS key, est_count AS value
         FROM ({_sk.cms_hot_keys_sql(_CTE_MAT, key_col="dst_key", min_count=500)})

@@ -63,11 +63,16 @@ def main() -> int:
     sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(args[1:] if args and os.path.isdir(args[0]) else args)
 
-    con = duckdb.connect()
-    for t in TABLES:
-        path = os.path.join(sf, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    def fresh_con():
+        # fresh connection per query: one shared in-memory connection
+        # accumulates buffer-pool blocks across 50 unrolled-CTE oracles
+        # and eventually hits bad_alloc on the late queries
+        c = duckdb.connect()
+        for t in TABLES:
+            path = os.path.join(sf, f"{t}.parquet")
+            if os.path.exists(path):
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        return c
 
     qs, osql = entry.queries(), entry.oracle_sql()
     fails = []
@@ -85,7 +90,9 @@ def main() -> int:
                 res = res.to_pandas()
             elif isinstance(res, pa.Table):
                 res = res.to_pandas()
+            con = fresh_con()
             exp = con.execute(osql[name]).df()
+            con.close()
             r, s = norm(res), norm(exp)
             assert list(r.columns) == list(s.columns), (
                 "columns", list(r.columns), list(s.columns),

@@ -222,3 +222,65 @@ def test_reciprocity_bruteforce_and_oracle():
         reciprocity_sql("WITH edges AS (SELECT * FROM edges_tbl)")
     ).df()
     assert got.astype("int64").equals(exp.astype("int64"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_oracle_and_blocking_invariance():
+    from webgraph_ray.stages.sketch import hll_distinct, hll_distinct_sql
+
+    ds, df = _docs_ds(n_docs=400, vocab=5000, seed=11)
+    got = hll_distinct(ds)
+    true = len({t for x in df["text"] for t in x.split()})
+    est = int(got["est_distinct"].iloc[0])
+    # 256 registers -> ~6.5% std error; allow 4 sigma
+    assert abs(est - true) / true < 0.26, (est, true)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(hll_distinct_sql()).df()
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+    other = hll_distinct(ds.repartition(1))
+    assert got.equals(other)
+
+
+def test_hll_register_merge_property():
+    # registers of the whole = elementwise max of the halves' registers
+    from webgraph_ray.stages.sketch import _hll_registers
+
+    _, df = _docs_ds(n_docs=200, vocab=800, seed=3)
+    whole = _hll_registers(df["text"])
+    merged = np.maximum(
+        _hll_registers(df["text"].iloc[:100]),
+        _hll_registers(df["text"].iloc[100:]),
+    )
+    assert (whole == merged).all()
+
+
+def test_hll_linear_branch_floor_agrees_with_duckdb_for_all_v():
+    # the small-range branch est = floor(256*ln(256/V)) runs on one of
+    # 255 possible arguments; pin numpy == DuckDB on every one so a libm
+    # ulp difference can never flip a floor
+    con = duckdb.connect()
+    vs = list(range(1, 256))
+    row = con.execute(
+        "SELECT " + ",".join(f"floor(256.0*ln(256.0/{v}))" for v in vs)
+    ).fetchone()
+    for v, r in zip(vs, row):
+        assert int(np.floor(256 * np.log(256 / v))) == int(r), v
+
+
+def test_hll_empty_corpus():
+    from webgraph_ray.stages.sketch import hll_distinct
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype="object")})
+    )
+    got = hll_distinct(ds)
+    assert int(got["est_distinct"].iloc[0]) == 0
+    assert int(got["nonzero_registers"].iloc[0]) == 0

@@ -138,6 +138,128 @@ SELECT CAST({k} AS BIGINT) AS k,
 FROM sel"""
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog — the third mergeable cardinality sketch (vs KMV's k-th
+# minimum): 256 one-byte registers estimate distinct count with ~6.5%
+# relative error at ANY corpus size; per-block partials are 256-byte
+# register arrays merged by elementwise max, so the reduce tree ships a
+# fixed few hundred bytes per block regardless of data volume.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_WBITS = 31 - HLL_P  # low bits of the 31-bit mixed hash -> rank
+HLL_WMOD = 1 << HLL_WBITS
+# alpha_m bias constant (Flajolet et al. 2007) for m >= 128; both engines
+# evaluate the identical double literals, so the product is bit-stable
+HLL_ALPHA_EXPR = "0.7213/(1.0+1.079/256.0)"
+
+
+def _hll_registers(texts: pd.Series) -> np.ndarray:
+    """256 register maxima of a batch (exact integers).
+
+    rho = rank of the leftmost 1-bit in the low 23 hash bits (24 when
+    they're all zero).  Bit length via ``np.frexp`` exponents — exact for
+    integers < 2^53 and C-vectorized — mirroring DuckDB's
+    ``length(bin(w))`` string idiom bit-for-bit."""
+    u = _token_hashes(texts)
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    if len(u):
+        j = u >> HLL_WBITS
+        w = u & (HLL_WMOD - 1)
+        rho = (HLL_WBITS + 1) - np.frexp(w.astype(np.float64))[1]
+        np.maximum.at(regs, j, rho.astype(np.int64))
+    return regs
+
+
+def hll_distinct(docs: ray.data.Dataset) -> pd.DataFrame:
+    """One row (m, nonzero_registers, register_sum, est_distinct): HLL
+    estimate of the number of distinct tokens in ``docs.text`` — the same
+    distinct-token universe and mixed uniform hash as ``kmv_distinct``,
+    so the two sketches cross-validate.  ``register_sum`` is an exact
+    integer fingerprint of the full register state (any engine diff shows
+    up there before it shows in the estimate).
+
+    Estimator: raw E = alpha_m * m^2 / sum(2^-rho); the small-range
+    linear-counting branch (E <= 2.5m with empty registers) is
+    m*ln(m/V).  All floats are IEEE-exact-reproducible in DuckDB: each
+    2^-rho is dyadic, their sum (< 256, granularity 2^-24) fits a double
+    mantissa exactly, and both engines parse the identical alpha
+    literals, so the branch decision and the floor agree bit-for-bit
+    (ln only runs in the small-V regime where its argument is one of 256
+    rationals — still identical inputs on both sides)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = _hll_registers(df["text"])
+        nz = np.flatnonzero(regs)
+        return pd.DataFrame({"j": nz, "rho": regs[nz]})
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    regs = np.zeros(HLL_M, dtype=np.int64)
+    if len(parts):
+        np.maximum.at(
+            regs,
+            parts["j"].to_numpy(np.int64),
+            parts["rho"].to_numpy(np.int64),
+        )
+    v = int(np.count_nonzero(regs == 0))
+    s = float(np.sum(np.ldexp(1.0, -regs)))  # exact dyadic sum
+    alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+    e_raw = alpha * HLL_M * HLL_M / s
+    if e_raw <= 2.5 * HLL_M and v > 0:
+        est = int(np.floor(HLL_M * np.log(HLL_M / v)))
+    else:
+        est = int(np.floor(e_raw))
+    return pd.DataFrame(
+        {
+            "m": np.array([HLL_M], dtype=np.int64),
+            "nonzero_registers": np.array([HLL_M - v], dtype=np.int64),
+            "register_sum": np.array([int(regs.sum())], dtype=np.int64),
+            "est_distinct": np.array([est], dtype=np.int64),
+        }
+    )
+
+
+def hll_distinct_sql(doc_table: str = "documents") -> str:
+    """DuckDB mirror: same token regex/hash/mix, rank via the exact
+    ``length(bin(w))`` string idiom, identical float literals."""
+    tok_hash = sql_token_hash_expr("t")
+    rmax = HLL_WBITS + 1
+    e_raw = (
+        f"({HLL_ALPHA_EXPR}) * {HLL_M}.0 * {HLL_M}.0 / "
+        f"(CAST({HLL_M} - nz AS DOUBLE) + COALESCE(s_nz, 0.0))"
+    )
+    return f"""
+WITH hll_th AS MATERIALIZED (
+    SELECT {tok_hash} AS h
+    FROM {doc_table}, unnest(regexp_extract_all(text, '\\S+')) AS u(t)
+),
+hll_toks AS (
+    SELECT DISTINCT (((h * h) % {M}) * {KMV_C1} % {M}
+                     + (h * {KMV_C2}) % {M} + {KMV_C3}) % {M} AS h
+    FROM hll_th
+),
+hll_regs AS (
+    SELECT h // {HLL_WMOD} AS j,
+           max(CASE WHEN h % {HLL_WMOD} = 0 THEN {rmax}
+               ELSE {rmax} - length(bin(h % {HLL_WMOD})) END) AS rho
+    FROM hll_toks GROUP BY 1
+),
+hll_agg AS (
+    SELECT count(*) AS nz,
+           COALESCE(sum(rho), 0) AS rsum,
+           sum(pow(2.0, -rho)) AS s_nz
+    FROM hll_regs
+)
+SELECT CAST({HLL_M} AS BIGINT) AS m,
+       CAST(nz AS BIGINT) AS nonzero_registers,
+       CAST(rsum AS BIGINT) AS register_sum,
+       CAST(CASE WHEN {e_raw} <= {2.5 * HLL_M} AND nz < {HLL_M}
+            THEN floor({HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - nz)))
+            ELSE floor({e_raw}) END AS BIGINT) AS est_distinct
+FROM hll_agg"""
+
+
 def stratified_sample(
     events: ray.data.Dataset, n: int = 5
 ) -> pd.DataFrame:
