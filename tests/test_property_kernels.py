@@ -138,3 +138,48 @@ def test_revenue_cents_matches_duckdb_expression(rows):
         "SELECT CAST(floor(p * (1 - d) * 100 + 0.5) AS BIGINT) FROM t"
     ).df()
     assert list(ray_cents) == list(sql.iloc[:, 0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(_doc, min_size=0, max_size=8),
+    st.integers(min_value=2, max_value=4),
+)
+def test_wgram_kernel_matches_brute(texts, w):
+    from webgraph_ray.stages.dedup import wgram_table
+
+    import pyarrow as pa
+
+    tbl = wgram_table(
+        pa.array(texts, pa.string()),
+        np.arange(len(texts), dtype=np.int64),
+        w,
+    )
+    got = set(zip(
+        tbl["gram"].to_pylist(), tbl["doc_id"].to_pylist()
+    ))
+    want = set()
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\S+", t)
+        for j in range(len(toks) - w + 1):
+            want.add((" ".join(toks[j : j + w]), i))
+    assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_doc, min_size=0, max_size=8))
+def test_hll_register_kernel_matches_brute(texts):
+    from webgraph_ray.stages.sketch import (
+        HLL_M,
+        HLL_WBITS,
+        _hll_registers,
+        _token_hashes,
+    )
+
+    got = _hll_registers(pd.Series(texts, dtype="object"))
+    want = np.zeros(HLL_M, dtype=np.int64)
+    for h in _token_hashes(pd.Series(texts, dtype="object")):
+        j, w = int(h) >> HLL_WBITS, int(h) & ((1 << HLL_WBITS) - 1)
+        rho = (HLL_WBITS + 1) - w.bit_length()
+        want[j] = max(want[j], rho)
+    assert (got == want).all()

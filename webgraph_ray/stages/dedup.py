@@ -363,6 +363,50 @@ def jaccard_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def wgram_table(texts, doc_ids, window: int):
+    """Distinct (gram, doc_id) rows of a batch: every run of ``window``
+    consecutive whitespace tokens, space-joined — all Arrow C (one
+    ``utf8_split_whitespace`` explode + ``window`` shifted takes +
+    ``binary_join_element_wise`` + hash-distinct).  A doc repeating its
+    own boilerplate internally still contributes ONE row per gram
+    (map-side combine)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from webgraph_ray.stages.text import _explode_ws_tokens
+
+    W = int(window)
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+        }
+    )
+    if len(texts) == 0:
+        return empty
+    doc_idx, flat = _explode_ws_tokens(texts)
+    n = len(flat)
+    if n < W:
+        return empty
+    # window starts that stay inside one document: position-in-doc
+    # arithmetic over the flat token array (doc_idx is sorted)
+    starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+    lens = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    valid = pos <= np.repeat(lens, lens) - W
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return empty
+    parts = [flat.take(pa.array(idx + k, pa.int64())) for k in range(W)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        doc_np = np.asarray(doc_ids, dtype=np.int64)
+    out = pa.table({"gram": grams, "doc_id": pa.array(doc_np[doc_idx[idx]])})
+    return out.group_by(["gram", "doc_id"]).aggregate([])
+
+
 def substring_dup_pairs(
     docs: ray.data.Dataset,
     window: int = 8,
@@ -395,14 +439,12 @@ def substring_dup_pairs(
     (``array_to_string(tokens[i : i+window-1], ' ')``) — no hash
     mirroring needed."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from webgraph_ray.functions.hashing import hash_keys
     from webgraph_ray.functions.shuffle import (
         bucket_distinct,
         default_num_buckets,
     )
-    from webgraph_ray.stages.text import _explode_ws_tokens
 
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
@@ -410,37 +452,9 @@ def substring_dup_pairs(
     W = int(window)
 
     def explode_grams(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "gram": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "__b": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        doc_idx, flat = _explode_ws_tokens(t["text"])
-        n = len(flat)
-        if n < W:
-            return empty
-        # window starts that stay inside one document: position-in-doc
-        # arithmetic over the flat token array (doc_idx is sorted)
-        starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
-        lens = np.diff(np.r_[starts, n])
-        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-        valid = pos <= np.repeat(lens, lens) - W
-        idx = np.flatnonzero(valid)
-        if len(idx) == 0:
-            return empty
-        parts = [flat.take(pa.array(idx + k, pa.int64())) for k in range(W)]
-        grams = pc.binary_join_element_wise(*parts, " ")
-        doc_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = pa.table(
-            {"gram": grams, "doc_id": pa.array(doc_np[doc_idx[idx]])}
-        )
-        # map-side combine: a doc repeating its own boilerplate internally
-        # still contributes ONE (gram, doc) row
-        out = out.group_by(["gram", "doc_id"]).aggregate([])
+        out = wgram_table(t["text"], t["doc_id"], W)
+        if out.num_rows == 0:
+            return out.append_column("__b", pa.array([], pa.int64()))
         b = np.abs(
             hash_keys(out["gram"].to_numpy(zero_copy_only=False))
         ) % np.int64(nb)
