@@ -387,13 +387,20 @@ def run_suite() -> dict:
     from webgraph_ray.stages.ivfpq import ivfpq_ann_topk
 
     ivfpq_stats: dict = {}
-    ivfpq = timed(
-        "ivfpq_ann",
-        lambda: ivfpq_ann_topk(
+    ivfpq_dirs: list = []
+
+    def st_ivfpq():
+        # fresh dir per rep so min-of-2 keeps timing the BUILD; the
+        # rerank stage below reuses the last index (build-once /
+        # probe-many — the deployment shape)
+        d = os.path.join(work, f"ivfpqidx{len(ivfpq_dirs)}")
+        ivfpq_dirs.append(d)
+        return ivfpq_ann_topk(
             embs, [0, 1, 2, 3, 4], k=10, nlist=32, nprobe=4,
-            stats_out=ivfpq_stats,
-        ),
-    )
+            stats_out=ivfpq_stats, index_dir=d,
+        )
+
+    ivfpq = timed("ivfpq_ann", st_ivfpq)
     hits = 0
     for q in (0, 1, 2, 3, 4):
         qv = X[vids == q][0]
@@ -411,11 +418,14 @@ def run_suite() -> dict:
     extras["ivfpq_ann_per_query_scan_fraction"] = round(4 / 32, 4)
 
     # + the refine step: ADC top-100 shortlist re-ranked by exact L2 —
-    # recovers quantization loss at O(queries x 100) exact distances
+    # recovers quantization loss at O(queries x 100) exact distances.
+    # Probes the index the stage above built: this times the PROBE+refine
+    # path alone (what repeats per query batch at scale), not a rebuild.
     ivfpq_r = timed(
         "ivfpq_rerank",
         lambda: ivfpq_ann_topk(
-            embs, [0, 1, 2, 3, 4], k=10, nlist=32, nprobe=4, rerank=100
+            embs, [0, 1, 2, 3, 4], k=10, nlist=32, nprobe=4, rerank=100,
+            index_dir=ivfpq_dirs[-1],
         ),
     )
     hits = 0

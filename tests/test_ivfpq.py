@@ -88,3 +88,24 @@ def test_ivfpq_rerank_recall_not_worse():
         r_plain += len(truth & set(plain[plain["query_id"] == q]["neighbor_id"]))
         r_rer += len(truth & set(rer[rer["query_id"] == q]["neighbor_id"]))
     assert r_rer >= r_plain
+
+
+def test_ivfpq_prebuilt_index_reuse_is_byte_identical():
+    # build-once/probe-many: a second call on the saved index must skip
+    # the build and return exactly what a fresh build returns
+    import tempfile
+
+    mat = _fixture(seed=17)
+    ds = _emb_ds(mat)
+    with tempfile.TemporaryDirectory() as d:
+        fresh = ivfpq_ann_topk(ds, [0, 1], k=5, nlist=4, nprobe=2, index_dir=d)
+        import os
+
+        assert os.path.exists(os.path.join(d, "_codebooks.npz"))
+        reused = ivfpq_ann_topk(ds, [0, 1], k=5, nlist=4, nprobe=2, index_dir=d)
+        rr_a = ivfpq_ann_topk(
+            ds, [0, 1], k=5, nlist=4, nprobe=2, rerank=20, index_dir=d
+        )
+    rr_b = ivfpq_ann_topk(ds, [0, 1], k=5, nlist=4, nprobe=2, rerank=20)
+    assert fresh.equals(reused)
+    assert rr_a.equals(rr_b)

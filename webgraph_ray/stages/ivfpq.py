@@ -109,12 +109,25 @@ def ivfpq_ann_topk(
     from the vec_id-sorted base layout) and re-ranked by exact int64
     squared distance — recovers most of the quantization loss while the
     scan stays codes-only and the exact work is O(queries x rerank)."""
-    C, _ = kmeans_fit(embeddings, k=nlist, iters=km_iters)
-    res = _residuals(embeddings, C).materialize()
-    CB = pq_fit(res, m=m, k=ksub, iters=pq_iters, dim=dim, col="r", prescaled=True)
+    # build-once / probe-many: a caller-provided index_dir that already
+    # holds codes + codebooks is REUSED (the 100-TB shape — the index is
+    # built by one job and probed by every query batch after it; the
+    # build is deterministic, so a rebuild would be byte-identical)
+    meta_name = "_codebooks.npz"
+    prebuilt = index_dir is not None and os.path.exists(
+        os.path.join(index_dir, meta_name)
+    )
+    if prebuilt:
+        z = np.load(os.path.join(index_dir, meta_name))
+        C, CB = z["C"], z["CB"]
+    else:
+        C, _ = kmeans_fit(embeddings, k=nlist, iters=km_iters)
+        res = _residuals(embeddings, C).materialize()
+        CB = pq_fit(
+            res, m=m, k=ksub, iters=pq_iters, dim=dim, col="r", prescaled=True
+        )
     sub = CB.shape[2]
     ksub = CB.shape[1]  # fewer vectors than codes -> shrunken codebooks
-    cb_ref = ray.put(CB)
 
     own_tmp = None
     if index_dir is None:
@@ -123,6 +136,8 @@ def ivfpq_ann_topk(
     try:
         # encode residual codes, keep the coarse cluster as both a data
         # column (cl) and the hive partition key (cluster)
+        cb_ref = None if prebuilt else ray.put(CB)
+
         def enc(t: pa.Table) -> pa.Table:
             CBt = ray.get(cb_ref)
             mm = CBt.shape[0]
@@ -159,9 +174,11 @@ def ivfpq_ann_topk(
                 }
             )
 
-        res.map_batches(enc, batch_format="pyarrow").write_parquet(
-            index_dir, partition_cols=["cluster"]
-        )
+        if not prebuilt:
+            res.map_batches(enc, batch_format="pyarrow").write_parquet(
+                index_dir, partition_cols=["cluster"]
+            )
+            np.savez(os.path.join(index_dir, meta_name), C=C, CB=CB)
 
         # ---- probe (driver side: tiny) ----
         qtab = (
