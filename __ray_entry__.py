@@ -848,11 +848,16 @@ def q_sketches(sf_dir: str):
     the HyperLogLog register sketch over the same distinct-token
     universe as KMV (256 one-byte registers, elementwise-max merge; the
     register_sum row is an exact integer fingerprint of the full
-    register state).  Consolidates the former kmv_distinct /
+    register state), and the Bloom MEMBERSHIP filter over that same
+    universe (fixed 2^20-bit bitmap, bitwise-OR merge of per-block
+    set-position partials; bit_sum is the exact bitmap fingerprint,
+    fp_probes_hit the measured false-positive count over 64 absent-key
+    probes).  Consolidates the former kmv_distinct /
     cms_hot_keys / stratified_sample entries; stratified_sample stays
     independently pytest-pinned vs DuckDB and brute force
     (tests/test_sketch.py)."""
     from webgraph_ray.stages.sketch import (
+        bloom_seen,
         cms_hot_keys,
         hll_distinct,
         kmv_distinct,
@@ -861,6 +866,7 @@ def q_sketches(sf_dir: str):
 
     kmv = kmv_distinct(_docs(sf_dir), k=256)
     hll = hll_distinct(_docs(sf_dir))
+    bloom = bloom_seen(_docs(sf_dir))
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
     strat = stratified_sample(_raw_events(sf_dir), n=5)
     rows = (
@@ -876,6 +882,17 @@ def q_sketches(sf_dir: str):
                 "nonzero_registers",
                 "register_sum",
                 "est_distinct",
+            )
+        ]
+        + [
+            ("bloom", c, int(bloom[c].iloc[0]))
+            for c in (
+                "m",
+                "k",
+                "n_set_bits",
+                "bit_sum",
+                "est_distinct",
+                "fp_probes_hit",
             )
         ]
         + [("cms", k, int(v)) for k, v in zip(cms["vertex_key"], cms["est_count"])]
@@ -2033,6 +2050,14 @@ def _build_training_oracles() -> dict[str, str]:
                            est_distinct]) AS value
             FROM ({_sk.hll_distinct_sql()})
         ) h
+        UNION ALL
+        SELECT 'bloom' AS sketch, b.key, b.value FROM (
+            SELECT unnest(['m', 'k', 'n_set_bits', 'bit_sum',
+                           'est_distinct', 'fp_probes_hit']) AS key,
+                   unnest([m, k, n_set_bits, bit_sum,
+                           est_distinct, fp_probes_hit]) AS value
+            FROM ({_sk.bloom_seen_sql()})
+        ) b
         UNION ALL
         SELECT 'cms' AS sketch, vertex_key AS key, est_count AS value
         FROM ({_sk.cms_hot_keys_sql(_CTE_MAT, key_col="dst_key", min_count=500)})

@@ -284,3 +284,94 @@ def test_hll_empty_corpus():
     got = hll_distinct(ds)
     assert int(got["est_distinct"].iloc[0]) == 0
     assert int(got["nonzero_registers"].iloc[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_accuracy_oracle_and_blocking_invariance():
+    from webgraph_ray.stages.sketch import bloom_seen, bloom_seen_sql
+
+    ds, df = _docs_ds(n_docs=400, vocab=5000, seed=11)
+    got = bloom_seen(ds)
+    true = len({t for x in df["text"] for t in x.split()})
+    est = int(got["est_distinct"].iloc[0])
+    # occupancy inversion at ~2% fill: sub-percent expected; allow 5%
+    assert abs(est - true) / true < 0.05, (est, true)
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(bloom_seen_sql()).df()
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+    other = bloom_seen(ds.repartition(1))
+    assert got.equals(other)
+
+
+def test_bloom_merge_property():
+    # set positions of the whole = union of the halves' positions
+    from webgraph_ray.stages.sketch import _bloom_positions, _token_hashes
+
+    _, df = _docs_ds(n_docs=200, vocab=800, seed=3)
+
+    def posset(texts):
+        u = _token_hashes(texts)
+        return set(np.unique(_bloom_positions(u)).tolist())
+
+    whole = posset(df["text"])
+    merged = posset(df["text"].iloc[:100]) | posset(df["text"].iloc[100:])
+    assert whole == merged
+
+
+def test_bloom_no_false_negatives():
+    # every inserted token probes fully present (the membership guarantee)
+    from webgraph_ray.functions.texthash import hash_token_list
+    from webgraph_ray.stages.sketch import (
+        _bloom_positions,
+        _kmv_mix,
+        _token_hashes,
+    )
+
+    _, df = _docs_ds(n_docs=150, vocab=3000, seed=9)
+    bits = np.unique(_bloom_positions(_token_hashes(df["text"])))
+    toks = sorted({t for x in df["text"] for t in x.split()})
+    ppos = _bloom_positions(_kmv_mix(hash_token_list(toks)))
+    assert bool(np.isin(ppos, bits).all()), "false negative"
+
+
+def test_bloom_estimator_floor_agrees_with_duckdb_sweep():
+    # est = floor((m/k) * ln(m/(m-x))): pin python floor == DuckDB floor
+    # over a dense sweep of occupancies so a libm ulp difference can never
+    # flip a floor at any realistic fill level
+    import math
+
+    from webgraph_ray.stages.sketch import BLOOM_K, BLOOM_M
+
+    xs = list(range(1, BLOOM_M, 257)) + [BLOOM_M - 1]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT x, floor({BLOOM_M / BLOOM_K!r} * "
+        f"ln(CAST({BLOOM_M} AS DOUBLE) / ({BLOOM_M} - x))) "
+        f"FROM (SELECT unnest(?) AS x)",
+        [xs],
+    ).fetchall()
+    for x, r in rows:
+        py = math.floor(
+            (BLOOM_M / BLOOM_K) * math.log(BLOOM_M / (BLOOM_M - x))
+        )
+        assert int(py) == int(r), x
+
+
+def test_bloom_empty_corpus():
+    from webgraph_ray.stages.sketch import bloom_seen
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "text": pd.Series(dtype="object")})
+    )
+    got = bloom_seen(ds)
+    assert int(got["n_set_bits"].iloc[0]) == 0
+    assert int(got["est_distinct"].iloc[0]) == 0
+    assert int(got["fp_probes_hit"].iloc[0]) == 0

@@ -469,3 +469,154 @@ JOIN cms c ON c.j = pr.j AND c.bucket = ((pr.a * p.g + pr.b) % {M}) % {width}
 GROUP BY 1
 HAVING min(c.c) >= {min_count}
 ORDER BY est_count DESC, vertex_key"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the mergeable MEMBERSHIP sketch (vs KMV/HLL's cardinality
+# estimates): "have we seen this token/url before?" is the primitive a
+# 100-TB crawl dedup front-end asks billions of times, and an exact seen-set
+# (an all-to-all shuffle of every distinct key) cannot afford.  The filter is
+# a fixed m-bit bitmap; per-block partials are the block's set-bit positions
+# (bounded by m regardless of data volume) and partials merge by bitwise OR
+# (here: union of position sets) — associative/commutative like the HLL
+# register max, so the reduce tree shape doesn't matter and the driver sees
+# at most m positions total (~1 MB at m = 2^20).
+#
+# Same distinct-token universe and uniform mix as KMV/HLL so the three
+# sketches cross-validate; k probe positions per element via double hashing
+# pos_i = (u + i*g) mod m with stride g = mix2(u) mod (m-1) + 1 (m prime =>
+# every stride cycles the full table).  All intermediates < 2^62, so numpy
+# int64 and DuckDB BIGINT agree bit-for-bit.
+#
+# Reference analog: the closest thing the reference has is pandas
+# ``isin``-style exact membership inside one process; this is the scale
+# path.  Bloom 1970; sizing/estimator formulas are the textbook ones
+# (Broder & Mitzenmacher 2004 survey).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1_048_573          # prime near 2^20: full-cycle double-hash strides
+BLOOM_K = 4                  # probes per element
+BLOOM_PROBES = 64            # absent-key probes for the fp-rate demo row
+# second-mix constants for the stride hash (xxhash/Murmur-style odd primes)
+BLOOM_C4 = 2_246_822_519 % M
+BLOOM_C5 = 3_266_489_917 % M
+
+
+def _bloom_positions(u: np.ndarray) -> np.ndarray:
+    """(n, k) probe positions of mixed hashes ``u`` (int64, exact).
+
+    u < 2^31 and BLOOM_C4 < 2^31 keep u*C4 < 2^62; i*g < 4*2^20 — every
+    term exact in int64 on both engines."""
+    g = ((u * BLOOM_C4 + BLOOM_C5) % M) % (BLOOM_M - 1) + 1
+    i = np.arange(BLOOM_K, dtype=np.int64)
+    return ((u % BLOOM_M)[:, None] + i[None, :] * g[:, None]) % BLOOM_M
+
+
+def bloom_seen(docs: ray.data.Dataset) -> pd.DataFrame:
+    """One row (m, k, n_set_bits, bit_sum, est_distinct, fp_probes_hit):
+    Bloom filter over the distinct-token universe of ``docs.text``.
+
+    - ``n_set_bits`` / ``bit_sum`` (sum of set positions): exact integer
+      fingerprints of the full bitmap state — any engine divergence shows
+      up there before it shows in the estimate.
+    - ``est_distinct``: the standard occupancy inversion
+      floor((m/k) * ln(m / (m - X))) with X = n_set_bits; the ln argument
+      is one of m rationals computed identically on both engines (same
+      IEEE division, same literal m/k = 262143.25), mirroring the HLL
+      linear-counting precedent; -1 if the filter ever saturates.
+    - ``fp_probes_hit``: of BLOOM_PROBES keys drawn from a disjoint
+      namespace ('bloomprobe#i', never corpus tokens), how many the filter
+      (falsely) reports present — the measured false-positive demo the
+      membership guarantee is about.  No-false-negative is pytest-pinned.
+    """
+    import math
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = _token_hashes(df["text"])
+        if not len(u):
+            return pd.DataFrame({"p": np.empty(0, dtype=np.int64)})
+        return pd.DataFrame({"p": np.unique(_bloom_positions(u))})
+
+    parts = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    bits = (
+        np.unique(parts["p"].to_numpy(np.int64))
+        if len(parts)
+        else np.empty(0, dtype=np.int64)
+    )
+    x = int(len(bits))
+    probes = [f"bloomprobe#{i}" for i in range(BLOOM_PROBES)]
+    ppos = _bloom_positions(_kmv_mix(hash_token_list(probes)))
+    hits = int(np.isin(ppos, bits).all(axis=1).sum())
+    if x >= BLOOM_M:
+        est = -1
+    else:
+        est = int(
+            math.floor((BLOOM_M / BLOOM_K) * math.log(BLOOM_M / (BLOOM_M - x)))
+        )
+    return pd.DataFrame(
+        {
+            "m": np.array([BLOOM_M], dtype=np.int64),
+            "k": np.array([BLOOM_K], dtype=np.int64),
+            "n_set_bits": np.array([x], dtype=np.int64),
+            "bit_sum": np.array([int(bits.sum())], dtype=np.int64),
+            "est_distinct": np.array([est], dtype=np.int64),
+            "fp_probes_hit": np.array([hits], dtype=np.int64),
+        }
+    )
+
+
+def bloom_seen_sql(doc_table: str = "documents") -> str:
+    """DuckDB mirror: same token regex/hash/mix, same double-hash probe
+    positions, same occupancy-inversion estimator with identical float
+    literals; absent-key probes built from the same literal namespace."""
+    tok_hash = sql_token_hash_expr("t")
+    mix = (
+        f"(((h * h) % {M}) * {KMV_C1} % {M}"
+        f" + (h * {KMV_C2}) % {M} + {KMV_C3}) % {M}"
+    )
+    stride = f"((u * {BLOOM_C4} + {BLOOM_C5}) % {M}) % {BLOOM_M - 1} + 1"
+    probe_idx = "[" + ", ".join(str(i) for i in range(BLOOM_K)) + "]"
+    e_est = (
+        f"floor({BLOOM_M / BLOOM_K!r} * "
+        f"ln(CAST({BLOOM_M} AS DOUBLE) / ({BLOOM_M} - x)))"
+    )
+    return f"""
+WITH bl_th AS MATERIALIZED (
+    SELECT {tok_hash} AS h
+    FROM {doc_table}, unnest(regexp_extract_all(text, '\\S+')) AS un(t)
+),
+bl_mix AS (
+    SELECT DISTINCT {mix} AS u FROM bl_th
+),
+bl_pos AS MATERIALIZED (
+    SELECT DISTINCT (u % {BLOOM_M} + i * ({stride})) % {BLOOM_M} AS p
+    FROM bl_mix, unnest({probe_idx}) AS pk(i)
+),
+bl_probe AS (
+    SELECT {mix} AS u FROM (
+        SELECT {tok_hash} AS h
+        FROM (SELECT 'bloomprobe#' || CAST(r.i AS VARCHAR) AS t
+              FROM range({BLOOM_PROBES}) r(i))
+    )
+),
+bl_fp AS (
+    SELECT count(*) AS hits FROM bl_probe pr
+    WHERE NOT EXISTS (
+        SELECT 1 FROM unnest({probe_idx}) AS pk(i)
+        WHERE (pr.u % {BLOOM_M} + pk.i *
+               ((pr.u * {BLOOM_C4} + {BLOOM_C5}) % {M} % {BLOOM_M - 1} + 1))
+              % {BLOOM_M}
+              NOT IN (SELECT p FROM bl_pos)
+    )
+),
+bl_agg AS (
+    SELECT count(*) AS x, COALESCE(sum(p), 0) AS psum FROM bl_pos
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m,
+       CAST({BLOOM_K} AS BIGINT) AS k,
+       CAST(x AS BIGINT) AS n_set_bits,
+       CAST(psum AS BIGINT) AS bit_sum,
+       CAST(CASE WHEN x >= {BLOOM_M} THEN -1 ELSE {e_est} END AS BIGINT)
+           AS est_distinct,
+       CAST((SELECT hits FROM bl_fp) AS BIGINT) AS fp_probes_hit
+FROM bl_agg"""
