@@ -518,12 +518,28 @@ def q_curation_funnel(sf_dir: str):
 
 
 def q_tfidf_topk(sf_dir: str):
-    """Top-3 characteristic terms per document by the exact-integer tf/df
-    score (tf-idf analog with no float log): df partials reduced once,
-    broadcast to a shuffle-free per-batch scoring pass."""
-    from webgraph_ray.stages.text import tfidf_topk
+    """Term-scoring family in one method-tagged gate row: 'tfidf' — top-3
+    characteristic terms per document by the exact-integer tf/df score
+    (df partials reduced once, broadcast to a shuffle-free per-batch
+    scoring pass); 'colloc' — corpus-level collocation mining (doc_id
+    -1): top-20 adjacent-token bigrams by the PMI-equivalent integer
+    score c_ab*SCALE // (c_a*c_b) over mergeable per-block count
+    partials (the phrase-vocabulary pre-pass of a tokenizer pipeline)."""
+    from webgraph_ray.stages.text import collocations, tfidf_topk
 
-    return tfidf_topk(_docs(sf_dir), k=3)
+    tf = tfidf_topk(_docs(sf_dir), k=3)
+    tf.insert(0, "method", "tfidf")
+    co = collocations(_docs(sf_dir), k=20, min_count=5)
+    co = pd.DataFrame(
+        {
+            "method": "colloc",
+            "doc_id": np.full(len(co), -1, dtype=np.int64),
+            "term_rank": co["rank"].to_numpy(np.int64),
+            "term": co["bigram"].to_numpy(),
+            "score_fp": co["score_fp"].to_numpy(np.int64),
+        }
+    )
+    return pd.concat([tf, co], ignore_index=True)
 
 
 def q_doc_signatures(sf_dir: str):
@@ -1892,7 +1908,7 @@ def _build_training_oracles() -> dict[str, str]:
     ann_ids = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
     from webgraph_ray.stages.text import BPE_TOKEN_PATTERN
 
-    from webgraph_ray.stages.text import tfidf_topk_sql
+    from webgraph_ray.stages.text import collocations_sql, tfidf_topk_sql
     from webgraph_ray.stages import walks as _rw
 
     doc_features_sql = f"""
@@ -2004,7 +2020,13 @@ def _build_training_oracles() -> dict[str, str]:
         """
 
     return {
-        "tfidf_topk": tfidf_topk_sql(k=3),
+        "tfidf_topk": f"""
+        SELECT 'tfidf' AS method, doc_id, term_rank, term, score_fp
+        FROM ({tfidf_topk_sql(k=3)})
+        UNION ALL
+        SELECT 'colloc', CAST(-1 AS BIGINT), rank, bigram, score_fp
+        FROM ({collocations_sql(k=20, min_count=5)})
+        """,
         # fused per-doc text analysis: token stats + quality + lang id +
         # BPE stats in one row per document (mirrors stages/text.py::
         # doc_features — the four component definitions are unchanged)

@@ -276,6 +276,32 @@ def run_suite() -> dict:
 
     exact = timed("training_ops", st_training_ops)
 
+    # 6a0. mergeable sketches: the four streaming summaries (KMV + HLL
+    # cardinality, Bloom membership, CMS hot keys) — each ships fixed-size
+    # partials per block, so stage time is one read-side pass per sketch
+    from webgraph_ray.stages.sketch import (
+        bloom_seen,
+        cms_hot_keys,
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    def st_sketches():
+        extras["kmv_est_distinct"] = int(
+            kmv_distinct(docs)["est_distinct"].iloc[0]
+        )
+        extras["hll_est_distinct"] = int(
+            hll_distinct(docs)["est_distinct"].iloc[0]
+        )
+        b = bloom_seen(docs)
+        extras["bloom_est_distinct"] = int(b["est_distinct"].iloc[0])
+        extras["bloom_fp_probes_hit"] = int(b["fp_probes_hit"].iloc[0])
+        extras["cms_hot_keys"] = int(
+            len(cms_hot_keys(edges, key_col="dst_key", min_count=500))
+        )
+
+    timed("sketches", st_sketches)
+
     # 6a. round-4 curation ops: repetition quality signals (Gopher rules),
     # benchmark decontamination (broadcast shingle membership, no shuffle),
     # SemDeDup-shape semantic dedup (k-means quantizer + in-cluster pairs)

@@ -597,3 +597,155 @@ def redact_pii_sql(table: str = "documents") -> str:
     selects.append(f"{expr} AS redacted_text")
     selects.append(f"CAST(length({expr}) AS BIGINT) AS n_chars_redacted")
     return f"SELECT {', '.join(selects)} FROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining — corpus-level phrase discovery (the tokenizer /
+# phrase-vocabulary pre-pass of an LLM data pipeline): rank adjacent token
+# bigrams by a PMI-equivalent exact-integer score.  PMI(a,b) =
+# log(p(ab)/(p(a)p(b))) ranks identically to c_ab/(c_a*c_b) for a fixed
+# corpus (the occurrence totals are constants), so the score
+#     score_fp = (c_ab * COLLOC_SCALE) // (c_a * c_b)
+# is a float-free monotone transform — bit-stable against the DuckDB
+# mirror.  Both count tables are mergeable map-side partials (one row per
+# distinct gram per block, never one per occurrence); the driver-side
+# reduce is vocabulary-bounded, and at corpus scale it becomes the same
+# bucket-hash groupby the tf-idf df reduce documents above.  Overflow
+# bound: c_ab * COLLOC_SCALE must stay < 2^63 (c_ab <= ~9.2e6 at this
+# scale constant); shard the count reduce and drop to log-space floats
+# beyond that.
+# ---------------------------------------------------------------------------
+
+COLLOC_SCALE = 10**12
+
+
+def collocations(
+    docs: ray.data.Dataset, k: int = 20, min_count: int = 5
+) -> pd.DataFrame:
+    """(rank, bigram, pair_count, score_fp): the corpus's top-``k``
+    adjacent-token bigrams by the PMI-equivalent integer score, among
+    bigrams occurring at least ``min_count`` times (the standard
+    collocation support filter — rare pairs have unstable PMI).  Ties
+    break by bigram text; bigrams never span documents."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"]
+        doc_idx, flat = _explode_ws_tokens(texts)
+        n = len(flat)
+        gs, cs, ks = [], [], []
+        if n:
+            vc = pc.value_counts(flat)
+            gs.append(vc.field("values"))
+            cs.append(vc.field("counts").cast(pa.int64()))
+            ks.append(pa.array(np.zeros(len(vc), np.int64)))  # 0 = unigram
+        if n >= 2:
+            # bigram starts that stay inside one document
+            starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+            lens = np.diff(np.r_[starts, n])
+            pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+            idx = np.flatnonzero(pos <= np.repeat(lens, lens) - 2)
+            if len(idx):
+                grams = pc.binary_join_element_wise(
+                    flat.take(pa.array(idx, pa.int64())),
+                    flat.take(pa.array(idx + 1, pa.int64())),
+                    " ",
+                )
+                vc = pc.value_counts(grams)
+                gs.append(vc.field("values"))
+                cs.append(vc.field("counts").cast(pa.int64()))
+                ks.append(pa.array(np.ones(len(vc), np.int64)))  # 1 = bigram
+        if not gs:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "kind": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "gram": pa.concat_arrays([g.cast(pa.string()) for g in gs]),
+                "cnt": pa.concat_arrays(cs),
+                "kind": pa.concat_arrays(ks),
+            }
+        )
+
+    parts = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "rank": pd.Series(dtype="int64"),
+                "bigram": pd.Series(dtype="object"),
+                "pair_count": pd.Series(dtype="int64"),
+                "score_fp": pd.Series(dtype="int64"),
+            }
+        )
+    agg = parts.groupby(["kind", "gram"], sort=False)["cnt"].sum()
+    uni = agg.loc[0] if 0 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    bi = agg.loc[1] if 1 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    bi = bi[bi >= min_count]
+    if not len(bi):
+        return pd.DataFrame(
+            {
+                "rank": pd.Series(dtype="int64"),
+                "bigram": pd.Series(dtype="object"),
+                "pair_count": pd.Series(dtype="int64"),
+                "score_fp": pd.Series(dtype="int64"),
+            }
+        )
+    grams = bi.index.to_numpy()
+    left = np.array([g.split(" ", 1)[0] for g in grams])
+    right = np.array([g.rsplit(" ", 1)[-1] for g in grams])
+    c_ab = bi.to_numpy(np.int64)
+    c_a = uni.loc[left].to_numpy(np.int64)
+    c_b = uni.loc[right].to_numpy(np.int64)
+    score = (c_ab * COLLOC_SCALE) // (c_a * c_b)
+    out = pd.DataFrame(
+        {"bigram": grams, "pair_count": c_ab, "score_fp": score}
+    ).sort_values(
+        ["score_fp", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out.reset_index(drop=True)
+
+
+def collocations_sql(
+    k: int = 20, min_count: int = 5, doc_table: str = "documents"
+) -> str:
+    """DuckDB mirror: same \\S+ tokens, same in-document adjacency, same
+    integer floor score and (score desc, bigram asc) tie-break."""
+    return f"""
+WITH co_l AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM {doc_table}
+),
+co_uni AS (
+    SELECT t AS gram, CAST(count(*) AS BIGINT) AS c
+    FROM co_l, unnest(l) AS u(t) GROUP BY 1
+),
+co_bi AS (
+    SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS c_ab
+    FROM co_l, unnest(list_transform(
+            generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]
+         )) AS u(bg)
+    GROUP BY 1 HAVING count(*) >= {min_count}
+),
+co_scored AS (
+    SELECT b.bigram, b.c_ab,
+           (b.c_ab * {COLLOC_SCALE}) // (ua.c * ub.c) AS score_fp
+    FROM co_bi b
+    JOIN co_uni ua ON ua.gram = split_part(b.bigram, ' ', 1)
+    JOIN co_uni ub ON ub.gram = split_part(b.bigram, ' ', 2)
+)
+SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, bigram) AS BIGINT)
+           AS rank,
+       bigram,
+       CAST(c_ab AS BIGINT) AS pair_count,
+       CAST(score_fp AS BIGINT) AS score_fp
+FROM co_scored
+ORDER BY score_fp DESC, bigram
+LIMIT {k}"""
