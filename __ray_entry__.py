@@ -650,11 +650,14 @@ def q_ann_methods(sf_dir: str):
     hive-partitioned by coarse cluster — sub-linear probe AND 64x
     compression, stages/ivfpq.py) and 'ivfpq_rerank' (the same probe
     plus the standard refine: ADC top-50 shortlist re-ranked by exact
-    scaled-int64 L2).  Consolidates the round-3 entries
+    scaled-int64 L2) and 'knng' (the k-NN GRAPH: every vector's top-10 at
+    once via the two-exchange fan-out/per-cluster-matmul/per-query-merge
+    plan — n^2*nprobe/nlist total work, no driver-held query list).
+    Consolidates the round-3 entries
     ann_topk / lsh_ann_topk / ivf_ann_topk (library stages unchanged; the
     index/probe machinery is still bench-measured separately with
     bytes-read fractions)."""
-    from webgraph_ray.stages.cluster import ivf_ann_topk
+    from webgraph_ray.stages.cluster import ivf_ann_topk, knn_graph
     from webgraph_ray.stages.embed import ann_topk, lsh_ann_topk
     from webgraph_ray.stages.ivfpq import ivfpq_ann_topk
     from webgraph_ray.stages.pq import pq_ann_topk
@@ -689,6 +692,7 @@ def q_ann_methods(sf_dir: str):
         ("pq", pq_ann_topk(embs, ANN_QUERY_IDS, k=10)),
         ("ivfpq", ivfpq_res),
         ("ivfpq_rerank", ivfpq_rr),
+        ("knng", knn_graph(embs, k=10, nlist=8, nprobe=2)),
     ):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         df = df[["query_id", "rank", "neighbor_id"]].copy()
@@ -2153,6 +2157,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT method, query_id, rank, neighbor_id
         FROM ({_ivfpq_ann_sql_oracle()})
+        UNION ALL
+        SELECT 'knng', query_id, rank, neighbor_id
+        FROM ({_cl.ivf_ann_sql(None, k=10, nlist=8, nprobe=2)})
         """,
         "doc_source_rank": """
         WITH side AS (

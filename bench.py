@@ -376,6 +376,22 @@ def run_suite() -> dict:
         hits += len(ex & ap)
     extras["ivf_ann_recall_at_10"] = round(hits / 50.0, 3)
 
+    # 6b'. k-NN GRAPH: every vector's top-10 at once (fan-out ->
+    # per-cluster matmul -> per-query merge; n^2 * nprobe/nlist work)
+    from webgraph_ray.stages.cluster import knn_graph
+
+    kg = timed(
+        "knn_graph", lambda: knn_graph(embs, k=10, nlist=32, nprobe=4)
+    )
+    hits = 0
+    for q in (0, 1, 2, 3, 4):
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        ap = set(kg[kg["query_id"] == q]["neighbor_id"])
+        hits += len(ex & ap)
+    extras["knn_graph_rows"] = int(len(kg))
+    extras["knn_graph_recall_at_10_sample"] = round(hits / 50.0, 3)
+    extras["knn_graph_per_query_scan_fraction"] = round(4 / 32, 4)
+
     # PQ (compressed-code ADC scan): recall vs exact at 8 bytes/vector.
     # Its own bench key (it landed mid-round-4 inside 'clustering', which
     # silently broke that key's round-over-round comparability).

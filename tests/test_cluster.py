@@ -209,3 +209,75 @@ def test_semdedup_skewed_cluster_shards_instead_of_raising():
     # identical vectors always share an LSH code, so the twin pair lands
     # in one shard: 25 must dedup against an id no larger than its twin 5
     assert got.loc[25, "is_dup"] == 1 and got.loc[25, "dup_of"] <= 5
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph
+# ---------------------------------------------------------------------------
+
+
+def _rand_emb(n=80, d=64, seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n, d)).astype(np.float32)
+
+
+def test_knn_graph_oracle_parity_and_blocking_invariance():
+    import duckdb
+
+    from webgraph_ray.stages.cluster import knn_graph
+
+    mat = _rand_emb()
+    ds = _emb_ds(mat)
+    got = knn_graph(ds, k=5, nlist=4, nprobe=2)
+    assert got["query_id"].nunique() == len(mat)
+
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(mat), dtype=np.int64),
+                "embedding": [r for r in mat],
+            }
+        ),
+    )
+    exp = con.execute(
+        "SELECT query_id, rank, neighbor_id FROM ("
+        + ivf_ann_sql(None, k=5, nlist=4, nprobe=2)
+        + ") ORDER BY query_id, rank"
+    ).df()
+    assert got.astype("int64").equals(exp.astype("int64"))
+
+    other = knn_graph(ds.repartition(7), k=5, nlist=4, nprobe=2)
+    assert got.equals(other)
+
+
+def test_knn_graph_full_probe_equals_exact_brute():
+    # nprobe = nlist => every query sees every candidate => the pruned
+    # graph IS the exact brute-force graph (same rank contract)
+    from webgraph_ray.stages.cluster import knn_graph
+    from webgraph_ray.stages.embed import ann_topk
+
+    import pyarrow as pa
+
+    mat = _rand_emb(n=60, seed=9)
+    # plain list<float> column (the fixture layout) — ann_topk's Arrow
+    # path expects a ListArray, not the tensor extension from_pandas makes
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    got = knn_graph(ds, k=5, nlist=4, nprobe=4)
+    exact = ann_topk(ds, list(range(60)), k=5)
+    exact = (
+        exact[["query_id", "rank", "neighbor_id"]]
+        .sort_values(["query_id", "rank"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert got.astype("int64").equals(exact.astype("int64"))

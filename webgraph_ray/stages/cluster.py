@@ -456,22 +456,28 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM {final}"""
 
 
 def ivf_ann_sql(
-    query_ids: list[int],
+    query_ids: list[int] | None,
     k: int = 10,
     nlist: int = 8,
     nprobe: int = 2,
     iters: int = 3,
     dim: int = EMB_DIM,
 ) -> str:
+    """``query_ids=None`` means EVERY vector is a query — the k-NN-graph
+    mirror (same probe/candidate/rank arithmetic, no id filter)."""
     cte, final = _kmeans_ctes(nlist, iters, dim)
-    ids = "(" + ", ".join(str(int(i)) for i in query_ids) + ")"
+    if query_ids is None:
+        where = ""
+    else:
+        ids = "(" + ", ".join(str(int(i)) for i in query_ids) + ")"
+        where = f"WHERE s.vec_id IN {ids}"
     return f"""{cte},
 qd AS (
     SELECT s.vec_id AS query_id, c.cid,
            list_sum(list_transform(list_zip(s.e, c.c),
                p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
     FROM scaled s CROSS JOIN cen{iters} c
-    WHERE s.vec_id IN {ids}
+    {where}
 ),
 qprobe AS (
     SELECT query_id, cid FROM (
@@ -713,3 +719,159 @@ SELECT g.vec_id, CAST(g.cid AS BIGINT) AS cluster,
        CAST(coalesce(p.dup_of, -1) AS BIGINT) AS dup_of,
        CAST(p.dup_of IS NOT NULL AS BIGINT) AS is_dup
 FROM {asg} g LEFT JOIN sd_pair p ON g.vec_id = p.i"""
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction — every vector's top-k neighbors at once (the
+# substrate of SemDeDup-style pruning, kNN-LM retrieval and graph-based
+# curation).  Brute force is n^2; the scale shape is IVF-pruned: each
+# vector probes only its nprobe nearest k-means clusters, so total
+# similarity work drops to ~n^2 * nprobe/nlist and — unlike the per-query
+# probe path above, which loops queries on the driver's broadcast list —
+# the whole graph builds in two data-parallel exchanges:
+#
+#   1. fan-out: one streaming pass emits each vector once as a CANDIDATE
+#      (keyed by its own cluster) and nprobe times as a QUERY (keyed by
+#      each probed cluster) — a 1+nprobe data inflation, no driver state;
+#   2. per-cluster matmul: groupby(cluster) -> one vectorized
+#      queries x members similarity block per cluster, each query keeping
+#      its local top-k (<= nprobe*k partial rows per query);
+#   3. per-query reduce: groupby(query) -> global top-k merge.
+#
+# Skew note: an oversized cluster makes step 2's block big; at scale the
+# same recursive re-quantize / LSH-shard recovery documented on semdedup
+# applies (the group holds rows of ONE cluster only, so sharding is local).
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    embeddings: ray.data.Dataset,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 3,
+) -> pd.DataFrame:
+    """(query_id, rank, neighbor_id): cosine top-k per vector among the
+    members of its ``nprobe`` nearest clusters — identical probe
+    selection, rounding (9 dp) and (sim desc, neighbor_id asc) tie-break
+    as ``ivf_ann_topk``, so ``ivf_ann_sql(None, ...)`` mirrors it."""
+    C, _ = kmeans_fit(embeddings, k=nlist, iters=iters)
+    c_ref = ray.put(C)
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    def fan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cid": pa.array([], pa.int64()),
+                "role": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], t.schema.field("embedding").type),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        Ct = ray.get(c_ref)
+        Xs = _scaled_matrix(t)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        member = _assign_ids(Xs, Ct)
+        d2 = (
+            (Xs * Xs).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (Xs @ Ct.T)
+            + (Ct * Ct).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        probe = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]  # ties->cid
+        n = len(vids)
+        rep = np.repeat(np.arange(n, dtype=np.int64), nprobe)
+        take = pa.array(np.r_[np.arange(n, dtype=np.int64), rep], pa.int64())
+        return pa.table(
+            {
+                "cid": pa.array(np.r_[member, probe.reshape(-1)]),
+                "role": pa.array(
+                    np.r_[
+                        np.zeros(n, np.int64),
+                        np.ones(n * nprobe, np.int64),
+                    ]
+                ),
+                "vec_id": pa.array(np.r_[vids, vids[rep]]),
+                "embedding": t["embedding"].take(take)
+                if isinstance(t["embedding"], pa.Array)
+                else t["embedding"].combine_chunks().take(take),
+            }
+        )
+
+    fanned = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        fan, batch_format="pyarrow"
+    )
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        mem = df[df["role"] == 0]
+        qr = df[df["role"] == 1]
+        if mem.empty or qr.empty:
+            return empty
+        # members sorted by vec_id asc: a stable argsort on the (integer)
+        # negated sims then breaks ties toward the smaller neighbor_id
+        # with NO per-query python loop
+        mem = mem.sort_values("vec_id", kind="mergesort")
+        Mn = _norm(np.stack(mem["embedding"].to_numpy()).astype(np.float64))
+        Qn = _norm(np.stack(qr["embedding"].to_numpy()).astype(np.float64))
+        mv = mem["vec_id"].to_numpy(np.int64)
+        qv = qr["vec_id"].to_numpy(np.int64)
+        sims = np.round(Qn @ Mn.T, 9)
+        # integer sort keys (9-dp sims scale exactly); self gets a sentinel
+        # that still negates safely inside int64 (NOT iinfo.min: -min
+        # overflows back to min and would sort the self row FIRST)
+        sentinel = -(10**18)
+        si = np.round(sims * 1e9).astype(np.int64)
+        si[qv[:, None] == mv[None, :]] = sentinel
+        top = min(k, si.shape[1])
+        idx = np.argsort(-si, axis=1, kind="stable")[:, :top]
+        rows = np.repeat(np.arange(len(qv)), top)
+        cols = idx.reshape(-1)
+        keep = si[rows, cols] != sentinel  # drop masked self
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": qv[rows[keep]],
+                "neighbor_id": mv[cols[keep]],
+                "sim": sims[rows[keep], cols[keep]],
+            }
+        )
+
+    partials = fanned.groupby("cid").map_groups(
+        per_cluster, batch_format="pandas"
+    )
+
+    def reduce_query(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["neighbor_id"].to_numpy(np.int64)
+        s = df["sim"].to_numpy(np.float64)
+        idx = np.lexsort((v, -s))[: min(k, len(v))]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(
+                    len(idx), int(df["query_id"].iloc[0]), np.int64
+                ),
+                "rank": np.arange(1, len(idx) + 1, dtype=np.int64),
+                "neighbor_id": v[idx],
+            }
+        )
+
+    out = (
+        partials.groupby("query_id")
+        .map_groups(reduce_query, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["query_id", "rank"], kind="mergesort").reset_index(
+        drop=True
+    )
