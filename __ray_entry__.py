@@ -459,26 +459,34 @@ def q_quality_filter(sf_dir: str):
 
 def q_random_walks(sf_dir: str):
     """Deterministic seeded random walks in one method-tagged gate row,
-    both computed by the routed-actor walk engine over ONE shared
+    all computed by the routed-actor walk engine over ONE shared
     partitioned layout: 'simple' (first-order hash-argmin — the
-    GraphSAGE-style neighborhood sampler) and 'nobacktrack' (the
+    GraphSAGE-style neighborhood sampler), 'nobacktrack' (the
     second-order node2vec-family variant: the immediate predecessor is
     excluded unless it is the sole out-neighbor, i.e. candidates rank
-    (is-prev, h, dst)).  The adjacency partitions ONCE (hive-partitioned
-    by src-owner), per-partition CSR actors advance the walkers, and
-    each step ships only (walk_id, vertex, prev) tuples between actors —
-    per-step cost is O(frontier), independent of |E| (the round-4 scan
-    path rescanned the full edge table once per step; pytests pin engine
-    == scan path for both variants)."""
+    (is-prev, h, dst)), and 'restart' (walks-with-restart — the PinSage
+    importance-sampling shape: a (walk_id, t) teleport hash returns the
+    walk to its seed, checked before neighbor selection so dead-end
+    walkers survive a restart).  The adjacency partitions ONCE
+    (hive-partitioned by src-owner), per-partition CSR actors advance
+    the walkers, and each step ships only (walk_id, vertex, prev)
+    tuples between actors — per-step cost is O(frontier), independent
+    of |E| (the round-4 scan path rescanned the full edge table once
+    per step; pytests pin engine == scan path for all variants)."""
     import tempfile
 
     from webgraph_ray.graph.walk_engine import random_walks_engine
+    from webgraph_ray.stages.walks import WALK_RESTART_MOD
 
     edges = _edges(sf_dir)
     parts = []
     with tempfile.TemporaryDirectory(prefix="walk_layout_") as wd:
-        for method, nb in (("simple", False), ("nobacktrack", True)):
-            df = random_walks_engine(edges, wd, no_backtrack=nb)
+        for method, kw in (
+            ("simple", {}),
+            ("nobacktrack", {"no_backtrack": True}),
+            ("restart", {"restart_mod": WALK_RESTART_MOD}),
+        ):
+            df = random_walks_engine(edges, wd, **kw)
             df.insert(0, "method", method)
             parts.append(df)
     return pd.concat(parts, ignore_index=True)
@@ -1020,7 +1028,10 @@ def q_hop_distance(sf_dir: str):
     centrality (/root/reference/code/features/structure.py:170) at scale:
     one single-source BFS per sampled source (here the 3 tool hubs; at a
     larger graph a deterministic vertex sample), then the exact integer
-    Wasserman-Faust closeness (r^2 * SCALE) // (dist_sum * s).  All s+1
+    Wasserman-Faust closeness (r^2 * SCALE) // (dist_sum * s) AND the
+    Boldi-Vigna harmonic centrality sum_i SCALE // d_i (positive
+    distances only — the centrality that stays well-defined on
+    disconnected web graphs).  All s+1
     BFS runs reuse the same build and actor pool; each run's per-vertex
     result is collected before the next resets state (at 100 TB each run
     would write its partitioned parquet instead and the combine would be a
@@ -1061,6 +1072,7 @@ def q_hop_distance(sf_dir: str):
     s = len(per_seed)
     n_reached = np.zeros(len(multi), dtype=np.int64)
     dist_sum = np.zeros(len(multi), dtype=np.int64)
+    harmonic = np.zeros(len(multi), dtype=np.int64)
     # align per-seed results through vertex_id (multi is key-attached but
     # keys hash back to ids deterministically)
     from webgraph_ray.functions.hashing import hash_keys
@@ -1071,6 +1083,10 @@ def q_hop_distance(sf_dir: str):
         finite = di != UNLABELED
         n_reached += finite.astype(np.int64)
         dist_sum += np.where(finite, di, 0).astype(np.int64)
+        pos = finite & (di > 0)
+        harmonic += np.where(
+            pos, CLOSENESS_SCALE // np.maximum(di, 1), 0
+        ).astype(np.int64)
     closeness = np.where(
         dist_sum == 0,
         0,
@@ -1078,7 +1094,10 @@ def q_hop_distance(sf_dir: str):
         // np.maximum(dist_sum * s, 1),
     ).astype(np.int64)
     out = multi.assign(
-        n_reached=n_reached, dist_sum=dist_sum, closeness_fp=closeness
+        n_reached=n_reached,
+        dist_sum=dist_sum,
+        closeness_fp=closeness,
+        harmonic_fp=harmonic,
     )
     return out.sort_values("vertex_key", kind="mergesort").reset_index(
         drop=True
@@ -2101,6 +2120,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'nobacktrack', walk_id, step, vertex_key
         FROM ({_rw.random_walks_sql(_CTE_MAT, prefix="rwnb", no_backtrack=True)})
+        UNION ALL
+        SELECT 'restart', walk_id, step, vertex_key
+        FROM ({_rw.random_walks_sql(_CTE_MAT, prefix="rwre", restart_mod=_rw.WALK_RESTART_MOD)})
         """,
         "exact_dedup": """
         SELECT md5(text) AS text_md5,

@@ -93,6 +93,10 @@ def main() -> int:
             con = fresh_con()
             exp = con.execute(osql[name]).df()
             con.close()
+            del con
+            import gc
+
+            gc.collect()  # release the closed db's buffers promptly
             r, s = norm(res), norm(exp)
             assert list(r.columns) == list(s.columns), (
                 "columns", list(r.columns), list(s.columns),

@@ -274,3 +274,92 @@ def test_no_backtrack_walks_scan_engine_brute(tmp_path):
     nb3 = random_walks(_edges_ds(pairs3), length=3, seed_mod=1, no_backtrack=True)
     g3 = nb3[nb3["walk_id"] == "w0"]
     assert list(g3["vertex_key"]) == ["w0", "y", "w0", "y"]
+
+
+def brute_walks_restart(pairs, length, seed_mod, rmod):
+    """Walks-with-restart reference: the (walk_id, t) teleport hash is
+    checked BEFORE neighbor selection (dead-end walkers survive a
+    restart); otherwise the plain first-order argmin rule."""
+    adj = {}
+    verts = set()
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        verts.update((s, d))
+    seeds = sorted(v for v in verts if _th1(v) % seed_mod == 0)
+    rows = [(w, 0, w) for w in seeds]
+    cur = {w: w for w in seeds}
+    for t in range(1, length + 1):
+        nxt = {}
+        for w, v in cur.items():
+            if (_th1(w) + t * WALK_MULT_STEP) % rmod == 0:
+                nxt[w] = w
+                continue
+            outs = adj.get(v)
+            if not outs:
+                continue
+            nxt[w] = min(
+                outs,
+                key=lambda d: (
+                    (_th1(d) * WALK_MULT_DST + t * WALK_MULT_STEP + _th1(v))
+                    % M,
+                    d,
+                ),
+            )
+        cur = nxt
+        rows += [(w, t, v) for w, v in sorted(cur.items())]
+    return (
+        pd.DataFrame(rows, columns=["walk_id", "step", "vertex_key"])
+        .sort_values(["walk_id", "step"])
+        .reset_index(drop=True)
+    )
+
+
+def test_restart_walks_scan_engine_brute(tmp_path):
+    """restart variant: scan path == engine path == brute force under
+    partitioning; and a restart firing AT a dead end revives the walk."""
+    from webgraph_ray.graph.walk_engine import random_walks_engine
+    from webgraph_ray.stages.walks import WALK_RESTART_MOD
+
+    rng = np.random.default_rng(41)
+    verts = [f"r{i:03d}" for i in range(100)]
+    pairs = list(
+        {
+            (verts[rng.integers(100)], verts[rng.integers(100)])
+            for _ in range(300)
+        }
+    )
+    pairs = [(a, b) for a, b in pairs if a != b]
+    exp = brute_walks_restart(
+        pairs, length=4, seed_mod=5, rmod=WALK_RESTART_MOD
+    )
+    assert exp["walk_id"].nunique() > 2
+    got_scan = random_walks(
+        _edges_ds(pairs).repartition(3), length=4, seed_mod=5,
+        restart_mod=WALK_RESTART_MOD,
+    )
+    pd.testing.assert_frame_equal(
+        got_scan.reset_index(drop=True), exp, check_dtype=False
+    )
+    got_eng = random_walks_engine(
+        _edges_ds(pairs), str(tmp_path / "re"), length=4, seed_mod=5,
+        num_parts=4, restart_mod=WALK_RESTART_MOD,
+    )
+    pd.testing.assert_frame_equal(
+        got_eng.reset_index(drop=True), exp, check_dtype=False
+    )
+
+    # constructed dead-end revival: pick a seed whose teleport fires at
+    # t=2 but not t=1 -> walk goes seed -> dead-end -> (restart) seed
+    s = next(
+        c
+        for c in (f"s{i:02d}" for i in range(60))
+        if (_th1(c) + 2 * WALK_MULT_STEP) % WALK_RESTART_MOD == 0
+        and (_th1(c) + 1 * WALK_MULT_STEP) % WALK_RESTART_MOD != 0
+    )
+    got = random_walks(
+        _edges_ds([(s, "zz_dead")]), length=2, seed_mod=1,
+        restart_mod=WALK_RESTART_MOD,
+    )
+    g = got[got["walk_id"] == s]
+    assert list(g["vertex_key"]) == [s, "zz_dead", s]
+    assert list(g["step"]) == [0, 1, 2]

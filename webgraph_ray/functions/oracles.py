@@ -184,8 +184,11 @@ def distance_features_sql(
     is the Wasserman-Faust-normalized integer
     ``(r^2 * SCALE) // (dist_sum * s)`` over the s sampled sources
     (r = sources that reach the vertex; 0 when none at a positive
-    distance).  Each BFS is an independent subquery (own WITH scope) with
-    a distinct CTE prefix."""
+    distance), and per-vertex harmonic centrality is the companion
+    integer ``sum_i SCALE // d_i`` over sources at positive distance
+    (the Boldi-Vigna web-graph centrality; seeds and unreached vertices
+    contribute 0).  Each BFS is an independent subquery (own WITH scope)
+    with a distinct CTE prefix."""
     s = len(per_seed_sqls)
     multi = hopdist_sql(base_cte, seeds_sql, rounds, prefix="dfm")
     singles = [
@@ -199,6 +202,11 @@ def distance_features_sql(
         f"CASE WHEN h{i}.distance >= 0 THEN h{i}.distance ELSE 0 END"
         for i in range(s)
     )
+    hsum = " + ".join(
+        f"CASE WHEN h{i}.distance > 0 THEN {CLOSENESS_SCALE} // h{i}.distance"
+        f" ELSE 0 END"
+        for i in range(s)
+    )
     joins = "\n".join(
         f"JOIN ({sql}) h{i} USING (vertex_key)"
         for i, sql in enumerate(singles)
@@ -209,7 +217,8 @@ SELECT h.vertex_key, h.distance,
        CAST({dsum} AS BIGINT) AS dist_sum,
        CAST(CASE WHEN ({dsum}) = 0 THEN 0
             ELSE (({reach}) * ({reach}) * {CLOSENESS_SCALE})
-                 // (({dsum}) * {s}) END AS BIGINT) AS closeness_fp
+                 // (({dsum}) * {s}) END AS BIGINT) AS closeness_fp,
+       CAST({hsum} AS BIGINT) AS harmonic_fp
 FROM ({multi}) h
 {joins}
 ORDER BY 1"""

@@ -179,12 +179,19 @@ class WalkPartition:
         self.act_cur = self._empty
         self.act_prev = self._empty
         self.no_backtrack = False
+        self.restart_mod = 0
         self.rows: list[tuple[np.ndarray, int, np.ndarray]] = []
 
-    def init_walks(self, seed_mod: int, no_backtrack: bool = False) -> int:
+    def init_walks(
+        self,
+        seed_mod: int,
+        no_backtrack: bool = False,
+        restart_mod: int = 0,
+    ) -> int:
         """Seed walkers at owned vertices with tokhash % seed_mod == 0 and
         emit their step-0 rows.  Returns the local seed count."""
         self.no_backtrack = bool(no_backtrack)
+        self.restart_mod = int(restart_mod or 0)
         m = (self.th_verts % seed_mod) == 0 if len(self.verts) else np.zeros(0, bool)
         seeds = self.verts[m]
         self.act_wid = seeds.copy()
@@ -197,9 +204,28 @@ class WalkPartition:
         """Vectorized hash-argmin step for walkers at owned vertices.
         Returns (next wid, next vertex, vertex-left) for the survivors.
         In no_backtrack mode candidates rank (is-predecessor, h, dst) —
-        the predecessor is taken only when it is the sole out-neighbor."""
+        the predecessor is taken only when it is the sole out-neighbor.
+        In restart mode the (walk_id, t) teleport hash is checked FIRST:
+        firing walkers jump to their seed (= walk_id) regardless of
+        adjacency — dead-end walkers survive a restart — and only the
+        rest take the ordinary argmin step."""
         if len(wid) == 0:
             return self._empty, self._empty, self._empty
+        if self.restart_mod:
+            rst = (
+                _th(wid) + t * WALK_MULT_STEP
+            ) % self.restart_mod == 0
+            if rst.any():
+                keep = ~rst
+                swid, scur, sprev = self._advance(
+                    wid[keep], cur[keep], prev[keep], t
+                )
+                rwid = wid[rst].astype(object)
+                return (
+                    np.concatenate([rwid, swid]),
+                    np.concatenate([rwid.copy(), scur]),
+                    np.concatenate([cur[rst].astype(object), sprev]),
+                )
         if self.no_backtrack:
             # the choice depends on (cur, prev): group by the pair.
             # prev None (step 0) encodes as '' — vertex keys are
@@ -344,6 +370,7 @@ def random_walks_engine(
     num_parts: int | None = None,
     output_dir: str | None = None,
     no_backtrack: bool = False,
+    restart_mod: int | None = None,
 ) -> pd.DataFrame | ray.data.Dataset:
     """Same contract and byte-identical output as
     `stages.walks.random_walks` (the DuckDB mirror
@@ -356,6 +383,8 @@ def random_walks_engine(
     writes its own parquet shard and a ``ray.data.Dataset`` over the
     directory is returned — the required shape for every-vertex walks
     (seed_mod=1), whose output is O(V * length) rows."""
+    if no_backtrack and restart_mod:
+        raise ValueError("no_backtrack and restart_mod are exclusive")
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
@@ -363,7 +392,14 @@ def random_walks_engine(
         build_walk_layout(edges, work_dir, P)
     actors = [WalkPartition.remote(work_dir, q, P) for q in range(P)]
     try:
-        ray.get([a.init_walks.remote(seed_mod, no_backtrack) for a in actors])
+        ray.get(
+            [
+                a.init_walks.remote(
+                    seed_mod, no_backtrack, int(restart_mod or 0)
+                )
+                for a in actors
+            ]
+        )
         # outs[p][q]: (wid, cur) slice from p to q after the latest step
         outs: list[list] = [[None] * P for _ in range(P)]
         for t in range(1, length + 1):

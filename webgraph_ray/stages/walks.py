@@ -36,6 +36,12 @@ WALK_MULT_DST = 131
 WALK_MULT_STEP = 16007
 WALK_SEED_MOD = 100
 WALK_LEN = 4
+# restart variant (walks-with-restart, the PinSage importance-sampling
+# shape): at step t the walk teleports back to its seed iff
+# (tokhash(walk_id) + t*WALK_MULT_STEP) % WALK_RESTART_MOD == 0 — a pure
+# function of (walk_id, t), checked BEFORE neighbor selection, so a
+# restarting walker survives even at a dead-end vertex (classic RWR)
+WALK_RESTART_MOD = 3
 # broadcast guard: the frontier is bounded by the seed count; fail loudly
 # if a caller disables sampling on a large graph
 WALK_MAX_FRONTIER = 1_000_000
@@ -74,6 +80,7 @@ def random_walks(
     seed_mod: int = WALK_SEED_MOD,
     max_frontier: int = WALK_MAX_FRONTIER,
     no_backtrack: bool = False,
+    restart_mod: int | None = None,
 ) -> pd.DataFrame:
     """(walk_id = seed vertex_key, step, vertex_key) rows for steps
     0..length; a walk stops early at a vertex with no out-edges.  Every
@@ -84,8 +91,17 @@ def random_walks(
     node2vec-family sampling rule with the return bias pushed to its
     deterministic limit): the immediate predecessor is excluded from the
     candidate set unless it is the ONLY out-neighbor — equivalently, rank
-    candidates by (is-previous-vertex, h, dst_key) and take the minimum."""
+    candidates by (is-previous-vertex, h, dst_key) and take the minimum.
+
+    ``restart_mod`` selects the walks-with-restart variant (first-order
+    rule + deterministic teleport): at step t the walk returns to its
+    seed iff (tokhash(walk_id) + t*WALK_MULT_STEP) % restart_mod == 0,
+    checked before neighbor selection (so restarts fire at dead ends
+    too); otherwise the normal hash-argmin step applies."""
     from ray.data.dataset import MaterializedDataset
+
+    if no_backtrack and restart_mod:
+        raise ValueError("no_backtrack and restart_mod are exclusive")
 
     if not isinstance(edges, MaterializedDataset):
         edges = edges.materialize()  # length streaming passes below
@@ -108,9 +124,20 @@ def random_walks(
     cur = {w: (w, None) for w in seeds}
 
     for t in range(1, length + 1):
+        restart_w: set = set()
+        if restart_mod:
+            wids = list(cur.keys())
+            rm = (
+                (_th(wids) + t * WALK_MULT_STEP) % restart_mod == 0
+                if wids
+                else np.zeros(0, bool)
+            )
+            restart_w = {w for w, m in zip(wids, rm) if m}
         # distinct (cur, prev) states — the choice depends on both
-        pairs = sorted({(c, p) for c, p in cur.values()})
-        if not pairs:
+        pairs = sorted(
+            {(c, p) for w, (c, p) in cur.items() if w not in restart_w}
+        )
+        if not pairs and not restart_w:
             break
         frontier = sorted({c for c, _ in pairs})
         fref = ray.put(pa.array(frontier, pa.string()))
@@ -149,6 +176,8 @@ def random_walks(
         parts = (
             narrow.map_batches(step_partial, batch_format="pyarrow")
             .to_pandas()
+            if pairs
+            else pd.DataFrame()
         )
         nxt: dict = {}
         if len(parts):
@@ -173,9 +202,9 @@ def random_walks(
                 firsts = dict(zip(parts["src_key"], parts["dst_key"]))
                 nxt = {(c, p): firsts[c] for c, p in pairs if c in firsts}
         cur = {
-            w: (nxt[(c, p)], c)
+            w: ((w, c) if w in restart_w else (nxt[(c, p)], c))
             for w, (c, p) in cur.items()
-            if (c, p) in nxt
+            if w in restart_w or (c, p) in nxt
         }
         if not cur:
             break
@@ -200,34 +229,48 @@ def random_walks_sql(
     seed_mod: int = WALK_SEED_MOD,
     prefix: str = "rw",
     no_backtrack: bool = False,
+    restart_mod: int | None = None,
 ) -> str:
     """DuckDB mirror: unrolled per-step argmin CTEs over the same hash.
     ``no_backtrack`` carries the previous vertex through the CTE chain
     and ranks candidates (is-prev, h, dst_key) — identical to the Ray
     rule: prefer any non-predecessor; fall back to the predecessor only
-    when it is the sole out-neighbor."""
+    when it is the sole out-neighbor.  ``restart_mod`` mirrors the
+    walks-with-restart variant: each step CTE is the UNION of the
+    teleport branch (walk returns to its seed when the (walk_id, t) hash
+    fires — no adjacency join, so dead-end walkers survive a restart)
+    and the ordinary argmin branch over the rest.
+
+    Binder-size note: the token-hash SQL expression expands to ~5 KB of
+    text per use, so hashes are computed ONCE in the materialized vertex
+    and adjacency CTEs (``th`` / ``th_src`` / ``th_dst`` columns) and
+    every per-step CTE references plain columns — three unioned chains
+    with inline hashes overflowed DuckDB's binder allocator."""
     from webgraph_ray.functions.texthash import sql_token_hash_expr
+
+    if no_backtrack and restart_mod:
+        raise ValueError("no_backtrack and restart_mod are exclusive")
 
     x = prefix
     th_v = sql_token_hash_expr("v.vertex_key")
-    th_src = sql_token_hash_expr("e.src_key")
-    th_dst = sql_token_hash_expr("e.dst_key")
     parts = [
         f"""
 , {x}_verts AS MATERIALIZED (
-    SELECT DISTINCT vertex_key FROM (
-        SELECT src_key AS vertex_key FROM edges
-        UNION ALL SELECT dst_key FROM edges
-    )
+    SELECT vertex_key, {th_v} AS th FROM (
+        SELECT DISTINCT vertex_key FROM (
+            SELECT src_key AS vertex_key FROM edges
+            UNION ALL SELECT dst_key FROM edges
+        )
+    ) v
 ), {x}_adj AS MATERIALIZED (
-    SELECT DISTINCT src_key, dst_key FROM edges
-), {x}_seeds AS (
-    SELECT vertex_key FROM {x}_verts v
-    WHERE {th_v} % {seed_mod} = 0
-), {x}_w0 AS (
+    SELECT e.src_key, e.dst_key, s.th AS th_src, d.th AS th_dst
+    FROM (SELECT DISTINCT src_key, dst_key FROM edges) e
+    JOIN {x}_verts s ON s.vertex_key = e.src_key
+    JOIN {x}_verts d ON d.vertex_key = e.dst_key
+), {x}_w0 AS MATERIALIZED (
     SELECT vertex_key AS walk_id, vertex_key AS cur,
-           CAST(NULL AS VARCHAR) AS prev
-    FROM {x}_seeds
+           CAST(NULL AS VARCHAR) AS prev{", th AS wh" if restart_mod else ""}
+    FROM {x}_verts WHERE th % {seed_mod} = 0
 )"""
     ]
     bt = (
@@ -236,6 +279,31 @@ def random_walks_sql(
         else ""
     )
     for t in range(1, length + 1):
+        if restart_mod:
+            # each step CTE is referenced TWICE by the next one (teleport
+            # branch + join branch) — MATERIALIZED stops DuckDB from
+            # inlining the chain exponentially
+            rcond = f"(w.wh + {t} * {WALK_MULT_STEP}) % {restart_mod} = 0"
+            parts.append(
+                f"""
+, {x}_w{t} AS MATERIALIZED (
+    SELECT w.walk_id, w.walk_id AS cur, w.cur AS prev, w.wh
+    FROM {x}_w{t - 1} w WHERE {rcond}
+    UNION ALL
+    SELECT walk_id, dst_key AS cur, cur_was AS prev, wh FROM (
+        SELECT w.walk_id, e.dst_key, w.cur AS cur_was, w.wh,
+               row_number() OVER (
+                   PARTITION BY w.walk_id
+                   ORDER BY (e.th_dst * {WALK_MULT_DST}
+                             + {t} * {WALK_MULT_STEP} + e.th_src) % {M},
+                            e.dst_key
+               ) AS rn
+        FROM {x}_w{t - 1} w JOIN {x}_adj e ON e.src_key = w.cur
+        WHERE NOT ({rcond})
+    ) WHERE rn = 1
+)"""
+            )
+            continue
         parts.append(
             f"""
 , {x}_w{t} AS (
@@ -243,8 +311,8 @@ def random_walks_sql(
         SELECT w.walk_id, e.dst_key, w.cur AS cur_was,
                row_number() OVER (
                    PARTITION BY w.walk_id
-                   ORDER BY {bt}({th_dst} * {WALK_MULT_DST}
-                             + {t} * {WALK_MULT_STEP} + {th_src}) % {M},
+                   ORDER BY {bt}(e.th_dst * {WALK_MULT_DST}
+                             + {t} * {WALK_MULT_STEP} + e.th_src) % {M},
                             e.dst_key
                ) AS rn
         FROM {x}_w{t - 1} w JOIN {x}_adj e ON e.src_key = w.cur
