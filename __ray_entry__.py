@@ -1104,6 +1104,43 @@ def q_hop_distance(sf_dir: str):
     )
 
 
+# unrolled BFS/sigma/delta levels in the betweenness oracle: >= the
+# deepest single-source BFS level from any tool seed (measured 6 at
+# sf0.01; q_betweenness asserts the Ray-measured depth fits)
+BETWEENNESS_SQL_ROUNDS = 10
+
+
+def q_betweenness(sf_dir: str):
+    """Sampled-source betweenness centrality (Brandes) — the canonical
+    shortest-path centrality the reference's per-visit networkx sweeps
+    (/root/reference/code/features/structure.py:129-177) cannot reach at
+    scale.  Sources = the 3 tool hubs (at 100 TB a deterministic vertex
+    sample — the Bader pivot estimator); per source one level-synchronized
+    forward sigma pass + one backward dependency pass, every round a
+    single "hits" sum-exchange over ONE symmetric simple-graph layout
+    (reversed layout == forward layout, so one build serves both
+    directions).  Exact int64 fixed-point (BW_SCALE units) with a
+    bit-identical unrolled-CTE DuckDB mirror."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.betweenness import betweenness_keyed
+
+    edges = _edges(sf_dir)
+    vertices = _vertices(sf_dir)
+    seeds = _tool_seed_frame(vertices)["vertex_id"].to_numpy()
+    work = tempfile.mkdtemp(prefix="webgraph_bw_")
+    try:
+        out, deepest = betweenness_keyed(edges, vertices, work, seeds)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    assert deepest <= BETWEENNESS_SQL_ROUNDS, (
+        f"betweenness BFS depth {deepest} exceeds the oracle unroll "
+        f"({BETWEENNESS_SQL_ROUNDS}) — raise BETWEENNESS_SQL_ROUNDS"
+    )
+    return out
+
+
 def q_reciprocity(sf_dir: str):
     """Directed-edge mutuality over the distinct edge set: one symmetric
     pair-hash bucket shuffle, integer-exact ratio."""
@@ -1525,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
         "hop_distance": q_hop_distance,
+        "betweenness": q_betweenness,
         "hits": q_hits,
         "reciprocity": q_reciprocity,
         "random_walks": q_random_walks,
@@ -1776,6 +1814,15 @@ def oracle_sql() -> dict[str, str]:
                 for i in range(3)
             ],
             rounds=HOPDIST_SQL_ROUNDS,
+        ),
+        "betweenness": _graph_oracles.betweenness_sql(
+            _CTE_MAT,
+            [
+                f"SELECT vertex_key FROM ({PPR_SEEDS_SQL}) "
+                f"ORDER BY vertex_key LIMIT 1 OFFSET {i}"
+                for i in range(3)
+            ],
+            rounds=BETWEENNESS_SQL_ROUNDS,
         ),
         "hits": _hits_sql_oracle(),
         "reciprocity": _reciprocity_sql_oracle(),

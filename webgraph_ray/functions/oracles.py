@@ -224,6 +224,153 @@ FROM ({multi}) h
 ORDER BY 1"""
 
 
+BW_SQL_SCALE = 10**6
+BW_SQL_SCALE2 = 10**4
+
+
+def betweenness_sql(
+    base_cte: str,
+    per_seed_sqls: list[str],
+    rounds: int,
+    scale: int = BW_SQL_SCALE,
+    scale2: int = BW_SQL_SCALE2,
+) -> str:
+    """Mirror of `graph/betweenness.py`: sampled-source Brandes over the
+    simple undirected graph (distinct unordered pairs, self-loops
+    dropped), exact int64 fixed-point.  Per seed: ``rounds`` unrolled
+    min-plus BFS CTEs (identical shape to `hopdist_sql`), then per-level
+    shortest-path counts sigma_L(v) = sum of sigma over neighbors at
+    L-1, then the backward dependency chain from ``rounds-1`` down to 1:
+    delta_L(v) = (sigma_v * sum over neighbors w at L+1 of
+    floor((scale + delta_{L+1}(w)) * scale2 / sigma_w)) // scale2.
+    bc_fp(v) = sum of deltas over seeds; the seed (the only dist-0
+    vertex) is structurally excluded because the chain stops at level 1.
+    ``rounds`` must be >= the deepest BFS level of any seed (the Ray
+    side measures and asserts it); extra rounds are empty no-op CTEs."""
+    parts = [
+        base_cte,
+        """
+, bw_und AS MATERIALIZED (
+    SELECT DISTINCT least(src_key, dst_key) AS a,
+                    greatest(src_key, dst_key) AS b
+    FROM edges WHERE src_key <> dst_key
+), bw_adj AS MATERIALIZED (
+    SELECT a AS s, b AS d FROM bw_und
+    UNION ALL SELECT b AS s, a AS d FROM bw_und
+), bw_verts AS MATERIALIZED (
+    -- vertices incident to a non-self-loop edge: the same universe the
+    -- Ray side's simple-graph build produces (self-loop-only vertices
+    -- are not part of the simple graph on either side)
+    SELECT DISTINCT a AS vertex_key FROM bw_und
+    UNION SELECT b FROM bw_und
+)""",
+    ]
+    for i, seed_sql in enumerate(per_seed_sqls):
+        x = f"bw{i}"
+        parts.append(
+            f"""
+, {x}d0 AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN sd.vertex_key IS NOT NULL THEN 0 ELSE NULL END AS dist
+    FROM bw_verts v LEFT JOIN ({seed_sql}) sd ON sd.vertex_key = v.vertex_key
+)"""
+        )
+        for lv in range(1, rounds + 1):
+            pv = lv - 1
+            parts.append(
+                f"""
+, {x}d{lv} AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CASE WHEN v.dist IS NULL AND nb.m IS NULL THEN NULL
+                ELSE least(coalesce(v.dist, 9223372036854775807),
+                           coalesce(nb.m, 9223372036854775807)) END AS dist
+    FROM {x}d{pv} v
+    LEFT JOIN (
+        SELECT a.d AS vertex_key, min(s.dist) + 1 AS m
+        FROM bw_adj a JOIN {x}d{pv} s ON s.vertex_key = a.s
+        WHERE s.dist IS NOT NULL
+        GROUP BY 1
+    ) nb ON nb.vertex_key = v.vertex_key
+)"""
+            )
+        parts.append(
+            f"""
+, {x}dist AS MATERIALIZED (
+    SELECT vertex_key, dist FROM {x}d{rounds} WHERE dist IS NOT NULL
+), {x}sg0 AS MATERIALIZED (
+    SELECT vertex_key, CAST(1 AS BIGINT) AS sig FROM {x}dist WHERE dist = 0
+)"""
+        )
+        for lv in range(1, rounds + 1):
+            pv = lv - 1
+            parts.append(
+                f"""
+, {x}sg{lv} AS MATERIALIZED (
+    SELECT d.vertex_key, CAST(sum(pg.sig) AS BIGINT) AS sig
+    FROM {x}dist d
+    JOIN bw_adj a ON a.d = d.vertex_key
+    JOIN {x}sg{pv} pg ON pg.vertex_key = a.s
+    WHERE d.dist = {lv}
+    GROUP BY 1
+)"""
+            )
+        sig_union = " UNION ALL ".join(
+            f"SELECT * FROM {x}sg{lv}" for lv in range(rounds + 1)
+        )
+        parts.append(
+            f"""
+, {x}sig AS MATERIALIZED ({sig_union})
+, {x}dl{rounds} AS (
+    SELECT vertex_key, CAST(0 AS BIGINT) AS dlt FROM bw_verts WHERE 1 = 0
+)"""
+        )
+        for lv in range(rounds - 1, 0, -1):
+            parts.append(
+                f"""
+, {x}dl{lv} AS MATERIALIZED (
+    SELECT v.vertex_key,
+           CAST((sv.sig * agg.c) // {scale2} AS BIGINT) AS dlt
+    FROM {x}dist v
+    JOIN {x}sig sv ON sv.vertex_key = v.vertex_key
+    JOIN (
+        SELECT a.s AS vertex_key,
+               CAST(sum(((CAST({scale} AS BIGINT) + coalesce(dw.dlt, 0))
+                         * {scale2}) // sw.sig) AS BIGINT) AS c
+        FROM bw_adj a
+        JOIN {x}dist dv ON dv.vertex_key = a.d AND dv.dist = {lv + 1}
+        JOIN {x}sig sw ON sw.vertex_key = a.d
+        LEFT JOIN {x}dl{lv + 1} dw ON dw.vertex_key = a.d
+        GROUP BY 1
+    ) agg ON agg.vertex_key = v.vertex_key
+    WHERE v.dist = {lv}
+)"""
+            )
+        if rounds >= 2:
+            dl_union = " UNION ALL ".join(
+                f"SELECT * FROM {x}dl{lv}" for lv in range(1, rounds)
+            )
+        else:
+            dl_union = (
+                "SELECT vertex_key, CAST(0 AS BIGINT) AS dlt "
+                "FROM bw_verts WHERE 1 = 0"
+            )
+        parts.append(f"\n, {x}delta AS MATERIALIZED ({dl_union})")
+    s = len(per_seed_sqls)
+    total = " + ".join(f"coalesce(d{i}.dlt, 0)" for i in range(s))
+    joins = "\n".join(
+        f"LEFT JOIN bw{i}delta d{i} ON d{i}.vertex_key = v.vertex_key"
+        for i in range(s)
+    )
+    return (
+        "".join(parts)
+        + f"""
+SELECT v.vertex_key, CAST({total} AS BIGINT) AS bc_fp
+FROM bw_verts v
+{joins}
+ORDER BY 1"""
+    )
+
+
 def ppr_fp_ctes(
     seeds_sql: str,
     iters: int = PR_FP_ITERS,

@@ -1225,6 +1225,97 @@ class GraphPartition:
         self.kc_active &= ~newly
         return int(newly.sum()), self.hub_values("kcore")[1]
 
+    # ---- sampled Brandes betweenness (graph/betweenness.py orchestrates;
+    # the exchange itself is the plain "hits" sum-scatter over a
+    # weight-1 symmetric simple graph, so no new message path is needed;
+    # these methods only hold the per-level BFS/sigma/delta state) ----
+    def bw_init(self):
+        """Once per run: zero the cross-seed accumulator."""
+        n = len(self.owned)
+        self.bw_dist = np.full(n, -1, dtype=np.int64)
+        self.bw_sigma = np.zeros(n, dtype=np.int64)
+        self.bw_delta = np.zeros(n, dtype=np.int64)
+        self.bw_acc = np.zeros(n, dtype=np.int64)
+        return True
+
+    def bw_seed(self, seed_id: int):
+        """Per source: reset dist/sigma/delta, plant the seed (dist 0,
+        sigma 1) and stage the level-0 labels for the first exchange."""
+        self.bw_dist[:] = -1
+        self.bw_sigma[:] = 0
+        self.bw_delta[:] = 0
+        n = len(self.owned)
+        if n:
+            pos = int(np.searchsorted(self.owned, seed_id))
+            if pos < n and self.owned[pos] == seed_id:
+                self.bw_dist[pos] = 0
+                self.bw_sigma[pos] = 1
+        self.labels = np.where(self.bw_dist == 0, self.bw_sigma, 0)
+        return True
+
+    def bw_stage_forward(self, level: int):
+        """labels <- sigma of the (level-1) frontier, 0 elsewhere; the
+        following "hits" exchange then delivers per-dst sigma sums."""
+        self.labels = np.where(self.bw_dist == level - 1, self.bw_sigma, 0)
+        return True
+
+    def bw_apply_forward(self, level: int, *incoming):
+        """Unreached vertices with a nonzero incoming path-count sum join
+        the BFS at ``level`` with sigma = that sum.  Returns (newly
+        reached, max sigma) — the driver guards sigma against the
+        fixed-point overflow bound."""
+        agg = self._agg_dense_incoming(incoming, np.int64)
+        newly = (self.bw_dist < 0) & (agg > 0)
+        self.bw_dist[newly] = level
+        self.bw_sigma[newly] = agg[newly]
+        mx = int(self.bw_sigma[newly].max()) if newly.any() else 0
+        return int(newly.sum()), mx
+
+    def bw_stage_backward(self, level: int, scale: int, scale2: int):
+        """labels <- per-successor dependency quota for vertices at
+        (level+1): floor((scale + delta) * scale2 / sigma).  The symmetric
+        layout delivers it to every neighbor; only dist==level applies."""
+        m = self.bw_dist == level + 1
+        c = np.zeros(len(self.owned), dtype=np.int64)
+        if m.any():
+            c[m] = ((int(scale) + self.bw_delta[m]) * int(scale2)) // self.bw_sigma[m]
+        self.labels = c
+        return True
+
+    def bw_apply_backward(self, level: int, scale2: int, *incoming):
+        """delta[v at level] <- (sigma[v] * sum of successor quotas)
+        // scale2 (Brandes dependency accumulation, exact int64)."""
+        agg = self._agg_dense_incoming(incoming, np.int64)
+        m = self.bw_dist == level
+        if m.any():
+            s = self.bw_sigma[m]
+            a = agg[m]
+            if len(a) and a.max() > 0:
+                # sigma_v <= sigma_w along the DAG keeps each term below
+                # (scale+delta)*scale2, but the SUM over successors can
+                # still overflow — fail loudly, never wrap
+                assert int(s.max()) * int(a.max()) < 2**62, (
+                    "betweenness fixed-point overflow: lower BW_SCALE2 "
+                    "or sample fewer sources"
+                )
+            self.bw_delta[m] = (s * a) // int(scale2)
+        return True
+
+    def bw_accumulate(self):
+        """bc += this source's dependencies.  The seed itself is the only
+        dist==0 vertex and the backward loop stops at level 1, so its
+        delta is still 0 — the v != s exclusion is structural."""
+        self.bw_acc += self.bw_delta
+        return True
+
+    def bw_result(self):
+        return pa.table(
+            {
+                "vertex_id": pa.array(self.owned),
+                "bc_fp": pa.array(self.bw_acc),
+            }
+        )
+
     # ---- checkpoint / results ----
     def checkpoint(self, algo: str, ckpt_dir: str, iteration: int):
         d = os.path.join(ckpt_dir, algo, f"iter={iteration}")
