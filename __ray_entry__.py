@@ -1035,7 +1035,11 @@ def q_hop_distance(sf_dir: str):
     BFS runs reuse the same build and actor pool; each run's per-vertex
     result is collected before the next resets state (at 100 TB each run
     would write its partitioned parquet instead and the combine would be a
-    vertex-bucket join)."""
+    vertex-bucket join).  The row also carries ``bc_fp`` — sampled-source
+    Brandes betweenness from the same seed set (see ``q_betweenness``) —
+    completing the shortest-path-centrality family in one gate row;
+    vertices outside the simple undirected graph (self-loop-only) get
+    bc_fp = -1 on both sides."""
     import shutil
     import tempfile
 
@@ -1099,6 +1103,22 @@ def q_hop_distance(sf_dir: str):
         closeness_fp=closeness,
         harmonic_fp=harmonic,
     )
+
+    # betweenness leg: its own simple-graph build (runs after the BFS
+    # engine shut down — no pool contention at small test CPU counts)
+    from webgraph_ray.graph.betweenness import betweenness_keyed
+
+    bw_work = tempfile.mkdtemp(prefix="webgraph_hd_bw_")
+    try:
+        bw, deepest = betweenness_keyed(edges, vertices, bw_work, seeds)
+    finally:
+        shutil.rmtree(bw_work, ignore_errors=True)
+    assert deepest <= BETWEENNESS_SQL_ROUNDS, (
+        f"betweenness BFS depth {deepest} exceeds the oracle unroll "
+        f"({BETWEENNESS_SQL_ROUNDS}) — raise BETWEENNESS_SQL_ROUNDS"
+    )
+    out = out.merge(bw, on="vertex_key", how="left")
+    out["bc_fp"] = out["bc_fp"].fillna(-1).astype("int64")
     return out.sort_values("vertex_key", kind="mergesort").reset_index(
         drop=True
     )
@@ -1111,7 +1131,10 @@ BETWEENNESS_SQL_ROUNDS = 10
 
 
 def q_betweenness(sf_dir: str):
-    """Sampled-source betweenness centrality (Brandes) — the canonical
+    """Standalone betweenness runner (the gate row is the ``bc_fp``
+    column of ``hop_distance`` — kept callable for direct use/tests).
+
+    Sampled-source betweenness centrality (Brandes) — the canonical
     shortest-path centrality the reference's per-visit networkx sweeps
     (/root/reference/code/features/structure.py:129-177) cannot reach at
     scale.  Sources = the 3 tool hubs (at 100 TB a deterministic vertex
@@ -1562,7 +1585,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "kcore": q_kcore,
         "hop_distance": q_hop_distance,
-        "betweenness": q_betweenness,
         "hits": q_hits,
         "reciprocity": q_reciprocity,
         "random_walks": q_random_walks,
@@ -1805,25 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "fit_fold_weights": _classify_sql("fit_fold_weights"),
         "feature_importance": _classify_sql("feature_importance"),
         "pagerank": _pagerank_methods_sql(),
-        "hop_distance": _graph_oracles.distance_features_sql(
-            _CTE_MAT,
-            PPR_SEEDS_SQL,
-            [
-                f"SELECT vertex_key FROM ({PPR_SEEDS_SQL}) "
-                f"ORDER BY vertex_key LIMIT 1 OFFSET {i}"
-                for i in range(3)
-            ],
-            rounds=HOPDIST_SQL_ROUNDS,
-        ),
-        "betweenness": _graph_oracles.betweenness_sql(
-            _CTE_MAT,
-            [
-                f"SELECT vertex_key FROM ({PPR_SEEDS_SQL}) "
-                f"ORDER BY vertex_key LIMIT 1 OFFSET {i}"
-                for i in range(3)
-            ],
-            rounds=BETWEENNESS_SQL_ROUNDS,
-        ),
+        "hop_distance": _hop_distance_sql_oracle(),
         "hits": _hits_sql_oracle(),
         "reciprocity": _reciprocity_sql_oracle(),
         "components": _graph_oracles.components_sql(_CTE_MAT),
@@ -1887,6 +1891,32 @@ def _lsh_ann_sql_oracle() -> str:
     from webgraph_ray.stages.embed import lsh_ann_sql
 
     return lsh_ann_sql(ANN_QUERY_IDS, k=10)
+
+
+def _hop_distance_sql_oracle() -> str:
+    """Composed mirror of the hop_distance family row: the multi-source
+    BFS + closeness/harmonic mirror LEFT-JOINed with the Brandes
+    betweenness mirror on vertex_key (each keeps its own WITH scope as a
+    derived table; vertices outside the simple undirected graph get
+    bc_fp = -1, matching the Ray side's fillna)."""
+    per_seed = [
+        f"SELECT vertex_key FROM ({PPR_SEEDS_SQL}) "
+        f"ORDER BY vertex_key LIMIT 1 OFFSET {i}"
+        for i in range(3)
+    ]
+    hop = _graph_oracles.distance_features_sql(
+        _CTE_MAT, PPR_SEEDS_SQL, per_seed, rounds=HOPDIST_SQL_ROUNDS
+    )
+    bw = _graph_oracles.betweenness_sql(
+        _CTE_MAT, per_seed, rounds=BETWEENNESS_SQL_ROUNDS
+    )
+    return f"""
+SELECT h.vertex_key, h.distance, h.n_reached, h.dist_sum,
+       h.closeness_fp, h.harmonic_fp,
+       CAST(coalesce(b.bc_fp, -1) AS BIGINT) AS bc_fp
+FROM ({hop}) h
+LEFT JOIN ({bw}) b USING (vertex_key)
+ORDER BY 1"""
 
 
 def _hits_sql_oracle() -> str:
