@@ -883,7 +883,13 @@ def q_sketches(sf_dir: str):
     probes).  Consolidates the former kmv_distinct /
     cms_hot_keys / stratified_sample entries; stratified_sample stays
     independently pytest-pinned vs DuckDB and brute force
-    (tests/test_sketch.py)."""
+    (tests/test_sketch.py).  The 'pca' kind is the exact-integer moment
+    pass of the PCA/dimensionality-reduction stage (stages/pca.py):
+    count, per-dim quantized sums and a Mersenne-prime fingerprint of
+    the full 64x64 Gram matrix — the distributed 2/3 of a PCA fit,
+    mirrored bit-for-bit in SQL (the d x d eigendecomposition is a
+    driver-side step, pytest-pinned in tests/test_pca.py)."""
+    from webgraph_ray.stages.pca import pca_moment_rows
     from webgraph_ray.stages.sketch import (
         bloom_seen,
         cms_hot_keys,
@@ -897,6 +903,7 @@ def q_sketches(sf_dir: str):
     bloom = bloom_seen(_docs(sf_dir))
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
     strat = stratified_sample(_raw_events(sf_dir), n=5)
+    pca = pca_moment_rows(_embs(sf_dir))
     rows = (
         [
             ("kmv", "k", int(kmv["k"].iloc[0])),
@@ -930,6 +937,7 @@ def q_sketches(sf_dir: str):
                 strat["event_type"], strat["sample_rank"], strat["event_id"]
             )
         ]
+        + [("pca", k, int(v)) for k, v in zip(pca["key"], pca["value"])]
     )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
         {"value": np.int64}
@@ -1997,6 +2005,7 @@ def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.graph import kcore as _kc
     from webgraph_ray.stages import cluster as _cl
     from webgraph_ray.stages import dedup as _dd
+    from webgraph_ray.stages import pca as _pca
     from webgraph_ray.stages import sketch as _sk
     from webgraph_ray.stages.text import LONG_TOKEN_LEN, STOPWORDS
 
@@ -2188,6 +2197,9 @@ def _build_training_oracles() -> dict[str, str]:
                event_type || ':' || CAST(sample_rank AS VARCHAR) AS key,
                event_id AS value
         FROM ({_sk.stratified_sample_sql(n=5)})
+        UNION ALL
+        SELECT 'pca' AS sketch, p.key, p.value
+        FROM ({_pca.pca_moments_sql()}) p
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),

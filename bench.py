@@ -378,6 +378,20 @@ def run_suite() -> dict:
         hits += len(ex & ap)
     extras["ivf_ann_recall_at_10"] = round(hits / 50.0, 3)
 
+    # 6b''. PCA: exact-integer moment pass (one streaming read, d^2
+    # partials per block), driver-side 64x64 eigh, then a shuffle-free
+    # full-corpus projection onto the top 4 components.
+    from webgraph_ray.stages.pca import pca_fit, pca_project
+
+    def st_pca():
+        fit = pca_fit(embs, n_components=4)
+        extras["pca_top4_variance_frac"] = round(
+            float(fit["explained_variance"].sum() / fit["total_variance"]), 4
+        )
+        return pca_project(embs, fit).count()
+
+    extras["pca_projected_rows"] = int(timed("pca", st_pca))
+
     # 6b'. k-NN GRAPH: every vector's top-10 at once (fan-out ->
     # per-cluster matmul -> per-query merge; n^2 * nprobe/nlist work)
     from webgraph_ray.stages.cluster import knn_graph
