@@ -532,11 +532,18 @@ def q_tfidf_topk(sf_dir: str):
     scoring pass); 'colloc' — corpus-level collocation mining (doc_id
     -1): top-20 adjacent-token bigrams by the PMI-equivalent integer
     score c_ab*SCALE // (c_a*c_b) over mergeable per-block count
-    partials (the phrase-vocabulary pre-pass of a tokenizer pipeline)."""
-    from webgraph_ray.stages.text import collocations, tfidf_topk
+    partials (the phrase-vocabulary pre-pass of a tokenizer pipeline);
+    'bm25' — the ranked-retrieval scorer: top-3 terms per doc under the
+    integerized BM25 (k1=6/5, b=3/4, log-free rational idf — every
+    quantity exact floor arithmetic; same two-pass df-broadcast shape
+    as tfidf, with the corpus scalars N and total-token-count riding
+    the df partials as meta rows, no extra scan)."""
+    from webgraph_ray.stages.text import bm25_topk, collocations, tfidf_topk
 
     tf = tfidf_topk(_docs(sf_dir), k=3)
     tf.insert(0, "method", "tfidf")
+    bm = bm25_topk(_docs(sf_dir), k=3)
+    bm.insert(0, "method", "bm25")
     co = collocations(_docs(sf_dir), k=20, min_count=5)
     co = pd.DataFrame(
         {
@@ -547,7 +554,7 @@ def q_tfidf_topk(sf_dir: str):
             "score_fp": co["score_fp"].to_numpy(np.int64),
         }
     )
-    return pd.concat([tf, co], ignore_index=True)
+    return pd.concat([tf, bm, co], ignore_index=True)
 
 
 def q_doc_signatures(sf_dir: str):
@@ -2017,7 +2024,11 @@ def _build_training_oracles() -> dict[str, str]:
     ann_ids = "(" + ", ".join(str(i) for i in ANN_QUERY_IDS) + ")"
     from webgraph_ray.stages.text import BPE_TOKEN_PATTERN
 
-    from webgraph_ray.stages.text import collocations_sql, tfidf_topk_sql
+    from webgraph_ray.stages.text import (
+        bm25_topk_sql,
+        collocations_sql,
+        tfidf_topk_sql,
+    )
     from webgraph_ray.stages import walks as _rw
 
     doc_features_sql = f"""
@@ -2132,6 +2143,9 @@ def _build_training_oracles() -> dict[str, str]:
         "tfidf_topk": f"""
         SELECT 'tfidf' AS method, doc_id, term_rank, term, score_fp
         FROM ({tfidf_topk_sql(k=3)})
+        UNION ALL
+        SELECT 'bm25', doc_id, term_rank, term, score_fp
+        FROM ({bm25_topk_sql(k=3)})
         UNION ALL
         SELECT 'colloc', CAST(-1 AS BIGINT), rank, bigram, score_fp
         FROM ({collocations_sql(k=20, min_count=5)})

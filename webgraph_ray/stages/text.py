@@ -498,6 +498,179 @@ ORDER BY doc_id, term_rank"""
 
 
 # ---------------------------------------------------------------------------
+# BM25 term scoring: the ranked-retrieval scorer over the same token
+# universe as tfidf_topk.  Integer-exact BM25 analog (house convention,
+# like the PMI and tf/df scores): the Robertson idf's log is dropped in
+# favor of the raw rational (N - df + 0.5)/(df + 0.5) — a monotone
+# per-term transform — and the whole score is floor arithmetic:
+#
+#   idf_fp   = ((2*(N - df) + 1) * IDF_SCALE) // (2*df + 1)
+#   tf_part  = (44*TT*tf*TP_SCALE) // (20*TT*tf + 6*TT + 18*dl*N)
+#              [= tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+#               k1 = 6/5, b = 3/4, avgdl = TT/N, multiplied through so
+#               every quantity is an exact integer]
+#   score_fp = (idf_fp * tf_part) // IDF_SCALE
+#
+# Same two-pass shape as tfidf_topk: one streaming pass for the
+# mergeable per-block df partials (plus the two corpus scalars N and TT
+# riding the same partials as null-term meta rows — no extra scan), then
+# a shuffle-free broadcast scoring pass keeping each batch's own docs'
+# top-k.
+# ---------------------------------------------------------------------------
+
+BM25_IDF_SCALE = 1 << 16
+BM25_TP_SCALE = 1 << 14
+
+
+def bm25_topk(docs: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
+    """(doc_id, term_rank, term, score_fp): each document's ``k``
+    top-scoring terms under the integerized BM25 (ties broken by term
+    text).  Docs with zero tokens emit no rows."""
+    import ray as _ray
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(TOKEN_RE)
+        pairs = (
+            df[["doc_id"]]
+            .assign(term=toks)
+            .explode("term")
+            .dropna(subset=["term"])
+            .drop_duplicates(["doc_id", "term"])
+        )
+        vc = pairs["term"].value_counts()
+        out = pd.DataFrame(
+            {
+                "term": vc.index.to_numpy(dtype=object),
+                "cnt": vc.to_numpy(np.int64),
+                "meta": "",
+            }
+        )
+        meta = pd.DataFrame(
+            {
+                "term": pd.Series([None, None], dtype=object),
+                "cnt": np.array(
+                    [len(df), int(toks.str.len().sum())], dtype=np.int64
+                ),
+                "meta": ["n", "tt"],
+            }
+        )
+        return pd.concat([out, meta], ignore_index=True)
+
+    parts = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(df_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    dfreq = (
+        parts[parts["meta"] == ""].groupby("term", sort=False)["cnt"].sum()
+    )
+    N = int(parts.loc[parts["meta"] == "n", "cnt"].sum())
+    TT = int(parts.loc[parts["meta"] == "tt", "cnt"].sum())
+    df_ref = _ray.put((dfreq, N, TT))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dfr, n_docs, tt = _ray.get(df_ref)
+        toks = batch["text"].str.findall(TOKEN_RE)
+        tf = (
+            batch[["doc_id"]]
+            .assign(term=toks)
+            .explode("term")
+            .dropna(subset=["term"])
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        if tf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "term_rank": pd.Series([], dtype=np.int64),
+                    "term": pd.Series([], dtype=object),
+                    "score_fp": pd.Series([], dtype=np.int64),
+                }
+            )
+        dl_map = pd.Series(
+            toks.str.len().to_numpy(np.int64), index=batch["doc_id"]
+        )
+        dl = dl_map.reindex(tf["doc_id"]).to_numpy(np.int64)
+        tfv = tf["tf"].to_numpy(np.int64)
+        dfv = dfr.reindex(tf["term"]).to_numpy(np.int64)
+        idf_fp = ((2 * (n_docs - dfv) + 1) * BM25_IDF_SCALE) // (2 * dfv + 1)
+        tf_part = (44 * tt * tfv * BM25_TP_SCALE) // (
+            20 * tt * tfv + 6 * tt + 18 * dl * n_docs
+        )
+        tf["score_fp"] = (idf_fp * tf_part) // BM25_IDF_SCALE
+        tf = tf.sort_values(
+            ["doc_id", "score_fp", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = tf.groupby("doc_id", sort=False).head(k).copy()
+        top["term_rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return top[["doc_id", "term_rank", "term", "score_fp"]].astype(
+            {"doc_id": np.int64, "term_rank": np.int64, "score_fp": np.int64}
+        )
+
+    out = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        # an all-empty Ray result can lose its columns entirely
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "term_rank": pd.Series([], dtype=np.int64),
+                "term": pd.Series([], dtype=object),
+                "score_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+    return out.sort_values(
+        ["doc_id", "term_rank"], kind="mergesort"
+    ).reset_index(drop=True)
+
+
+def bm25_topk_sql(k: int = 3, doc_table: str = "documents") -> str:
+    """DuckDB mirror: same tokenization, same integer floors, same
+    (score desc, term asc) tie-break."""
+    return f"""
+WITH occ AS MATERIALIZED (
+    SELECT doc_id, t AS term
+    FROM {doc_table}, unnest(regexp_extract_all(text, '\\S+')) AS u(t)
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM occ GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM occ GROUP BY 1),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM occ GROUP BY 1),
+meta AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM {doc_table}) AS n,
+           (SELECT CAST(count(*) AS BIGINT) FROM occ) AS tt
+),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ((((2 * (m.n - d.df) + 1) * {BM25_IDF_SCALE}) // (2 * d.df + 1))
+            * ((44 * m.tt * tf.tf * {BM25_TP_SCALE})
+               // (20 * m.tt * tf.tf + 6 * m.tt + 18 * dl.dl * m.n))
+           ) // {BM25_IDF_SCALE} AS score_fp
+    FROM tf
+    JOIN dfreq d USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN meta m
+),
+ranked AS (
+    SELECT doc_id, term, score_fp,
+           row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_fp DESC, term
+           ) AS rn
+    FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS term_rank, term,
+       CAST(score_fp AS BIGINT) AS score_fp
+FROM ranked WHERE rn <= {k}
+ORDER BY doc_id, term_rank"""
+
+
+# ---------------------------------------------------------------------------
 # composite quality filter: signals -> deterministic keep/drop decision
 # ---------------------------------------------------------------------------
 
