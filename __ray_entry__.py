@@ -895,7 +895,18 @@ def q_sketches(sf_dir: str):
     count, per-dim quantized sums and a Mersenne-prime fingerprint of
     the full 64x64 Gram matrix — the distributed 2/3 of a PCA fit,
     mirrored bit-for-bit in SQL (the d x d eigendecomposition is a
-    driver-side step, pytest-pinned in tests/test_pca.py)."""
+    driver-side step, pytest-pinned in tests/test_pca.py).  The 'anf'
+    kind is HyperANF (Boldi-Rosa-Vigna): per-vertex 32-register rank
+    sketches advanced over the conversation graph through the routed
+    partition-actor exchange (walk-engine layout reused; one fixed-width
+    register exchange per hop, max-merge so multi-edges need no dedup);
+    the per-hop register_sum / nonzero_registers gate values are the
+    EXACT integer register state, mirrored by unrolled DuckDB CTEs —
+    the float N-hat / effective-diameter readout is pytest-pinned vs
+    exact BFS ball sizes (tests/test_anf.py)."""
+    import tempfile
+
+    from webgraph_ray.graph.anf import ANF_HOPS, neighborhood_function
     from webgraph_ray.stages.pca import pca_moment_rows
     from webgraph_ray.stages.sketch import (
         bloom_seen,
@@ -911,6 +922,8 @@ def q_sketches(sf_dir: str):
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
     strat = stratified_sample(_raw_events(sf_dir), n=5)
     pca = pca_moment_rows(_embs(sf_dir))
+    with tempfile.TemporaryDirectory(prefix="anf_layout_") as wd:
+        anf = neighborhood_function(_edges(sf_dir), wd, hops=ANF_HOPS)
     rows = (
         [
             ("kmv", "k", int(kmv["k"].iloc[0])),
@@ -945,6 +958,11 @@ def q_sketches(sf_dir: str):
             )
         ]
         + [("pca", k, int(v)) for k, v in zip(pca["key"], pca["value"])]
+        + [
+            ("anf", f"h{int(t)}_{c}", int(anf[c].iloc[i]))
+            for i, t in enumerate(anf["hop"])
+            for c in ("register_sum", "nonzero_registers")
+        ]
     )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
         {"value": np.int64}
@@ -2009,6 +2027,7 @@ def _reciprocity_sql_oracle() -> str:
 
 def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.functions import texthash as _th
+    from webgraph_ray.graph import anf as _anf
     from webgraph_ray.graph import kcore as _kc
     from webgraph_ray.stages import cluster as _cl
     from webgraph_ray.stages import dedup as _dd
@@ -2214,6 +2233,13 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'pca' AS sketch, p.key, p.value
         FROM ({_pca.pca_moments_sql()}) p
+        UNION ALL
+        SELECT 'anf' AS sketch,
+               unnest(['h' || CAST(hop AS VARCHAR) || '_register_sum',
+                       'h' || CAST(hop AS VARCHAR) || '_nonzero_registers'])
+                   AS key,
+               unnest([register_sum, nonzero_registers]) AS value
+        FROM ({_anf.anf_sql(_CTE_MAT)})
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),

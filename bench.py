@@ -260,6 +260,29 @@ def run_suite() -> dict:
 
     timed("random_walks", st_random_walks)
 
+    # 5d. HyperANF neighborhood function: per-vertex 32-register rank
+    # sketches for EVERY vertex advanced in one fixed-width exchange per
+    # hop.  The partitioned layout (the walk engine's build-once
+    # contract) is built ONCE outside the timed stage and shared across
+    # reps — actors only read it — so the stage time is pure hop cost.
+    from webgraph_ray.graph.anf import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    anf_wd = wdir("anf_layout")
+    build_walk_layout(edges, anf_wd, num_parts)
+
+    def st_anf():
+        nf = neighborhood_function(
+            edges, anf_wd, hops=5, num_parts=num_parts
+        )
+        extras["anf_nhat_final"] = round(float(nf["n_hat"].iloc[-1]), 1)
+        extras["anf_effective_diameter"] = int(effective_diameter(nf))
+        return nf
+
+    timed("anf", st_anf)
+
     # 6. training-data ops over documents/embeddings (dedup + text + ANN)
     import ray.data as rd
 

@@ -1,0 +1,379 @@
+"""HyperANF: the approximate neighborhood function N(t) — how many
+(source, target) pairs are within t hops — and the effective diameter,
+computed with per-vertex HLL-style register vectors advanced through
+the same routed partition-actor exchange as the walk engine.
+
+Why this shape at 100 TB: the exact neighborhood function is |V| BFS
+runs (quadratic); HyperANF (Boldi, Rosa & Vigna, WWW'11) replaces each
+vertex's reachability SET with an m-register rank sketch whose union is
+elementwise max — so one hop for EVERY vertex simultaneously is
+  B_t(v) = max(B_{t-1}(v), elementwise-max over out-neighbors' B_{t-1})
+and the whole frontier advances in one P-way exchange of fixed-width
+uint8 register blocks (32 bytes/vertex here), never a per-vertex scan.
+Adjacency partitions ONCE (the walk engine's build-once layout is
+reused verbatim); each hop ships only boundary-vertex registers, each
+boundary vertex ONCE per subscribing partition (subscriptions are
+computed in a single init handshake).  Multi-edges need no dedup
+anywhere — max-merge is idempotent.
+
+Correctness contract: register evolution is EXACT integer state (the
+approximation is only vertex-set -> sketch), so per-hop global
+register_sum / nonzero_registers are exact integers mirrored
+bit-for-bit by the unrolled DuckDB CTEs in `anf_sql` (gate row:
+sketches kind='anf').  The float N-hat estimates and the effective
+diameter are pytest-pinned against exact per-vertex BFS ball sizes
+(tests/test_anf.py).
+
+Hash conventions are shared with stages/sketch.py's HLL (same token
+hash + KMV quadratic mix, same length(bin(w)) SQL rank idiom) so the
+sketches cross-validate.
+
+Reference analog: the reference's per-node ancestry/BFS features
+(/root/reference/code/features/structure.py:129-163) compute exact
+small-radius reachability per node; HyperANF is the all-radii,
+all-vertices version that survives web scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from webgraph_ray.functions.texthash import M
+from webgraph_ray.stages.sketch import KMV_C1, KMV_C2, KMV_C3
+
+ANF_P = 5
+ANF_M = 1 << ANF_P  # 32 registers/vertex
+ANF_WBITS = 31 - ANF_P
+ANF_WMOD = 1 << ANF_WBITS
+ANF_RMAX = ANF_WBITS + 1  # 27
+ANF_HOPS = 5
+# alpha_m bias constant (Flajolet et al. 2007) for m = 32
+ANF_ALPHA = 0.697
+
+
+def _registers_from_th(th: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(register index j, rank rho) of each vertex from its stored token
+    hash — KMV quadratic mix then the HLL split, identical to
+    stages/sketch.py so `anf_sql` can reuse the SQL idioms."""
+    th = th.astype(np.int64)
+    u = (((th * th) % M) * KMV_C1 % M + (th * KMV_C2) % M + KMV_C3) % M
+    j = u >> ANF_WBITS
+    w = u & (ANF_WMOD - 1)
+    rho = ANF_RMAX - np.frexp(w.astype(np.float64))[1]
+    # frexp exponent of 0.0 is 0 -> rho = ANF_RMAX: the all-zero case
+    return j.astype(np.int64), rho.astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class AnfPartition:
+    """Owns the registers of every vertex with tokhash % P == part_id
+    plus the out-adjacency of those vertices (CSR into the sorted
+    distinct-dst universe W, built once from the walk layout).  A hop:
+    assemble the incoming register rows for W, max-reduce per source
+    vertex, merge into own state, emit the new registers each
+    subscribing partition needs."""
+
+    def __init__(self, work_dir: str, part_id: int, num_parts: int):
+        import pyarrow.parquet as pq
+
+        self.part_id = int(part_id)
+        self.P = int(num_parts)
+
+        def _read(sub: str, columns) -> pa.Table | None:
+            d = os.path.join(work_dir, sub, f"part={part_id}")
+            if not os.path.isdir(d):
+                return None
+            files = [
+                os.path.join(dp, f)
+                for dp, _, fns in os.walk(d)
+                for f in fns
+                if f.endswith(".parquet")
+            ]
+            if not files:
+                return None
+            return pa.concat_tables(
+                [pq.read_table(f, columns=columns) for f in files]
+            )
+
+        # own vertex universe + initial registers
+        vt = _read("verts", ["vertex_key", "th"])
+        if vt is None or vt.num_rows == 0:
+            self.verts = np.array([], dtype=object)
+            th = np.array([], dtype=np.int64)
+        else:
+            vk = vt["vertex_key"].to_numpy(zero_copy_only=False).astype(object)
+            tha = vt["th"].to_numpy(zero_copy_only=False).astype(np.int64)
+            self.verts, idx = np.unique(vk, return_index=True)
+            th = tha[idx]
+        self.B = np.zeros((len(self.verts), ANF_M), dtype=np.uint8)
+        if len(self.verts):
+            j, rho = _registers_from_th(th)
+            self.B[np.arange(len(self.verts)), j] = rho.astype(np.uint8)
+
+        # CSR: own srcs -> positions in the sorted distinct dst universe W
+        et = _read("edges", ["src_key", "dst_key", "th_dst"])
+        if et is None or et.num_rows == 0:
+            self.src_pos = np.array([], dtype=np.int64)
+            self.indptr = np.zeros(1, dtype=np.int64)
+            self.nbr_wpos = np.array([], dtype=np.int64)
+            self.W = np.array([], dtype=object)
+            w_owner = np.array([], dtype=np.int64)
+        else:
+            df = pd.DataFrame(
+                {
+                    "src_key": et["src_key"].to_numpy(zero_copy_only=False),
+                    "dst_key": et["dst_key"].to_numpy(zero_copy_only=False),
+                    "th_dst": et["th_dst"].to_numpy(zero_copy_only=False),
+                }
+            ).sort_values(["src_key", "dst_key"], kind="mergesort")
+            src = df["src_key"].to_numpy(dtype=object)
+            dst = df["dst_key"].to_numpy(dtype=object)
+            self.W, winv = np.unique(dst, return_inverse=True)
+            dst_th = df["th_dst"].to_numpy(np.int64)
+            w_th = np.zeros(len(self.W), dtype=np.int64)
+            w_th[winv] = dst_th  # any occurrence: th is a pure key fn
+            w_owner = w_th % self.P
+            bounds = np.flatnonzero(src[1:] != src[:-1]) + 1
+            starts = np.concatenate([[0], bounds])
+            self.indptr = np.concatenate([starts, [len(src)]]).astype(
+                np.int64
+            )
+            self.nbr_wpos = winv.astype(np.int64)
+            self.src_pos = np.searchsorted(self.verts, src[starts])
+
+        # W split by owner: positions (into W) each sender covers, in the
+        # sender's sorted-key order (W is sorted, so the per-owner
+        # subsequence is sorted too — the subscription contract)
+        self.w_pos_by_owner = [
+            np.flatnonzero(w_owner == q) for q in range(self.P)
+        ]
+        # self coverage: positions of own vertices inside W
+        mine = self.w_pos_by_owner[self.part_id]
+        self.self_w_pos = mine
+        self.self_own_idx = np.searchsorted(self.verts, self.W[mine])
+        # subscriber -> indices of OWN vertices to emit (set in
+        # set_subscriptions); R_in buffer reused every hop
+        self.emit_idx: list[np.ndarray | None] = [None] * self.P
+        self.R = np.zeros((len(self.W), ANF_M), dtype=np.uint8)
+
+    def get_needs(self) -> list:
+        """For each sender q: the sorted keys of W owned by q (empty for
+        self — the self slice never ships)."""
+        return [
+            np.array([], dtype=object)
+            if q == self.part_id
+            else self.W[self.w_pos_by_owner[q]]
+            for q in range(self.P)
+        ]
+
+    def set_subscriptions(self, needs_by_subscriber: dict) -> None:
+        """needs_by_subscriber[p] = sorted keys (owned by me) p needs."""
+        for p, keys in needs_by_subscriber.items():
+            k = np.asarray(keys, dtype=object)
+            self.emit_idx[int(p)] = np.searchsorted(self.verts, k)
+
+    def stats(self) -> tuple[int, int]:
+        return int(self.B.sum(dtype=np.int64)), int(
+            np.count_nonzero(self.B)
+        )
+
+    def estimates_sum(self) -> float:
+        """Sum over owned vertices of the per-vertex HLL estimate of
+        |ball(v)| — the partition's contribution to N-hat."""
+        if not len(self.verts):
+            return 0.0
+        s = np.ldexp(1.0, -self.B.astype(np.int64)).sum(axis=1)
+        zeros = (self.B == 0).sum(axis=1)
+        e_raw = ANF_ALPHA * ANF_M * ANF_M / s
+        small = (e_raw <= 2.5 * ANF_M) & (zeros > 0)
+        est = np.where(
+            small,
+            ANF_M * np.log(ANF_M / np.maximum(zeros, 1)),
+            e_raw,
+        )
+        return float(est.sum())
+
+    def emit(self) -> list:
+        """Current registers for each subscriber (self slot empty)."""
+        out = []
+        for p in range(self.P):
+            idx = self.emit_idx[p]
+            if p == self.part_id or idx is None or not len(idx):
+                out.append(np.zeros((0, ANF_M), dtype=np.uint8))
+            else:
+                out.append(self.B[idx])
+        if self.P == 1:
+            return out[0]
+        return out
+
+    def step(self, *incoming) -> tuple:
+        """One hop: merge neighbors' previous registers into own state,
+        then emit the updated slices.  Returns (stats, out_0..out_{P-1})
+        with stats = (register_sum, nonzero_registers) of own vertices
+        AFTER the hop."""
+        # assemble R over W: senders' arrays align with w_pos_by_owner
+        qi = 0
+        for q in range(self.P):
+            if q == self.part_id:
+                if len(self.self_w_pos):
+                    self.R[self.self_w_pos] = self.B[self.self_own_idx]
+                continue
+            inc = incoming[qi]
+            qi += 1
+            pos = self.w_pos_by_owner[q]
+            if inc is not None and len(pos):
+                self.R[pos] = inc
+        if len(self.src_pos):
+            nbr_max = np.maximum.reduceat(
+                self.R[self.nbr_wpos], self.indptr[:-1], axis=0
+            )
+            # fancy indexing yields a copy — assign back, never out=
+            self.B[self.src_pos] = np.maximum(
+                self.B[self.src_pos], nbr_max
+            )
+        outs = self.emit()
+        if self.P == 1:
+            outs = [outs]
+        return (self.stats(), *outs)
+
+
+def neighborhood_function(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    hops: int = ANF_HOPS,
+    num_parts: int | None = None,
+) -> pd.DataFrame:
+    """HyperANF over the edge list: one row per hop t = 0..hops with the
+    exact integer register fingerprints (register_sum,
+    nonzero_registers — the gate columns) and the float N-hat estimate
+    of sum_v |ball(v, t)|.  Reuses the walk engine's build-once
+    partitioned layout in ``work_dir``."""
+    from webgraph_ray.graph.walk_engine import build_walk_layout
+
+    if num_parts is None:
+        num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    P = int(num_parts)
+    if not os.path.isdir(os.path.join(work_dir, "edges")):
+        build_walk_layout(edges, work_dir, P)
+    actors = [AnfPartition.remote(work_dir, q, P) for q in range(P)]
+    try:
+        # init handshake: subscriptions, one round
+        needs = ray.get([a.get_needs.remote() for a in actors])
+        ray.get(
+            [
+                actors[q].set_subscriptions.remote(
+                    {
+                        p: needs[p][q]
+                        for p in range(P)
+                        if p != q and len(needs[p][q])
+                    }
+                )
+                for q in range(P)
+            ]
+        )
+        rows = []
+        st = ray.get([a.stats.remote() for a in actors])
+        est = sum(ray.get([a.estimates_sum.remote() for a in actors]))
+        rows.append(
+            (0, sum(s[0] for s in st), sum(s[1] for s in st), est)
+        )
+        # outs[q][p]: q's emitted registers for p
+        outs = [
+            a.emit.options(num_returns=P).remote()
+            if P > 1
+            else [a.emit.remote()]
+            for a in actors
+        ]
+        outs = [list(o) if P > 1 else o for o in outs]
+        for t in range(1, int(hops) + 1):
+            rets = [
+                actors[p].step.options(num_returns=P + 1).remote(
+                    *[outs[q][p] for q in range(P) if q != p]
+                )
+                for p in range(P)
+            ]
+            rets = [list(r) for r in rets]
+            st = ray.get([r[0] for r in rets])
+            est = sum(ray.get([a.estimates_sum.remote() for a in actors]))
+            rows.append(
+                (t, sum(s[0] for s in st), sum(s[1] for s in st), est)
+            )
+            outs = [r[1:] for r in rets]
+        return pd.DataFrame(
+            rows,
+            columns=["hop", "register_sum", "nonzero_registers", "n_hat"],
+        ).astype(
+            {
+                "hop": np.int64,
+                "register_sum": np.int64,
+                "nonzero_registers": np.int64,
+            }
+        )
+    finally:
+        for a in actors:
+            ray.kill(a, no_restart=True)
+
+
+def effective_diameter(nf: pd.DataFrame, frac: float = 0.9) -> int:
+    """Smallest hop t with N-hat(t) >= frac * N-hat(max hop) — the
+    standard HyperANF effective-diameter readout (interpolation-free
+    integer variant)."""
+    target = frac * float(nf["n_hat"].iloc[-1])
+    ok = nf[nf["n_hat"] >= target]
+    return int(ok["hop"].iloc[0])
+
+
+def anf_sql(cte_prefix: str, hops: int = ANF_HOPS) -> str:
+    """DuckDB mirror of the exact integer register evolution: same
+    vertex hash + mix + rank idiom as the Ray side, hops unrolled as
+    materialized CTEs over the ``edges`` relation supplied by
+    ``cte_prefix``.  Returns (hop, register_sum, nonzero_registers)."""
+    from webgraph_ray.functions.texthash import sql_token_hash_expr
+
+    h = sql_token_hash_expr("vertex_key")
+    mix = (
+        f"((({h} * {h}) % {M}) * {KMV_C1} % {M}"
+        f" + ({h} * {KMV_C2}) % {M} + {KMV_C3}) % {M}"
+    )
+    parts = [
+        f"""anf_v AS MATERIALIZED (
+    SELECT vertex_key, {mix} AS u FROM (
+        SELECT src_key AS vertex_key FROM edges
+        UNION
+        SELECT dst_key FROM edges
+    )
+),
+anf_r0 AS MATERIALIZED (
+    SELECT vertex_key, u // {ANF_WMOD} AS j,
+           CASE WHEN u % {ANF_WMOD} = 0 THEN {ANF_RMAX}
+                ELSE {ANF_RMAX} - length(bin(u % {ANF_WMOD})) END AS rho
+    FROM anf_v
+)"""
+    ]
+    for t in range(1, int(hops) + 1):
+        parts.append(
+            f"""anf_r{t} AS MATERIALIZED (
+    SELECT vertex_key, j, max(rho) AS rho FROM (
+        SELECT vertex_key, j, rho FROM anf_r{t - 1}
+        UNION ALL
+        SELECT e.src_key, r.j, r.rho
+        FROM edges e JOIN anf_r{t - 1} r ON r.vertex_key = e.dst_key
+    ) GROUP BY 1, 2
+)"""
+        )
+    sums = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS hop,"
+        f" CAST(sum(rho) AS BIGINT) AS register_sum,"
+        f" CAST(count(*) AS BIGINT) AS nonzero_registers FROM anf_r{t}"
+        for t in range(int(hops) + 1)
+    )
+    return (
+        cte_prefix + ",\n" + ",\n".join(parts) + "\n" + sums
+        + "\nORDER BY hop"
+    )
