@@ -903,7 +903,13 @@ def q_sketches(sf_dir: str):
     the per-hop register_sum / nonzero_registers gate values are the
     EXACT integer register state, mirrored by unrolled DuckDB CTEs —
     the float N-hat / effective-diameter readout is pytest-pinned vs
-    exact BFS ball sizes (tests/test_anf.py)."""
+    exact BFS ball sizes (tests/test_anf.py).  The 'lbq' kind is the
+    log-bucket quantile sketch — the mergeable quantile path for
+    unbounded value domains (value_quantiles' exact histogram needs a
+    bounded domain): per-block (type, bit_length bucket, count)
+    partials merged by addition, quantile estimate = the lower bound of
+    the bucket holding the ceil(q*n)-th value (a 2x bracket of the
+    exact quantile, cross-pinned in tests/test_lbq.py)."""
     import tempfile
 
     from webgraph_ray.graph.anf import ANF_HOPS, neighborhood_function
@@ -913,6 +919,7 @@ def q_sketches(sf_dir: str):
         cms_hot_keys,
         hll_distinct,
         kmv_distinct,
+        logbucket_quantiles,
         stratified_sample,
     )
 
@@ -922,6 +929,7 @@ def q_sketches(sf_dir: str):
     cms = cms_hot_keys(_edges(sf_dir), key_col="dst_key", min_count=500)
     strat = stratified_sample(_raw_events(sf_dir), n=5)
     pca = pca_moment_rows(_embs(sf_dir))
+    lbq = logbucket_quantiles(_raw_events(sf_dir))
     with tempfile.TemporaryDirectory(prefix="anf_layout_") as wd:
         anf = neighborhood_function(_edges(sf_dir), wd, hops=ANF_HOPS)
     rows = (
@@ -962,6 +970,12 @@ def q_sketches(sf_dir: str):
             ("anf", f"h{int(t)}_{c}", int(anf[c].iloc[i]))
             for i, t in enumerate(anf["hop"])
             for c in ("register_sum", "nonzero_registers")
+        ]
+        + [
+            ("lbq", f"{et}:{int(p)}", int(v))
+            for et, p, v in zip(
+                lbq["event_type"], lbq["quantile_pct"], lbq["est_lo_cents"]
+            )
         ]
     )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
@@ -2240,6 +2254,11 @@ def _build_training_oracles() -> dict[str, str]:
                    AS key,
                unnest([register_sum, nonzero_registers]) AS value
         FROM ({_anf.anf_sql(_CTE_MAT)})
+        UNION ALL
+        SELECT 'lbq' AS sketch,
+               event_type || ':' || CAST(quantile_pct AS VARCHAR) AS key,
+               est_lo_cents AS value
+        FROM ({_sk.logbucket_quantiles_sql()})
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),

@@ -620,3 +620,122 @@ SELECT CAST({BLOOM_M} AS BIGINT) AS m,
            AS est_distinct,
        CAST((SELECT hits FROM bl_fp) AS BIGINT) AS fp_probes_hit
 FROM bl_agg"""
+
+
+# ---------------------------------------------------------------------------
+# log-bucket quantile sketch: the mergeable-quantile path for UNBOUNDED
+# value domains (windows.value_quantiles is exact but only feasible when
+# the distinct-value domain is bounded — its own docstring defers to "a
+# sketch" otherwise; this is that sketch).  Per-block partials are
+# (event_type, bucket, count) with bucket = bit_length(cents), at most
+# ~66 rows per type per block at ANY data size, merged by addition; the
+# q-quantile estimate is the lower bound of the bucket containing the
+# ceil(q*n)-th value — a guaranteed 2x-range bracket of the exact
+# discrete quantile.  Everything is exact integer arithmetic, so the
+# DuckDB mirror is bit-identical.
+# ---------------------------------------------------------------------------
+
+LBQ_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def logbucket_quantiles(
+    events: "ray.data.Dataset",
+    quantiles: tuple[int, ...] = LBQ_QUANTILES,
+) -> pd.DataFrame:
+    """(event_type, quantile_pct, bucket, est_lo_cents) per event type:
+    mergeable approximate quantiles over the half-up cent values (the
+    shared windows convention).  bucket = -1 for negative cents, 0 for
+    zero, else bit_length(cents); est_lo_cents = the bucket's lower
+    bound (the estimate's guarantee: est_lo <= exact quantile <
+    2*est_lo for positive buckets, pinned in tests/test_lbq.py)."""
+    from webgraph_ray.stages.windows import _cents
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["value"])
+        # bit_length via frexp exponents (exact for |c| < 2^53), the
+        # same idiom as the HLL rank and SQL's length(bin(cents))
+        pos = np.maximum(c, 1).astype(np.float64)
+        blen = np.frexp(pos)[1]
+        b = np.where(c < 0, -1, np.where(c == 0, 0, blen)).astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": df["event_type"].astype(str), "bucket": b})
+            .groupby(["event_type", "bucket"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    parts = (
+        events.select_columns(["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    if len(parts):
+        h = (
+            parts.groupby(["event_type", "bucket"], sort=True)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        for et, grp in h.groupby("event_type", sort=True):
+            grp = grp.sort_values("bucket", kind="mergesort")
+            cnt = grp["cnt"].to_numpy(np.int64)
+            buckets = grp["bucket"].to_numpy(np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            for pct in quantiles:
+                rank = (n * int(pct) + 99) // 100
+                b = int(buckets[int(np.searchsorted(cum, rank))])
+                lo = -1 if b == -1 else (0 if b == 0 else 1 << (b - 1))
+                rows.append((et, int(pct), b, lo))
+    return pd.DataFrame(
+        rows, columns=["event_type", "quantile_pct", "bucket", "est_lo_cents"]
+    ).astype(
+        {
+            "quantile_pct": np.int64,
+            "bucket": np.int64,
+            "est_lo_cents": np.int64,
+        }
+    )
+
+
+def logbucket_quantiles_sql(
+    quantiles: tuple[int, ...] = LBQ_QUANTILES, table: str = "events"
+) -> str:
+    """DuckDB mirror: same half-up cents, length(bin()) bucket, exact
+    integer ceil-rank pick, identical lower-bound arithmetic."""
+    qlist = "[" + ", ".join(str(int(q)) for q in quantiles) + "]"
+    return f"""
+WITH lbq_c AS (
+    SELECT event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM {table}
+),
+lbq_h AS (
+    SELECT event_type,
+           CASE WHEN cents < 0 THEN -1 WHEN cents = 0 THEN 0
+                ELSE length(bin(cents)) END AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lbq_c GROUP BY 1, 2
+),
+lbq_cum AS (
+    SELECT event_type, bucket,
+           SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+           SUM(cnt) OVER (PARTITION BY event_type) AS n
+    FROM lbq_h
+),
+lbq_pick AS (
+    SELECT c.event_type, q.quantile_pct, MIN(c.bucket) AS bucket
+    FROM lbq_cum c CROSS JOIN (SELECT unnest({qlist}) AS quantile_pct) q
+    WHERE c.cum >= (c.n * q.quantile_pct + 99) // 100
+    GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(quantile_pct AS BIGINT) AS quantile_pct,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(CASE WHEN bucket = -1 THEN -1 WHEN bucket = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) END
+            AS BIGINT) AS est_lo_cents
+FROM lbq_pick
+ORDER BY event_type, quantile_pct"""
