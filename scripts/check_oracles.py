@@ -91,9 +91,13 @@ def main() -> int:
             elif isinstance(res, pa.Table):
                 res = res.to_pandas()
             con = fresh_con()
-            exp = con.execute(osql[name]).df()
-            con.close()
-            del con
+            try:
+                exp = con.execute(osql[name]).df()
+            finally:
+                # close on failure too: a leaked connection per failing
+                # query re-creates the accumulating-buffer bad_alloc
+                con.close()
+                del con
             import gc
 
             gc.collect()  # release the closed db's buffers promptly

@@ -153,3 +153,26 @@ def test_effective_diameter_chain(tmp_path):
         _edges_ds(star), str(tmp_path / "anf_star"), hops=4, num_parts=2
     )
     assert effective_diameter(nf2) <= 2
+
+
+def test_layout_partition_count_guard(tmp_path):
+    """Regression (round-5 review): reusing a walk/ANF layout built
+    with a different partition count must raise, not silently
+    mis-route (hive dirs keyed th % P_old vs routing th % P_new)."""
+    import pytest
+
+    from webgraph_ray.graph.walk_engine import (
+        build_walk_layout,
+        random_walks_engine,
+    )
+
+    edges = _graph(n=20, extra=10)
+    wd = str(tmp_path / "layout_p4")
+    build_walk_layout(_edges_ds(edges), wd, 4)
+    with pytest.raises(ValueError, match="num_parts"):
+        random_walks_engine(_edges_ds(edges), wd, num_parts=2)
+    with pytest.raises(ValueError, match="num_parts"):
+        neighborhood_function(_edges_ds(edges), wd, hops=2, num_parts=2)
+    # matching P reuses the layout fine
+    nf = neighborhood_function(_edges_ds(edges), wd, hops=2, num_parts=4)
+    assert len(nf) == 3

@@ -109,3 +109,32 @@ def test_ivfpq_prebuilt_index_reuse_is_byte_identical():
     rr_b = ivfpq_ann_topk(ds, [0, 1], k=5, nlist=4, nprobe=2, rerank=20)
     assert fresh.equals(reused)
     assert rr_a.equals(rr_b)
+
+
+def test_rerank_shortlist_not_truncated_at_k():
+    """Regression (round-5 review): the ADC partials must keep
+    max(k, rerank) candidates per (query, cluster, batch) — truncating
+    at k made the 'exact rerank of the ADC top-rerank' contract false
+    whenever PQ is lossy.  With rerank >= all probed candidates the
+    result must equal the exact int64-L2 top-k among probed clusters
+    REGARDLESS of quantization error (n=600 makes PQ genuinely lossy,
+    unlike the n=80 fixture where ADC is near-exact)."""
+    mat = _fixture(n=600, seed=9)
+    queries = [0, 11, 222]
+    got = ivfpq_ann_topk(
+        _emb_ds(mat, 3), queries, k=5, nlist=4, nprobe=2, rerank=10_000
+    )
+    C, _ = kmeans_fit(_emb_ds(mat), k=4, iters=3)
+    X = np.floor(mat.astype(np.float64) * SCALE).astype(np.int64)
+    assign = _assign_ids(X, C)
+    for q in queries:
+        d2c = ((X[q][None, :] - C) ** 2).sum(axis=1)
+        probe = np.argsort(d2c, kind="stable")[:2]
+        cand = np.flatnonzero(
+            np.isin(assign, probe) & (np.arange(len(mat)) != q)
+        )
+        d2 = ((X[cand] - X[q]) ** 2).sum(axis=1, dtype=np.int64)
+        order = np.lexsort((cand, d2))[:5]
+        exp = list(cand[order])
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["neighbor_id"]) == exp, (q, list(g["neighbor_id"]), exp)

@@ -80,26 +80,13 @@ class AnfPartition:
     subscribing partition needs."""
 
     def __init__(self, work_dir: str, part_id: int, num_parts: int):
-        import pyarrow.parquet as pq
+        from webgraph_ray.graph.walk_engine import read_layout_partition
 
         self.part_id = int(part_id)
         self.P = int(num_parts)
 
         def _read(sub: str, columns) -> pa.Table | None:
-            d = os.path.join(work_dir, sub, f"part={part_id}")
-            if not os.path.isdir(d):
-                return None
-            files = [
-                os.path.join(dp, f)
-                for dp, _, fns in os.walk(d)
-                for f in fns
-                if f.endswith(".parquet")
-            ]
-            if not files:
-                return None
-            return pa.concat_tables(
-                [pq.read_table(f, columns=columns) for f in files]
-            )
+            return read_layout_partition(work_dir, sub, part_id, columns)
 
         # own vertex universe + initial registers
         vt = _read("verts", ["vertex_key", "th"])
@@ -178,16 +165,13 @@ class AnfPartition:
             k = np.asarray(keys, dtype=object)
             self.emit_idx[int(p)] = np.searchsorted(self.verts, k)
 
-    def stats(self) -> tuple[int, int]:
-        return int(self.B.sum(dtype=np.int64)), int(
-            np.count_nonzero(self.B)
-        )
-
-    def estimates_sum(self) -> float:
-        """Sum over owned vertices of the per-vertex HLL estimate of
-        |ball(v)| — the partition's contribution to N-hat."""
+    def stats(self) -> tuple[int, int, float]:
+        """(register_sum, nonzero_registers, N-hat contribution) of the
+        owned vertices — one call per hop, no separate estimate round."""
+        rs = int(self.B.sum(dtype=np.int64))
+        nz = int(np.count_nonzero(self.B))
         if not len(self.verts):
-            return 0.0
+            return rs, nz, 0.0
         s = np.ldexp(1.0, -self.B.astype(np.int64)).sum(axis=1)
         zeros = (self.B == 0).sum(axis=1)
         e_raw = ANF_ALPHA * ANF_M * ANF_M / s
@@ -197,7 +181,7 @@ class AnfPartition:
             ANF_M * np.log(ANF_M / np.maximum(zeros, 1)),
             e_raw,
         )
-        return float(est.sum())
+        return rs, nz, float(est.sum())
 
     def emit(self) -> list:
         """Current registers for each subscriber (self slot empty)."""
@@ -254,12 +238,15 @@ def neighborhood_function(
     nonzero_registers — the gate columns) and the float N-hat estimate
     of sum_v |ball(v, t)|.  Reuses the walk engine's build-once
     partitioned layout in ``work_dir``."""
-    from webgraph_ray.graph.walk_engine import build_walk_layout
+    from webgraph_ray.graph.walk_engine import (
+        build_walk_layout,
+        check_walk_layout,
+    )
 
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
-    if not os.path.isdir(os.path.join(work_dir, "edges")):
+    if not check_walk_layout(work_dir, P):
         build_walk_layout(edges, work_dir, P)
     actors = [AnfPartition.remote(work_dir, q, P) for q in range(P)]
     try:
@@ -279,9 +266,13 @@ def neighborhood_function(
         )
         rows = []
         st = ray.get([a.stats.remote() for a in actors])
-        est = sum(ray.get([a.estimates_sum.remote() for a in actors]))
         rows.append(
-            (0, sum(s[0] for s in st), sum(s[1] for s in st), est)
+            (
+                0,
+                sum(s[0] for s in st),
+                sum(s[1] for s in st),
+                sum(s[2] for s in st),
+            )
         )
         # outs[q][p]: q's emitted registers for p
         outs = [
@@ -300,9 +291,13 @@ def neighborhood_function(
             ]
             rets = [list(r) for r in rets]
             st = ray.get([r[0] for r in rets])
-            est = sum(ray.get([a.estimates_sum.remote() for a in actors]))
             rows.append(
-                (t, sum(s[0] for s in st), sum(s[1] for s in st), est)
+                (
+                    t,
+                    sum(s[0] for s in st),
+                    sum(s[1] for s in st),
+                    sum(s[2] for s in st),
+                )
             )
             outs = [r[1:] for r in rets]
         return pd.DataFrame(

@@ -105,6 +105,56 @@ def build_walk_layout(
     narrow.map_batches(prep_verts, batch_format="pyarrow").write_parquet(
         os.path.join(work_dir, "verts"), partition_cols=["part"]
     )
+    # partition-count manifest: hive dirs are keyed th % P, so reusing a
+    # layout at a different P silently mis-routes — written last so a
+    # complete manifest implies a complete layout
+    import json
+
+    with open(os.path.join(work_dir, "layout_meta.json"), "w") as f:
+        json.dump({"num_parts": P}, f)
+
+
+def check_walk_layout(work_dir: str, num_parts: int) -> bool:
+    """True if ``work_dir`` holds a complete layout; raises if it holds
+    one built with a DIFFERENT partition count (routing by th % P_new
+    over hive dirs keyed th % P_old silently loses the graph)."""
+    import json
+
+    if not os.path.isdir(os.path.join(work_dir, "edges")):
+        return False
+    meta_path = os.path.join(work_dir, "layout_meta.json")
+    built_p = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            built_p = json.load(f).get("num_parts")
+    if built_p != int(num_parts):
+        raise ValueError(
+            f"walk layout at {work_dir} was built with num_parts="
+            f"{built_p}, requested {num_parts}; rebuild the layout or "
+            f"pass the original num_parts"
+        )
+    return True
+
+
+def read_layout_partition(
+    work_dir: str, sub: str, part_id: int, columns
+) -> pa.Table | None:
+    """Read one hive partition of the walk layout (edges/verts) — the
+    single on-disk contract shared by WalkPartition and AnfPartition."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(work_dir, sub, f"part={part_id}")
+    if not os.path.isdir(d):
+        return None
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(d)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
 
 
 @ray.remote(num_cpus=0)
@@ -117,26 +167,11 @@ class WalkPartition:
     between actors and never touches walker data."""
 
     def __init__(self, work_dir: str, part_id: int, num_parts: int):
-        import pyarrow.parquet as pq
-
         self.part_id = int(part_id)
         self.P = int(num_parts)
 
         def _read(sub: str, columns) -> pa.Table:
-            d = os.path.join(work_dir, sub, f"part={part_id}")
-            if not os.path.isdir(d):
-                return None
-            files = [
-                os.path.join(dp, f)
-                for dp, _, fns in os.walk(d)
-                for f in fns
-                if f.endswith(".parquet")
-            ]
-            if not files:
-                return None
-            return pa.concat_tables(
-                [pq.read_table(f, columns=columns) for f in files]
-            )
+            return read_layout_partition(work_dir, sub, part_id, columns)
 
         et = _read("edges", ["src_key", "dst_key", "th_src", "th_dst"])
         if et is None or et.num_rows == 0:
@@ -388,7 +423,7 @@ def random_walks_engine(
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
-    if not os.path.isdir(os.path.join(work_dir, "edges")):
+    if not check_walk_layout(work_dir, P):
         build_walk_layout(edges, work_dir, P)
     actors = [WalkPartition.remote(work_dir, q, P) for q in range(P)]
     try:

@@ -276,7 +276,11 @@ def ivfpq_ann_topk(
                     continue
                 d2 = lut[jj, codes[mask]].sum(axis=1, dtype=np.int64)
                 vk = vec_id[mask]
-                order = np.lexsort((vk, d2))[:k]
+                # keep max(k, rerank) per (query, cluster, batch): the
+                # rerank shortlist is the ADC top-`rerank`, so truncating
+                # partials at k would drop candidates the exact refine
+                # step is contractually owed (found in round-5 review)
+                order = np.lexsort((vk, d2))[: max(k, rerank)]
                 out.append(
                     pd.DataFrame(
                         {"query_id": q, "neighbor_id": vk[order], "d2": d2[order]}

@@ -121,6 +121,9 @@ def pca_moments_sql(dim: int = 64, table: str = "embeddings") -> str:
         f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {S}.0) AS BIGINT)"
         f" AS q FROM {table}"
     )
+    # COALESCE + the range(d) LEFT JOIN keep the mirror's 3 + d row
+    # shape (with zero values) on an EMPTY table, matching the Python
+    # side exactly
     return f"""
     WITH qv AS ({qv}),
     gm AS (
@@ -130,17 +133,22 @@ def pca_moments_sql(dim: int = 64, table: str = "embeddings") -> str:
     SELECT 'n' AS key, CAST(count(*) AS BIGINT) AS value FROM {table}
     UNION ALL
     SELECT 'trace_fp',
-           CAST(((SUM(CAST(q AS HUGEINT) * q) % {P}) + {P}) % {P} AS BIGINT)
+           CAST(((COALESCE(SUM(CAST(q AS HUGEINT) * q), 0) % {P}) + {P})
+                % {P} AS BIGINT)
     FROM qv
     UNION ALL
     SELECT 'gram_fp',
-           CAST(SUM(CAST(((gij % {P}) + {P}) % {P} AS HUGEINT)
-                    * (i * {d} + j + 1)) % {P} AS BIGINT)
+           CAST(((COALESCE(SUM(CAST(((gij % {P}) + {P}) % {P} AS HUGEINT)
+                               * (i * {d} + j + 1)), 0) % {P}) + {P}) % {P}
+                AS BIGINT)
     FROM gm
     UNION ALL
-    SELECT 's' || lpad(CAST(i AS VARCHAR), 2, '0') || '_fp',
-           CAST(((SUM(CAST(q AS HUGEINT)) % {P}) + {P}) % {P} AS BIGINT)
-    FROM qv GROUP BY i
+    SELECT 's' || lpad(CAST(dims.i AS VARCHAR), 2, '0') || '_fp',
+           CAST(((COALESCE(SUM(CAST(q AS HUGEINT)), 0) % {P}) + {P}) % {P}
+                AS BIGINT)
+    FROM (SELECT unnest(range({d})) AS i) dims
+    LEFT JOIN qv ON qv.i = dims.i
+    GROUP BY dims.i
     """
 
 

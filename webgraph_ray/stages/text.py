@@ -595,6 +595,16 @@ def bm25_topk(docs: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
         dl = dl_map.reindex(tf["doc_id"]).to_numpy(np.int64)
         tfv = tf["tf"].to_numpy(np.int64)
         dfv = dfr.reindex(tf["term"]).to_numpy(np.int64)
+        # int64 headroom: the largest product is 44*TT*tf*TP_SCALE
+        # (the SQL mirror's BIGINT errors loudly on the same bound) —
+        # fail loudly rather than wrap silently, house convention
+        tfmax = int(tfv.max())
+        if 44 * tt * tfmax * BM25_TP_SCALE >= 2**63:
+            raise ValueError(
+                f"bm25_topk: int64 headroom exceeded "
+                f"(total_tokens={tt}, max tf={tfmax}); lower "
+                f"BM25_TP_SCALE or score per shard"
+            )
         idf_fp = ((2 * (n_docs - dfv) + 1) * BM25_IDF_SCALE) // (2 * dfv + 1)
         tf_part = (44 * tt * tfv * BM25_TP_SCALE) // (
             20 * tt * tfv + 6 * tt + 18 * dl * n_docs
