@@ -183,3 +183,84 @@ def test_hll_register_kernel_matches_brute(texts):
         rho = (HLL_WBITS + 1) - w.bit_length()
         want[j] = max(want[j], rho)
     assert (got == want).all()
+
+
+# ---------------------------------------------------------------------------
+# round-5 kernels: ANF register init, LBQ bucketing, BM25 score shape
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, (1 << 31) - 2), min_size=1, max_size=50))
+def test_anf_register_init_matches_pure_python(ths):
+    from webgraph_ray.functions.texthash import M
+    from webgraph_ray.graph.anf import (
+        ANF_M,
+        ANF_RMAX,
+        ANF_WBITS,
+        ANF_WMOD,
+        _registers_from_th,
+    )
+    from webgraph_ray.stages.sketch import KMV_C1, KMV_C2, KMV_C3
+
+    j, rho = _registers_from_th(np.array(ths, dtype=np.int64))
+    for i, th in enumerate(ths):
+        u = (((th * th) % M) * KMV_C1 % M + (th * KMV_C2) % M + KMV_C3) % M
+        w = u & (ANF_WMOD - 1)
+        exp_rho = ANF_RMAX if w == 0 else ANF_RMAX - w.bit_length()
+        assert int(j[i]) == u >> ANF_WBITS
+        assert 0 <= int(j[i]) < ANF_M
+        assert int(rho[i]) == exp_rho
+        assert 1 <= int(rho[i]) <= ANF_RMAX
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=60))
+def test_lbq_bucket_is_bit_length_and_brackets(cents):
+    # the stage buckets via frexp exponents; the property it must
+    # satisfy: bucket == bit_length for positive cents, and the bucket
+    # lower bound 2^(b-1) brackets the value within a 2x range
+    pos = np.maximum(np.array(cents, dtype=np.int64), 1).astype(np.float64)
+    blen = np.frexp(pos)[1]
+    c = np.array(cents, dtype=np.int64)
+    b = np.where(c < 0, -1, np.where(c == 0, 0, blen)).astype(np.int64)
+    for ci, bi in zip(cents, b):
+        if ci > 0:
+            assert int(bi) == int(ci).bit_length()
+            assert (1 << (bi - 1)) <= ci < (1 << bi)
+        elif ci == 0:
+            assert bi == 0
+        else:
+            assert bi == -1
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(1, 10**6),  # total tokens TT
+    st.integers(1, 10**3),  # n docs
+    st.integers(1, 100),  # dl
+    st.integers(1, 50),  # tf
+    st.integers(1, 10**3),  # df
+)
+def test_bm25_integer_score_shape(tt, n, dl, tf, df):
+    from webgraph_ray.stages.text import BM25_IDF_SCALE, BM25_TP_SCALE
+
+    df = min(df, n)
+
+    def idf(dfv):
+        return ((2 * (n - dfv) + 1) * BM25_IDF_SCALE) // (2 * dfv + 1)
+
+    def tp(tfv, dlv):
+        return (44 * tt * tfv * BM25_TP_SCALE) // (
+            20 * tt * tfv + 6 * tt + 18 * dlv * n
+        )
+
+    # BM25 shape: tf saturation (non-decreasing in tf), length
+    # normalization (non-increasing in dl), idf non-increasing in df
+    assert tp(tf + 1, dl) >= tp(tf, dl)
+    assert tp(tf, dl + 1) <= tp(tf, dl)
+    if df + 1 <= n:
+        assert idf(df + 1) <= idf(df)
+    # score bounded: tf_part < (k1+1) * TP_SCALE = 2.2 * TP_SCALE
+    assert 0 <= tp(tf, dl) <= (22 * BM25_TP_SCALE) // 10 + 1
+    assert idf(df) >= 0
