@@ -147,3 +147,38 @@ def test_empty_and_fingerprint_range():
     assert 0 <= int(vals["gram_fp"]) < PCA_FP_MOD
     assert 0 <= int(vals["trace_fp"]) < PCA_FP_MOD
     assert len(rows) == 3 + 64
+
+
+def test_pca_semdedup_composition():
+    """The SemDeDup recipe composes through the public API: project to
+    the top components, rebuild an embedding table over the reduced
+    vectors, run semdedup there.  An exact duplicate pair (cosine 1 in
+    ANY projection) must still be caught in the reduced space."""
+    import pyarrow as pa
+
+    from webgraph_ray.stages.cluster import semdedup
+
+    mat = _fixture(n=60, seed=4)
+    mat[7] = mat[3]  # planted exact duplicate
+    fit = pca_fit(_emb_ds(mat), n_components=8)
+    proj = pca_project(_emb_ds(mat), fit).to_pandas().sort_values("vec_id")
+    reduced = pa.table(
+        {
+            "vec_id": pa.array(proj["vec_id"].to_numpy(np.int64)),
+            "embedding": pa.array(
+                [
+                    row.astype(np.float32)
+                    for row in proj[[f"pc{i}" for i in range(8)]].to_numpy()
+                ],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    res = (
+        semdedup(ray.data.from_arrow(reduced), k=4, threshold=0.99)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert int(res.loc[7, "is_dup"]) == 1
+    assert int(res.loc[7, "dup_of"]) == 3
+    assert int(res.loc[3, "is_dup"]) == 0
