@@ -232,17 +232,37 @@ def neighborhood_function(
     work_dir: str,
     hops: int = ANF_HOPS,
     num_parts: int | None = None,
+    reverse: bool = False,
 ) -> pd.DataFrame:
     """HyperANF over the edge list: one row per hop t = 0..hops with the
     exact integer register fingerprints (register_sum,
     nonzero_registers — the gate columns) and the float N-hat estimate
     of sum_v |ball(v, t)|.  Reuses the walk engine's build-once
-    partitioned layout in ``work_dir``."""
+    partitioned layout in ``work_dir``.
+
+    ``reverse=True`` computes IN-balls (how many vertices can reach v
+    within t hops — the audience/influence readout) by building the
+    layout over the transposed edge list; forward and reverse GLOBAL
+    N-hat coincide on any graph (each counts reachable pairs once),
+    which the pytest pins."""
     from webgraph_ray.graph.walk_engine import (
         build_walk_layout,
         check_walk_layout,
     )
 
+    if reverse:
+
+        def _swap(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src_key": t["dst_key"],
+                    "dst_key": t["src_key"],
+                }
+            )
+
+        edges = edges.select_columns(["src_key", "dst_key"]).map_batches(
+            _swap, batch_format="pyarrow"
+        )
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
