@@ -267,6 +267,7 @@ def run_suite() -> dict:
     # reps — actors only read it — so the stage time is pure hop cost.
     from webgraph_ray.graph.anf import (
         effective_diameter,
+        mean_distance,
         neighborhood_function,
     )
 
@@ -279,6 +280,7 @@ def run_suite() -> dict:
         )
         extras["anf_nhat_final"] = round(float(nf["n_hat"].iloc[-1]), 1)
         extras["anf_effective_diameter"] = int(effective_diameter(nf))
+        extras["anf_mean_distance"] = round(mean_distance(nf), 3)
         return nf
 
     timed("anf", st_anf)
@@ -326,6 +328,24 @@ def run_suite() -> dict:
         )
 
     timed("sketches", st_sketches)
+
+    # 6a0. BM25 ranked-retrieval scoring (two passes: df partials with
+    # corpus scalars riding as meta rows, broadcast shuffle-free scoring)
+    # and the log-bucket quantile sketch (one pass, <=66 rows/type/block
+    # partials) — each its own key for round-over-round comparability.
+    from webgraph_ray.stages.sketch import logbucket_quantiles
+    from webgraph_ray.stages.text import bm25_topk
+
+    extras["bm25_rows"] = int(len(timed("bm25", lambda: bm25_topk(docs))))
+
+    def st_lbq():
+        ev = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        return logbucket_quantiles(ev)
+
+    extras["lbq_rows"] = int(len(timed("lbq", st_lbq)))
 
     # 6a. round-4 curation ops: repetition quality signals (Gopher rules),
     # benchmark decontamination (broadcast shingle membership, no shuffle),

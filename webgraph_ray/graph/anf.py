@@ -344,6 +344,20 @@ def effective_diameter(nf: pd.DataFrame, frac: float = 0.9) -> int:
     return int(ok["hop"].iloc[0])
 
 
+def mean_distance(nf: pd.DataFrame) -> float:
+    """Estimated mean shortest-path distance over reachable pairs:
+    sum_t t * (N-hat(t) - N-hat(t-1)) / (N-hat(max) - N-hat(0)) — the
+    standard ANF readout next to the effective diameter (hop-0 pairs
+    are the vertices themselves, excluded as distance-0 self-pairs)."""
+    nh = nf["n_hat"].to_numpy(np.float64)
+    t = nf["hop"].to_numpy(np.int64)
+    gains = np.diff(nh)
+    denom = nh[-1] - nh[0]
+    if denom <= 0:
+        return 0.0
+    return float((t[1:] * gains).sum() / denom)
+
+
 def anf_sql(cte_prefix: str, hops: int = ANF_HOPS) -> str:
     """DuckDB mirror of the exact integer register evolution: same
     vertex hash + mix + rank idiom as the Ray side, hops unrolled as
