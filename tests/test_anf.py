@@ -203,3 +203,29 @@ def test_reverse_anf_in_balls(tmp_path):
     for t in range(4):
         f, r = float(fwd["n_hat"].iloc[t]), float(rev["n_hat"].iloc[t])
         assert abs(f - r) / max(f, r) < 0.35
+
+
+def test_reverse_never_reuses_forward_layout(tmp_path):
+    """Regression (round-5 review #2): with a FORWARD layout pre-built
+    in work_dir (the bench build-once contract), reverse=True must not
+    silently serve forward balls — the transposed layout gets its own
+    subdir and the result equals forward ANF on the hand-transposed
+    edge list."""
+    import os
+
+    from webgraph_ray.graph.walk_engine import build_walk_layout
+
+    edges = _graph(n=15, extra=12, seed=2)
+    wd = str(tmp_path / "shared")
+    build_walk_layout(_edges_ds(edges), wd, 2)
+    rev = neighborhood_function(
+        _edges_ds(edges), wd, hops=2, num_parts=2, reverse=True
+    )
+    assert os.path.isdir(os.path.join(wd, "transposed", "edges"))
+    man = neighborhood_function(
+        _edges_ds([(d, s) for s, d in edges]),
+        str(tmp_path / "manual"),
+        hops=2,
+        num_parts=2,
+    )
+    pd.testing.assert_frame_equal(rev, man)

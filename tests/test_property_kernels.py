@@ -217,13 +217,12 @@ def test_anf_register_init_matches_pure_python(ths):
 @settings(max_examples=100, deadline=None)
 @given(st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=60))
 def test_lbq_bucket_is_bit_length_and_brackets(cents):
-    # the stage buckets via frexp exponents; the property it must
-    # satisfy: bucket == bit_length for positive cents, and the bucket
-    # lower bound 2^(b-1) brackets the value within a 2x range
-    pos = np.maximum(np.array(cents, dtype=np.int64), 1).astype(np.float64)
-    blen = np.frexp(pos)[1]
-    c = np.array(cents, dtype=np.int64)
-    b = np.where(c < 0, -1, np.where(c == 0, 0, blen)).astype(np.int64)
+    # drive the REPO kernel (not a local re-derivation): bucket ==
+    # bit_length for positive cents, and the bucket lower bound 2^(b-1)
+    # brackets the value within a 2x range
+    from webgraph_ray.stages.sketch import lbq_bucket
+
+    b = lbq_bucket(np.array(cents, dtype=np.int64))
     for ci, bi in zip(cents, b):
         if ci > 0:
             assert int(bi) == int(ci).bit_length()
@@ -243,17 +242,20 @@ def test_lbq_bucket_is_bit_length_and_brackets(cents):
     st.integers(1, 10**3),  # df
 )
 def test_bm25_integer_score_shape(tt, n, dl, tf, df):
-    from webgraph_ray.stages.text import BM25_IDF_SCALE, BM25_TP_SCALE
+    # drive the REPO kernels (bm25_idf / bm25_tf_part), not local copies
+    from webgraph_ray.stages.text import (
+        BM25_TP_SCALE,
+        bm25_idf,
+        bm25_tf_part,
+    )
 
     df = min(df, n)
 
     def idf(dfv):
-        return ((2 * (n - dfv) + 1) * BM25_IDF_SCALE) // (2 * dfv + 1)
+        return int(bm25_idf(n, dfv))
 
     def tp(tfv, dlv):
-        return (44 * tt * tfv * BM25_TP_SCALE) // (
-            20 * tt * tfv + 6 * tt + 18 * dlv * n
-        )
+        return int(bm25_tf_part(tt, n, dlv, tfv))
 
     # BM25 shape: tf saturation (non-decreasing in tf), length
     # normalization (non-increasing in dl), idf non-increasing in df

@@ -260,9 +260,15 @@ def neighborhood_function(
                 }
             )
 
-        edges = edges.select_columns(["src_key", "dst_key"]).map_batches(
-            _swap, batch_format="pyarrow"
-        )
+        if edges is not None:
+            edges = edges.select_columns(
+                ["src_key", "dst_key"]
+            ).map_batches(_swap, batch_format="pyarrow")
+        # the on-disk layout is direction-blind, so a shared work_dir
+        # must never serve both directions: the transposed layout lives
+        # in its own subdir (a pre-built FORWARD layout silently served
+        # as in-balls otherwise — round-5 review)
+        work_dir = os.path.join(work_dir, "transposed")
     if num_parts is None:
         num_parts = max(1, int(ray.cluster_resources().get("CPU", 4)) // 2)
     P = int(num_parts)
@@ -351,8 +357,11 @@ def mean_distance(nf: pd.DataFrame) -> float:
     are the vertices themselves, excluded as distance-0 self-pairs)."""
     nh = nf["n_hat"].to_numpy(np.float64)
     t = nf["hop"].to_numpy(np.int64)
-    gains = np.diff(nh)
-    denom = nh[-1] - nh[0]
+    # the register STATE is monotone but the estimator's branch switch
+    # can dip n_hat between hops on small graphs — clamp gains at 0 in
+    # numerator and denominator (the standard ANF readout)
+    gains = np.maximum(np.diff(nh), 0.0)
+    denom = gains.sum()
     if denom <= 0:
         return 0.0
     return float((t[1:] * gains).sum() / denom)

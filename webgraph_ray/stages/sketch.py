@@ -638,6 +638,16 @@ FROM bl_agg"""
 LBQ_QUANTILES = (25, 50, 75, 90, 99)
 
 
+def lbq_bucket(cents: np.ndarray) -> np.ndarray:
+    """bit_length bucketing kernel: -1 for negative cents, 0 for zero,
+    else bit_length(cents) — via frexp exponents (exact for |c| < 2^53,
+    the same idiom as the HLL rank and SQL's length(bin(cents)))."""
+    c = np.asarray(cents, dtype=np.int64)
+    pos = np.maximum(c, 1).astype(np.float64)
+    blen = np.frexp(pos)[1]
+    return np.where(c < 0, -1, np.where(c == 0, 0, blen)).astype(np.int64)
+
+
 def logbucket_quantiles(
     events: "ray.data.Dataset",
     quantiles: tuple[int, ...] = LBQ_QUANTILES,
@@ -651,12 +661,7 @@ def logbucket_quantiles(
     from webgraph_ray.stages.windows import _cents
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = _cents(df["value"])
-        # bit_length via frexp exponents (exact for |c| < 2^53), the
-        # same idiom as the HLL rank and SQL's length(bin(cents))
-        pos = np.maximum(c, 1).astype(np.float64)
-        blen = np.frexp(pos)[1]
-        b = np.where(c < 0, -1, np.where(c == 0, 0, blen)).astype(np.int64)
+        b = lbq_bucket(_cents(df["value"]))
         g = (
             pd.DataFrame({"event_type": df["event_type"].astype(str), "bucket": b})
             .groupby(["event_type", "bucket"], sort=False)

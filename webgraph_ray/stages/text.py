@@ -522,6 +522,24 @@ BM25_IDF_SCALE = 1 << 16
 BM25_TP_SCALE = 1 << 14
 
 
+def bm25_idf(n_docs: int, df):
+    """Integerized idf kernel: ((2(N-df)+1) * IDF_SCALE) // (2df+1) —
+    the log-free rational (N-df+0.5)/(df+0.5), scaled and floored."""
+    df = np.asarray(df, dtype=np.int64)
+    return ((2 * (n_docs - df) + 1) * BM25_IDF_SCALE) // (2 * df + 1)
+
+
+def bm25_tf_part(tt: int, n_docs: int, dl, tf):
+    """Integerized tf/length-normalization kernel:
+    tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1=6/5, b=3/4,
+    avgdl=TT/N, multiplied through to exact floor arithmetic."""
+    dl = np.asarray(dl, dtype=np.int64)
+    tf = np.asarray(tf, dtype=np.int64)
+    return (44 * tt * tf * BM25_TP_SCALE) // (
+        20 * tt * tf + 6 * tt + 18 * dl * n_docs
+    )
+
+
 def bm25_topk(docs: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
     """(doc_id, term_rank, term, score_fp): each document's ``k``
     top-scoring terms under the integerized BM25 (ties broken by term
@@ -605,10 +623,8 @@ def bm25_topk(docs: ray.data.Dataset, k: int = 3) -> pd.DataFrame:
                 f"(total_tokens={tt}, max tf={tfmax}); lower "
                 f"BM25_TP_SCALE or score per shard"
             )
-        idf_fp = ((2 * (n_docs - dfv) + 1) * BM25_IDF_SCALE) // (2 * dfv + 1)
-        tf_part = (44 * tt * tfv * BM25_TP_SCALE) // (
-            20 * tt * tfv + 6 * tt + 18 * dl * n_docs
-        )
+        idf_fp = bm25_idf(n_docs, dfv)
+        tf_part = bm25_tf_part(tt, n_docs, dl, tfv)
         tf["score_fp"] = (idf_fp * tf_part) // BM25_IDF_SCALE
         tf = tf.sort_values(
             ["doc_id", "score_fp", "term"],
