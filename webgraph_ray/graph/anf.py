@@ -80,7 +80,12 @@ class AnfPartition:
     subscribing partition needs."""
 
     def __init__(self, work_dir: str, part_id: int, num_parts: int):
-        from webgraph_ray.graph.walk_engine import read_layout_partition
+        from webgraph_ray.graph.walk_engine import (
+            hash_key_order,
+            hash_lookup,
+            hash_unique,
+            read_layout_partition,
+        )
 
         self.part_id = int(part_id)
         self.P = int(num_parts)
@@ -88,82 +93,98 @@ class AnfPartition:
         def _read(sub: str, columns) -> pa.Table | None:
             return read_layout_partition(work_dir, sub, part_id, columns)
 
-        # own vertex universe + initial registers
+        # own vertex universe + initial registers, in canonical (th, key)
+        # order — every sort/unique/lookup here rides the stored int64
+        # token hash (hash_key_order docstring: the object-dtype mergesort
+        # this replaces dominated init at 48M edges)
         vt = _read("verts", ["vertex_key", "th"])
         if vt is None or vt.num_rows == 0:
             self.verts = np.array([], dtype=object)
-            th = np.array([], dtype=np.int64)
+            self.th_verts = np.zeros(0, dtype=np.int64)
         else:
             vk = vt["vertex_key"].to_numpy(zero_copy_only=False).astype(object)
             tha = vt["th"].to_numpy(zero_copy_only=False).astype(np.int64)
-            self.verts, idx = np.unique(vk, return_index=True)
-            th = tha[idx]
+            self.th_verts, self.verts, _ = hash_unique(tha, vk)
         self.B = np.zeros((len(self.verts), ANF_M), dtype=np.uint8)
         if len(self.verts):
-            j, rho = _registers_from_th(th)
+            j, rho = _registers_from_th(self.th_verts)
             self.B[np.arange(len(self.verts)), j] = rho.astype(np.uint8)
 
-        # CSR: own srcs -> positions in the sorted distinct dst universe W
-        et = _read("edges", ["src_key", "dst_key", "th_dst"])
+        # CSR: own srcs -> positions in the distinct dst universe W
+        et = _read("edges", ["src_key", "dst_key", "th_src", "th_dst"])
         if et is None or et.num_rows == 0:
             self.src_pos = np.array([], dtype=np.int64)
             self.indptr = np.zeros(1, dtype=np.int64)
             self.nbr_wpos = np.array([], dtype=np.int64)
             self.W = np.array([], dtype=object)
+            self.w_th = np.zeros(0, dtype=np.int64)
             w_owner = np.array([], dtype=np.int64)
         else:
-            df = pd.DataFrame(
-                {
-                    "src_key": et["src_key"].to_numpy(zero_copy_only=False),
-                    "dst_key": et["dst_key"].to_numpy(zero_copy_only=False),
-                    "th_dst": et["th_dst"].to_numpy(zero_copy_only=False),
-                }
-            ).sort_values(["src_key", "dst_key"], kind="mergesort")
-            src = df["src_key"].to_numpy(dtype=object)
-            dst = df["dst_key"].to_numpy(dtype=object)
-            self.W, winv = np.unique(dst, return_inverse=True)
-            dst_th = df["th_dst"].to_numpy(np.int64)
-            w_th = np.zeros(len(self.W), dtype=np.int64)
-            w_th[winv] = dst_th  # any occurrence: th is a pure key fn
-            w_owner = w_th % self.P
-            bounds = np.flatnonzero(src[1:] != src[:-1]) + 1
-            starts = np.concatenate([[0], bounds])
+            src = et["src_key"].to_numpy(zero_copy_only=False).astype(object)
+            th_src = (
+                et["th_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            perm = hash_key_order(th_src, src)
+            src, th_src = src[perm], th_src[perm]
+            dst = (
+                et["dst_key"].to_numpy(zero_copy_only=False).astype(object)[perm]
+            )
+            dst_th = (
+                et["th_dst"].to_numpy(zero_copy_only=False).astype(np.int64)[perm]
+            )
+            self.w_th, self.W, winv = hash_unique(dst_th, dst)
+            w_owner = self.w_th % self.P
+            newg = np.ones(len(src), dtype=bool)
+            newg[1:] = (th_src[1:] != th_src[:-1]) | (src[1:] != src[:-1])
+            starts = np.flatnonzero(newg)
             self.indptr = np.concatenate([starts, [len(src)]]).astype(
                 np.int64
             )
             self.nbr_wpos = winv.astype(np.int64)
-            self.src_pos = np.searchsorted(self.verts, src[starts])
+            self.src_pos, _ = hash_lookup(
+                self.th_verts, self.verts, th_src[starts], src[starts]
+            )
+        self._lookup = hash_lookup
 
-        # W split by owner: positions (into W) each sender covers, in the
-        # sender's sorted-key order (W is sorted, so the per-owner
-        # subsequence is sorted too — the subscription contract)
+        # W split by owner: positions (into W) each sender covers, in W's
+        # canonical order — emit/receive slices align by INDEX in these
+        # arrays (the subscription contract), no shared sortedness needed
         self.w_pos_by_owner = [
             np.flatnonzero(w_owner == q) for q in range(self.P)
         ]
         # self coverage: positions of own vertices inside W
         mine = self.w_pos_by_owner[self.part_id]
         self.self_w_pos = mine
-        self.self_own_idx = np.searchsorted(self.verts, self.W[mine])
+        self.self_own_idx, _ = hash_lookup(
+            self.th_verts, self.verts, self.w_th[mine], self.W[mine]
+        )
         # subscriber -> indices of OWN vertices to emit (set in
         # set_subscriptions); R_in buffer reused every hop
         self.emit_idx: list[np.ndarray | None] = [None] * self.P
         self.R = np.zeros((len(self.W), ANF_M), dtype=np.uint8)
 
     def get_needs(self) -> list:
-        """For each sender q: the sorted keys of W owned by q (empty for
-        self — the self slice never ships)."""
+        """For each sender q: (keys, th) of W owned by q, in W's canonical
+        order (empty for self — the self slice never ships).  th ships
+        along so the sender's lookup never re-hashes."""
+        empty = (np.array([], dtype=object), np.zeros(0, dtype=np.int64))
         return [
-            np.array([], dtype=object)
+            empty
             if q == self.part_id
-            else self.W[self.w_pos_by_owner[q]]
+            else (
+                self.W[self.w_pos_by_owner[q]],
+                self.w_th[self.w_pos_by_owner[q]],
+            )
             for q in range(self.P)
         ]
 
     def set_subscriptions(self, needs_by_subscriber: dict) -> None:
-        """needs_by_subscriber[p] = sorted keys (owned by me) p needs."""
-        for p, keys in needs_by_subscriber.items():
+        """needs_by_subscriber[p] = (keys, th) owned by me that p needs."""
+        for p, (keys, th) in needs_by_subscriber.items():
             k = np.asarray(keys, dtype=object)
-            self.emit_idx[int(p)] = np.searchsorted(self.verts, k)
+            self.emit_idx[int(p)], _ = self._lookup(
+                self.th_verts, self.verts, np.asarray(th, np.int64), k
+            )
 
     def stats(self) -> tuple[int, int, float]:
         """(register_sum, nonzero_registers, N-hat contribution) of the
@@ -284,7 +305,7 @@ def neighborhood_function(
                     {
                         p: needs[p][q]
                         for p in range(P)
-                        if p != q and len(needs[p][q])
+                        if p != q and len(needs[p][q][0])
                     }
                 )
                 for q in range(P)

@@ -55,6 +55,90 @@ def _th(keys) -> np.ndarray:
     return hash_token_list([str(k) for k in keys])
 
 
+def hash_key_order(th: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Stable permutation ordering rows by (th, key): an int64 argsort on
+    the stored token hash, plus a string sort ONLY inside hash-collision
+    runs.  Replaces the object-dtype string mergesort that dominated
+    partition-actor init at 48M edges (BASELINE.md: ~70-85s/actor) — the
+    16-char token-hash cap means keys sharing a long prefix collide in
+    small groups, and everything outside those groups never pays a string
+    comparison."""
+    perm = np.argsort(th, kind="stable")
+    n = len(perm)
+    if n < 2:
+        return perm
+    th_s = th[perm]
+    keys_s = keys[perm]
+    same_th = th_s[1:] == th_s[:-1]
+    trouble = same_th & (keys_s[1:] != keys_s[:-1])
+    if not trouble.any():
+        return perm
+    # string-sort only the runs that actually mix distinct keys
+    run_id = np.zeros(n, dtype=np.int64)
+    np.cumsum(~same_th, out=run_id[1:])
+    bad = np.unique(run_id[1:][trouble])
+    sub = np.flatnonzero(np.isin(run_id, bad))
+    order = (
+        pd.DataFrame({"r": run_id[sub], "k": keys_s[sub]})
+        .sort_values(["r", "k"], kind="mergesort")
+        .index.to_numpy()
+    )
+    perm[sub] = perm[sub][order]
+    return perm
+
+
+def hash_unique(
+    th: np.ndarray, keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(th_u, keys_u, inverse): the distinct keys in canonical (th, key)
+    order — the engines' replacement for ``np.unique`` on object strings."""
+    n = len(keys)
+    if n == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.array([], dtype=object),
+            np.zeros(0, dtype=np.int64),
+        )
+    perm = hash_key_order(th, keys)
+    th_s, keys_s = th[perm], keys[perm]
+    newg = np.ones(n, dtype=bool)
+    newg[1:] = (th_s[1:] != th_s[:-1]) | (keys_s[1:] != keys_s[:-1])
+    starts = np.flatnonzero(newg)
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.cumsum(newg) - 1
+    return th_s[starts], keys_s[starts], inv
+
+
+def hash_lookup(
+    th_u: np.ndarray, keys_u: np.ndarray, q_th: np.ndarray, q_keys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact positions of ``q_keys`` in a canonical (th, key)-ordered
+    universe: int64 searchsorted plus a linear scan only inside
+    hash-collision runs.  Returns (pos, found)."""
+    n = len(th_u)
+    q_th = np.asarray(q_th, dtype=np.int64)
+    q_keys = np.asarray(q_keys, dtype=object)
+    pos = np.searchsorted(th_u, q_th).astype(np.int64)
+    found = pos < n
+    f = np.flatnonzero(found)
+    if len(f):
+        found[f] = th_u[pos[f]] == q_th[f]
+    f = np.flatnonzero(found)
+    if len(f):
+        hit = keys_u[pos[f]] == q_keys[f]
+        for i in f[~hit]:  # within-run scan: collision groups are tiny
+            p = int(pos[i]) + 1
+            ok = False
+            while p < n and th_u[p] == q_th[i]:
+                if keys_u[p] == q_keys[i]:
+                    pos[i] = p
+                    ok = True
+                    break
+                p += 1
+            found[i] = ok
+    return pos, found
+
+
 def build_walk_layout(
     edges: ray.data.Dataset, work_dir: str, num_parts: int
 ) -> None:
@@ -181,33 +265,33 @@ class WalkPartition:
             self.th_dst = np.array([], dtype=np.int64)
             self.th_usrc = np.array([], dtype=np.int64)
         else:
-            df = pd.DataFrame(
-                {
-                    "src_key": et["src_key"].to_numpy(zero_copy_only=False),
-                    "dst_key": et["dst_key"].to_numpy(zero_copy_only=False),
-                    "th_src": et["th_src"].to_numpy(zero_copy_only=False),
-                    "th_dst": et["th_dst"].to_numpy(zero_copy_only=False),
-                }
-            ).sort_values(["src_key", "dst_key"], kind="mergesort")
-            src = df["src_key"].to_numpy(dtype=object)
-            bounds = np.flatnonzero(src[1:] != src[:-1]) + 1
-            starts = np.concatenate([[0], bounds])
+            # canonical (th, key) order: CSR groups by src with an int64
+            # sort — no object-dtype mergesort (hash_key_order docstring)
+            src = et["src_key"].to_numpy(zero_copy_only=False).astype(object)
+            th_src = et["th_src"].to_numpy(zero_copy_only=False).astype(np.int64)
+            perm = hash_key_order(th_src, src)
+            src, th_src = src[perm], th_src[perm]
+            newg = np.ones(len(src), dtype=bool)
+            newg[1:] = (th_src[1:] != th_src[:-1]) | (src[1:] != src[:-1])
+            starts = np.flatnonzero(newg)
             self.usrc = src[starts]
+            self.th_usrc = th_src[starts]
             self.indptr = np.concatenate([starts, [len(src)]]).astype(np.int64)
-            self.dst = df["dst_key"].to_numpy(dtype=object)
-            self.th_dst = df["th_dst"].to_numpy(np.int64)
-            self.th_usrc = df["th_src"].to_numpy(np.int64)[starts]
+            self.dst = (
+                et["dst_key"].to_numpy(zero_copy_only=False).astype(object)[perm]
+            )
+            self.th_dst = (
+                et["th_dst"].to_numpy(zero_copy_only=False).astype(np.int64)[perm]
+            )
 
         vt = _read("verts", ["vertex_key", "th"])
         if vt is None or vt.num_rows == 0:
             self.verts = np.array([], dtype=object)
             self.th_verts = np.array([], dtype=np.int64)
         else:
-            vk = vt["vertex_key"].to_numpy(zero_copy_only=False)
+            vk = vt["vertex_key"].to_numpy(zero_copy_only=False).astype(object)
             th = vt["th"].to_numpy(zero_copy_only=False).astype(np.int64)
-            vk, idx = np.unique(vk.astype(object), return_index=True)
-            self.verts = vk
-            self.th_verts = th[idx]
+            self.th_verts, self.verts, _ = hash_unique(th, vk)
 
         self._empty = np.empty(0, dtype=object)
         self.act_wid = self._empty
@@ -281,9 +365,7 @@ class WalkPartition:
         else:
             ucur, inv = np.unique(cur, return_inverse=True)
             uprev = None
-        pos = np.searchsorted(self.usrc, ucur)
-        found = (pos < len(self.usrc))
-        found[found] &= self.usrc[pos[found]] == ucur[found]
+        pos, found = hash_lookup(self.th_usrc, self.usrc, _th(ucur), ucur)
         # next vertex per unique frontier state (object; None = dead end)
         nxt_u = np.full(len(ucur), None, dtype=object)
         fpos = pos[found]
@@ -309,13 +391,28 @@ class WalkPartition:
                 is_prev = self.dst[idx] == prev_rep
                 h = h + is_prev.astype(np.int64) * (M + 1)
             minh = np.minimum.reduceat(h, offs)
-            # first index achieving the min: neighbors are dst_key-sorted,
-            # so first achiever == smallest qualifying dst_key
-            cand = np.where(
-                h == np.repeat(minh, lens), np.arange(total, dtype=np.int64), total
-            )
+            is_min = h == np.repeat(minh, lens)
+            cand = np.where(is_min, np.arange(total, dtype=np.int64), total)
             first = np.minimum.reduceat(cand, offs)
-            nxt_u[found] = self.dst[idx[first]]
+            res_dst = self.dst[idx[first]].copy()
+            # ties go to the smallest dst_key.  Neighbors are no longer
+            # string-sorted within a group (the CSR orders by hash), so
+            # multi-achiever groups — duplicate (src, dst) rows across edge
+            # types, or an h collision, which since M is prime and the
+            # multiplier is coprime requires equal th_dst — resolve by an
+            # explicit string min over just those groups' achievers.
+            nmin = np.add.reduceat(is_min.astype(np.int64), offs)
+            mm = nmin > 1
+            if mm.any():
+                rows = np.flatnonzero(is_min & np.repeat(mm, lens))
+                gid = np.repeat(np.arange(len(fpos)), lens)[rows]
+                gmin = (
+                    pd.Series(self.dst[idx[rows]], index=gid, dtype=object)
+                    .groupby(level=0)
+                    .min()
+                )
+                res_dst[gmin.index.to_numpy()] = gmin.to_numpy(dtype=object)
+            nxt_u[found] = res_dst
         nxt = nxt_u[inv]
         alive = np.array([v is not None for v in nxt], dtype=bool)
         return wid[alive], nxt[alive].astype(object), cur[alive]
