@@ -285,6 +285,24 @@ def run_suite() -> dict:
 
     timed("anf", st_anf)
 
+    # 5e. HyperBall harmonic centrality: same register exchange over the
+    # transposed (in-ball) layout; the transposed layout builds inside
+    # rep 1 and is reused by rep 2 (the build-once contract), so min-of-2
+    # reads the pure probe cost.
+    from webgraph_ray.graph.anf import harmonic_centrality
+
+    def st_harmonic():
+        hc = harmonic_centrality(
+            edges, anf_wd, hops=5, num_parts=num_parts, topk=10
+        )
+        extras["harmonic_top_vertex"] = str(hc["vertex_key"].iloc[0])
+        extras["harmonic_top_value"] = round(
+            float(hc["centrality"].iloc[0]), 1
+        )
+        return hc
+
+    timed("harmonic", st_harmonic)
+
     # 6. training-data ops over documents/embeddings (dedup + text + ANN)
     import ray.data as rd
 

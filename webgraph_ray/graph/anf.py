@@ -162,6 +162,29 @@ class AnfPartition:
         # set_subscriptions); R_in buffer reused every hop
         self.emit_idx: list[np.ndarray | None] = [None] * self.P
         self.R = np.zeros((len(self.W), ANF_M), dtype=np.uint8)
+        # HyperBall accumulators (Boldi & Vigna 2013): harmonic
+        # centrality hc(v) = sum_t (|ball_t(v)| - |ball_{t-1}(v)|) / t,
+        # updated per hop from OWN registers only — no extra exchange.
+        # Per-vertex registers are partitioning-independent (max-merge is
+        # exact), so hc is bitwise identical at any P.
+        self._hop = 0
+        self.prev_est = self._per_vertex_est()
+        self.hc = np.zeros(len(self.verts), dtype=np.float64)
+
+    def _per_vertex_est(self) -> np.ndarray:
+        """Per-own-vertex HLL ball-size estimate (the stats() estimator,
+        unsummed)."""
+        if not len(self.verts):
+            return np.zeros(0, dtype=np.float64)
+        s = np.ldexp(1.0, -self.B.astype(np.int64)).sum(axis=1)
+        zeros = (self.B == 0).sum(axis=1)
+        e_raw = ANF_ALPHA * ANF_M * ANF_M / s
+        small = (e_raw <= 2.5 * ANF_M) & (zeros > 0)
+        return np.where(
+            small,
+            ANF_M * np.log(ANF_M / np.maximum(zeros, 1)),
+            e_raw,
+        )
 
     def get_needs(self) -> list:
         """For each sender q: (keys, th) of W owned by q, in W's canonical
@@ -188,21 +211,14 @@ class AnfPartition:
 
     def stats(self) -> tuple[int, int, float]:
         """(register_sum, nonzero_registers, N-hat contribution) of the
-        owned vertices — one call per hop, no separate estimate round."""
+        owned vertices — one call per hop, no separate estimate round.
+        ``prev_est`` always holds the post-latest-hop per-vertex
+        estimates (set in __init__ and refreshed by step())."""
         rs = int(self.B.sum(dtype=np.int64))
         nz = int(np.count_nonzero(self.B))
         if not len(self.verts):
             return rs, nz, 0.0
-        s = np.ldexp(1.0, -self.B.astype(np.int64)).sum(axis=1)
-        zeros = (self.B == 0).sum(axis=1)
-        e_raw = ANF_ALPHA * ANF_M * ANF_M / s
-        small = (e_raw <= 2.5 * ANF_M) & (zeros > 0)
-        est = np.where(
-            small,
-            ANF_M * np.log(ANF_M / np.maximum(zeros, 1)),
-            e_raw,
-        )
-        return rs, nz, float(est.sum())
+        return rs, nz, float(self.prev_est.sum())
 
     def emit(self) -> list:
         """Current registers for each subscriber (self slot empty)."""
@@ -216,6 +232,46 @@ class AnfPartition:
         if self.P == 1:
             return out[0]
         return out
+
+    def harmonic_topk(self, k: int) -> pa.Table:
+        """This partition's top-k (vertex_key, centrality) by accumulated
+        harmonic centrality, ties to the smaller key — the driver merges
+        P of these and takes the global top-k."""
+        n = len(self.verts)
+        if n == 0:
+            return pa.table(
+                {
+                    "vertex_key": pa.array([], pa.string()),
+                    "centrality": pa.array([], pa.float64()),
+                }
+            )
+        k = min(int(k), n)
+        thr = np.partition(self.hc, n - k)[n - k]
+        cand = np.flatnonzero(self.hc >= thr)
+        df = (
+            pd.DataFrame(
+                {
+                    "vertex_key": self.verts[cand],
+                    "centrality": self.hc[cand],
+                }
+            )
+            .sort_values(
+                ["centrality", "vertex_key"],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            .head(k)
+        )
+        return pa.table(
+            {
+                "vertex_key": pa.array(
+                    df["vertex_key"].to_numpy(dtype=object), pa.string()
+                ),
+                "centrality": pa.array(
+                    df["centrality"].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
 
     def step(self, *incoming) -> tuple:
         """One hop: merge neighbors' previous registers into own state,
@@ -242,30 +298,26 @@ class AnfPartition:
             self.B[self.src_pos] = np.maximum(
                 self.B[self.src_pos], nbr_max
             )
+        # HyperBall update: credit this hop's ball growth at weight 1/t
+        self._hop += 1
+        if len(self.verts):
+            est = self._per_vertex_est()
+            self.hc += np.maximum(est - self.prev_est, 0.0) / self._hop
+            self.prev_est = est
         outs = self.emit()
         if self.P == 1:
             outs = [outs]
         return (self.stats(), *outs)
 
 
-def neighborhood_function(
+def _prepare_actors(
     edges: "ray.data.Dataset",
     work_dir: str,
-    hops: int = ANF_HOPS,
-    num_parts: int | None = None,
-    reverse: bool = False,
-) -> pd.DataFrame:
-    """HyperANF over the edge list: one row per hop t = 0..hops with the
-    exact integer register fingerprints (register_sum,
-    nonzero_registers — the gate columns) and the float N-hat estimate
-    of sum_v |ball(v, t)|.  Reuses the walk engine's build-once
-    partitioned layout in ``work_dir``.
-
-    ``reverse=True`` computes IN-balls (how many vertices can reach v
-    within t hops — the audience/influence readout) by building the
-    layout over the transposed edge list; forward and reverse GLOBAL
-    N-hat coincide on any graph (each counts reachable pairs once),
-    which the pytest pins."""
+    num_parts: int | None,
+    reverse: bool,
+) -> tuple[list, int]:
+    """Shared setup for the ANF-family drivers: direction handling,
+    build-once layout, actor spawn, subscription handshake."""
     from webgraph_ray.graph.walk_engine import (
         build_walk_layout,
         check_walk_layout,
@@ -296,57 +348,85 @@ def neighborhood_function(
     if not check_walk_layout(work_dir, P):
         build_walk_layout(edges, work_dir, P)
     actors = [AnfPartition.remote(work_dir, q, P) for q in range(P)]
-    try:
-        # init handshake: subscriptions, one round
-        needs = ray.get([a.get_needs.remote() for a in actors])
-        ray.get(
-            [
-                actors[q].set_subscriptions.remote(
-                    {
-                        p: needs[p][q]
-                        for p in range(P)
-                        if p != q and len(needs[p][q][0])
-                    }
-                )
-                for q in range(P)
-            ]
+    needs = ray.get([a.get_needs.remote() for a in actors])
+    ray.get(
+        [
+            actors[q].set_subscriptions.remote(
+                {
+                    p: needs[p][q]
+                    for p in range(P)
+                    if p != q and len(needs[p][q][0])
+                }
+            )
+            for q in range(P)
+        ]
+    )
+    return actors, P
+
+
+def _hop_loop(actors: list, P: int, hops: int) -> list[tuple]:
+    """Run the P-way register exchange for ``hops`` hops; returns the
+    per-hop (hop, register_sum, nonzero_registers, n_hat) rows."""
+    rows = []
+    st = ray.get([a.stats.remote() for a in actors])
+    rows.append(
+        (
+            0,
+            sum(s[0] for s in st),
+            sum(s[1] for s in st),
+            sum(s[2] for s in st),
         )
-        rows = []
-        st = ray.get([a.stats.remote() for a in actors])
+    )
+    # outs[q][p]: q's emitted registers for p
+    outs = [
+        a.emit.options(num_returns=P).remote()
+        if P > 1
+        else [a.emit.remote()]
+        for a in actors
+    ]
+    outs = [list(o) if P > 1 else o for o in outs]
+    for t in range(1, int(hops) + 1):
+        rets = [
+            actors[p].step.options(num_returns=P + 1).remote(
+                *[outs[q][p] for q in range(P) if q != p]
+            )
+            for p in range(P)
+        ]
+        rets = [list(r) for r in rets]
+        st = ray.get([r[0] for r in rets])
         rows.append(
             (
-                0,
+                t,
                 sum(s[0] for s in st),
                 sum(s[1] for s in st),
                 sum(s[2] for s in st),
             )
         )
-        # outs[q][p]: q's emitted registers for p
-        outs = [
-            a.emit.options(num_returns=P).remote()
-            if P > 1
-            else [a.emit.remote()]
-            for a in actors
-        ]
-        outs = [list(o) if P > 1 else o for o in outs]
-        for t in range(1, int(hops) + 1):
-            rets = [
-                actors[p].step.options(num_returns=P + 1).remote(
-                    *[outs[q][p] for q in range(P) if q != p]
-                )
-                for p in range(P)
-            ]
-            rets = [list(r) for r in rets]
-            st = ray.get([r[0] for r in rets])
-            rows.append(
-                (
-                    t,
-                    sum(s[0] for s in st),
-                    sum(s[1] for s in st),
-                    sum(s[2] for s in st),
-                )
-            )
-            outs = [r[1:] for r in rets]
+        outs = [r[1:] for r in rets]
+    return rows
+
+
+def neighborhood_function(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    hops: int = ANF_HOPS,
+    num_parts: int | None = None,
+    reverse: bool = False,
+) -> pd.DataFrame:
+    """HyperANF over the edge list: one row per hop t = 0..hops with the
+    exact integer register fingerprints (register_sum,
+    nonzero_registers — the gate columns) and the float N-hat estimate
+    of sum_v |ball(v, t)|.  Reuses the walk engine's build-once
+    partitioned layout in ``work_dir``.
+
+    ``reverse=True`` computes IN-balls (how many vertices can reach v
+    within t hops — the audience/influence readout) by building the
+    layout over the transposed edge list; forward and reverse GLOBAL
+    N-hat coincide on any graph (each counts reachable pairs once),
+    which the pytest pins."""
+    actors, P = _prepare_actors(edges, work_dir, num_parts, reverse)
+    try:
+        rows = _hop_loop(actors, P, hops)
         return pd.DataFrame(
             rows,
             columns=["hop", "register_sum", "nonzero_registers", "n_hat"],
@@ -356,6 +436,53 @@ def neighborhood_function(
                 "register_sum": np.int64,
                 "nonzero_registers": np.int64,
             }
+        )
+    finally:
+        for a in actors:
+            ray.kill(a, no_restart=True)
+
+
+def harmonic_centrality(
+    edges: "ray.data.Dataset",
+    work_dir: str,
+    hops: int = ANF_HOPS,
+    num_parts: int | None = None,
+    topk: int = 20,
+    reverse: bool = True,
+) -> pd.DataFrame:
+    """HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
+    of Geometric Centralities with HyperBall", CIKM 2013): hc(v) =
+    sum_{u != v} 1/d(u, v), estimated from the SAME register exchange as
+    the neighborhood function — each hop, every vertex credits its ball
+    growth at weight 1/t, entirely from its own registers (no extra
+    exchange, no per-vertex BFS).  ``reverse=True`` (the default, and the
+    paper's convention) uses in-balls, so hc(v) scores how quickly the
+    rest of the graph REACHES v; ``reverse=False`` scores how quickly v
+    reaches the graph.
+
+    Per-vertex registers evolve identically under any partitioning
+    (max-merge is exact), so the returned (vertex_key, centrality) rows
+    are bitwise reproducible at any ``num_parts`` — pytest-pinned.
+    Returns the global top-k, ties to the smaller key; cost over the
+    plain neighborhood function is one O(V/P * m) numpy pass per hop.
+
+    Reference analog: the reference's centrality-style per-node structure
+    features (/root/reference/code/features/structure.py:129-163) are
+    exact small-radius per-node expansions; this is the all-vertices
+    geometric-centrality version that survives web scale."""
+    actors, P = _prepare_actors(edges, work_dir, num_parts, reverse)
+    try:
+        _hop_loop(actors, P, hops)
+        tables = ray.get([a.harmonic_topk.remote(int(topk)) for a in actors])
+        merged = pa.concat_tables(tables).to_pandas()
+        return (
+            merged.sort_values(
+                ["centrality", "vertex_key"],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            .head(int(topk))
+            .reset_index(drop=True)
         )
     finally:
         for a in actors:
