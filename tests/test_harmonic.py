@@ -39,6 +39,7 @@ def _brute_harmonic(edges, hops):
         out[s].add(d)
     prev = {v: _est(B[v]) for v in verts}
     hc = {v: 0.0 for v in verts}
+    sd = {v: 0.0 for v in verts}
     for t in range(1, hops + 1):
         B = {
             v: np.maximum.reduce([B[v]] + [B[w] for w in out[v]])
@@ -46,15 +47,17 @@ def _brute_harmonic(edges, hops):
         }
         for v in verts:
             e = _est(B[v])
-            hc[v] += max(e - prev[v], 0.0) / t
+            g = max(e - prev[v], 0.0)
+            hc[v] += g / t
+            sd[v] += g * t
             prev[v] = e
-    return hc
+    return hc, sd, prev
 
 
 def test_matches_brute_and_partition_invariant(tmp_path):
     edges = _graph(n=40, extra=80, seed=11)
-    brute = _brute_harmonic(edges, hops=3)
-    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    brute_hc, brute_sd, brute_ball = _brute_harmonic(edges, hops=3)
+    want = sorted(brute_hc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     got_by_p = {}
     for P in (1, 4):
         got = harmonic_centrality(
@@ -64,13 +67,31 @@ def test_matches_brute_and_partition_invariant(tmp_path):
             num_parts=P,
             topk=10,
             reverse=False,
+            full=True,
         )
         got_by_p[P] = got
+        assert list(got.columns) == [
+            "vertex_key", "centrality", "sum_dist", "ball", "lin",
+        ]
         assert list(got["vertex_key"]) == [k for k, _ in want]
         np.testing.assert_allclose(
             got["centrality"].to_numpy(),
             np.array([v for _, v in want]),
             rtol=1e-12,
+        )
+        # the whole geometric family mirrors the brute accumulators
+        for col, ref in (("sum_dist", brute_sd), ("ball", brute_ball)):
+            np.testing.assert_allclose(
+                got[col].to_numpy(),
+                np.array([ref[k] for k, _ in want]),
+                rtol=1e-12,
+            )
+        want_lin = [
+            (brute_ball[k] ** 2 / brute_sd[k]) if brute_sd[k] > 0 else 1.0
+            for k, _ in want
+        ]
+        np.testing.assert_allclose(
+            got["lin"].to_numpy(), np.array(want_lin), rtol=1e-12
         )
     pd.testing.assert_frame_equal(got_by_p[1], got_by_p[4])
 

@@ -170,6 +170,9 @@ class AnfPartition:
         self._hop = 0
         self.prev_est = self._per_vertex_est()
         self.hc = np.zeros(len(self.verts), dtype=np.float64)
+        # sum-of-distances S(v) = sum_t t * gain_t — the closeness /
+        # Lin's-index ingredient from the same paper, same free update
+        self.sd = np.zeros(len(self.verts), dtype=np.float64)
 
     def _per_vertex_est(self) -> np.ndarray:
         """Per-own-vertex HLL ball-size estimate (the stats() estimator,
@@ -233,26 +236,40 @@ class AnfPartition:
             return out[0]
         return out
 
-    def harmonic_topk(self, k: int) -> pa.Table:
-        """This partition's top-k (vertex_key, centrality) by accumulated
-        harmonic centrality, ties to the smaller key — the driver merges
-        P of these and takes the global top-k."""
+    def centralities_topk(self, k: int) -> pa.Table:
+        """This partition's top-k rows by accumulated harmonic centrality
+        (ties to the smaller key), carrying the full geometric-centrality
+        readout family from the HyperBall paper: harmonic hc(v), the
+        sum-of-distances S(v), the final ball-size estimate, and Lin's
+        index |ball|^2 / S (1.0 for vertices whose ball never grew).  The
+        driver merges P of these and takes the global top-k."""
         n = len(self.verts)
         if n == 0:
             return pa.table(
                 {
                     "vertex_key": pa.array([], pa.string()),
                     "centrality": pa.array([], pa.float64()),
+                    "sum_dist": pa.array([], pa.float64()),
+                    "ball": pa.array([], pa.float64()),
+                    "lin": pa.array([], pa.float64()),
                 }
             )
         k = min(int(k), n)
         thr = np.partition(self.hc, n - k)[n - k]
         cand = np.flatnonzero(self.hc >= thr)
+        lin = np.where(
+            self.sd[cand] > 0.0,
+            self.prev_est[cand] ** 2 / np.maximum(self.sd[cand], 1e-300),
+            1.0,
+        )
         df = (
             pd.DataFrame(
                 {
                     "vertex_key": self.verts[cand],
                     "centrality": self.hc[cand],
+                    "sum_dist": self.sd[cand],
+                    "ball": self.prev_est[cand],
+                    "lin": lin,
                 }
             )
             .sort_values(
@@ -270,6 +287,13 @@ class AnfPartition:
                 "centrality": pa.array(
                     df["centrality"].to_numpy(np.float64), pa.float64()
                 ),
+                "sum_dist": pa.array(
+                    df["sum_dist"].to_numpy(np.float64), pa.float64()
+                ),
+                "ball": pa.array(
+                    df["ball"].to_numpy(np.float64), pa.float64()
+                ),
+                "lin": pa.array(df["lin"].to_numpy(np.float64), pa.float64()),
             }
         )
 
@@ -302,7 +326,9 @@ class AnfPartition:
         self._hop += 1
         if len(self.verts):
             est = self._per_vertex_est()
-            self.hc += np.maximum(est - self.prev_est, 0.0) / self._hop
+            gains = np.maximum(est - self.prev_est, 0.0)
+            self.hc += gains / self._hop
+            self.sd += gains * self._hop
             self.prev_est = est
         outs = self.emit()
         if self.P == 1:
@@ -449,6 +475,7 @@ def harmonic_centrality(
     num_parts: int | None = None,
     topk: int = 20,
     reverse: bool = True,
+    full: bool = False,
 ) -> pd.DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna, "In-Core Computation
     of Geometric Centralities with HyperBall", CIKM 2013): hc(v) =
@@ -461,10 +488,15 @@ def harmonic_centrality(
     reaches the graph.
 
     Per-vertex registers evolve identically under any partitioning
-    (max-merge is exact), so the returned (vertex_key, centrality) rows
-    are bitwise reproducible at any ``num_parts`` — pytest-pinned.
-    Returns the global top-k, ties to the smaller key; cost over the
-    plain neighborhood function is one O(V/P * m) numpy pass per hop.
+    (max-merge is exact), so the returned rows are bitwise reproducible
+    at any ``num_parts`` — pytest-pinned.  Returns the global top-k by
+    harmonic centrality, ties to the smaller key; cost over the plain
+    neighborhood function is one O(V/P * m) numpy pass per hop.  With
+    ``full=True`` the frame carries the paper's whole geometric family:
+    ``sum_dist`` S(v) = sum_t t*gain_t (the closeness ingredient:
+    closeness = 1/S), the final ``ball`` size estimate, and ``lin``
+    (Lin's index |ball|^2 / S — closeness made comparable across
+    different-sized reachable sets; 1.0 where the ball never grew).
 
     Reference analog: the reference's centrality-style per-node structure
     features (/root/reference/code/features/structure.py:129-163) are
@@ -473,9 +505,11 @@ def harmonic_centrality(
     actors, P = _prepare_actors(edges, work_dir, num_parts, reverse)
     try:
         _hop_loop(actors, P, hops)
-        tables = ray.get([a.harmonic_topk.remote(int(topk)) for a in actors])
+        tables = ray.get(
+            [a.centralities_topk.remote(int(topk)) for a in actors]
+        )
         merged = pa.concat_tables(tables).to_pandas()
-        return (
+        merged = (
             merged.sort_values(
                 ["centrality", "vertex_key"],
                 ascending=[False, True],
@@ -484,6 +518,9 @@ def harmonic_centrality(
             .head(int(topk))
             .reset_index(drop=True)
         )
+        if full:
+            return merged
+        return merged[["vertex_key", "centrality"]]
     finally:
         for a in actors:
             ray.kill(a, no_restart=True)
