@@ -36,12 +36,11 @@ def test_from_events_matches_duckdb(sf_dir):
 
 def test_from_events_schema(sf_dir):
     ds = transcripts_from_events(f"{sf_dir}/events.parquet")
-    tbl = ds.limit(10).to_arrow_refs()
-    import ray
-
-    t = ray.get(tbl[0])
+    # Blocks can be empty under a loaded session; assert on the dataset
+    # schema rather than the first physical block.
+    names = ds.limit(10).schema().names
     for f in TRANSCRIPTS:
-        assert f.name in t.schema.names
+        assert f.name in names
 
 
 def test_generator_deterministic():
