@@ -73,7 +73,7 @@ _CTE_MAT = (
 _UND_TRI_CTE = (
     _CTE
     + """
-, und AS (
+, und AS MATERIALIZED (
     SELECT DISTINCT least(src_key, dst_key) AS a, greatest(src_key, dst_key) AS b
     FROM edges WHERE src_key <> dst_key
 ), tri AS (
@@ -266,10 +266,25 @@ def _triangles(sf_dir: str):
 def q_triangles_per_vertex(sf_dir: str):
     """Per-vertex triangle participation plus the global triangle count as
     a constant column (the total is a driver-side scalar from the same
-    enumeration — stamping it per row keeps both facts in one gate row)."""
+    enumeration — stamping it per row keeps both facts in one gate row),
+    annotated with per-vertex common-neighbor link prediction (lp_partner /
+    lp_cn: the best non-adjacent partner by shared-neighbor count through
+    degree-capped centers; webgraph_ray/graph/linkpred.py)."""
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.graph.linkpred import link_prediction
+
     total, per_vertex = _triangles(sf_dir)
-    joined = attach_keys(per_vertex, _vertices(sf_dir))
-    out = joined.select_columns(["vertex_key", "triangles"])
+    lp = link_prediction(_edges(sf_dir), _vertices(sf_dir))
+    merged = bucketed_join(per_vertex, lp, keys=["vertex_id"], how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["lp_partner"] = df["lp_partner"].fillna("")
+        df["lp_cn"] = df["lp_cn"].fillna(0).astype(np.int64)
+        return df
+
+    joined = attach_keys(merged.map_batches(fill, batch_format="pandas"), _vertices(sf_dir))
+    out = joined.select_columns(["vertex_key", "triangles", "lp_partner", "lp_cn"])
 
     def stamp(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1857,13 +1872,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triangles_per_vertex": _UND_TRI_CTE
         + """
-        SELECT vertex_key, CAST(count(*) AS BIGINT) AS triangles,
-               (SELECT CAST(count(*) AS BIGINT) FROM tri) AS total_triangles
+        , degv AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+            ) GROUP BY v
+        ), nbr AS (
+            SELECT a AS c, b AS n FROM und
+            UNION ALL SELECT b AS c, a AS n FROM und
+        ), cnp AS MATERIALIZED (
+            SELECT n1.n AS u, n2.n AS w, CAST(count(*) AS BIGINT) AS cn
+            FROM nbr n1
+            JOIN degv ON degv.v = n1.c AND degv.d BETWEEN 2 AND 64
+            JOIN nbr n2 ON n1.c = n2.c AND n1.n < n2.n
+            GROUP BY 1, 2
+        ), newp AS (
+            SELECT u, w, cn FROM cnp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM und WHERE und.a = cnp.u AND und.b = cnp.w
+            )
+        ), sym AS (
+            SELECT u AS v, w AS p, cn FROM newp
+            UNION ALL SELECT w AS v, u AS p, cn FROM newp
+        ), best AS (
+            SELECT v, p, cn FROM (
+                SELECT v, p, cn,
+                       row_number() OVER (
+                           PARTITION BY v ORDER BY cn DESC, p
+                       ) AS rn
+                FROM sym
+            ) WHERE rn = 1
+        )
+        SELECT t.vertex_key, t.triangles, t.total_triangles,
+               coalesce(best.p, '') AS lp_partner,
+               coalesce(best.cn, CAST(0 AS BIGINT)) AS lp_cn
         FROM (
-            SELECT x AS vertex_key FROM tri
-            UNION ALL SELECT y FROM tri
-            UNION ALL SELECT z FROM tri
-        ) GROUP BY vertex_key
+            SELECT vertex_key, CAST(count(*) AS BIGINT) AS triangles,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tri) AS total_triangles
+            FROM (
+                SELECT x AS vertex_key FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            ) GROUP BY vertex_key
+        ) t
+        LEFT JOIN best ON best.v = t.vertex_key
         """,
         # iterative graph algorithms: oracle-checkable by construction —
         # fixed-point int64 PageRank (bit-exact, unrolled BIGINT CTEs) and
