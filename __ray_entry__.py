@@ -281,10 +281,13 @@ def q_triangles_per_vertex(sf_dir: str):
         df = df.copy()
         df["lp_partner"] = df["lp_partner"].fillna("")
         df["lp_cn"] = df["lp_cn"].fillna(0).astype(np.int64)
+        df["lp_ra_fp"] = df["lp_ra_fp"].fillna(0).astype(np.int64)
         return df
 
     joined = attach_keys(merged.map_batches(fill, batch_format="pandas"), _vertices(sf_dir))
-    out = joined.select_columns(["vertex_key", "triangles", "lp_partner", "lp_cn"])
+    out = joined.select_columns(
+        ["vertex_key", "triangles", "lp_partner", "lp_cn", "lp_ra_fp"]
+    )
 
     def stamp(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -1880,22 +1883,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS c, b AS n FROM und
             UNION ALL SELECT b AS c, a AS n FROM und
         ), cnp AS MATERIALIZED (
-            SELECT n1.n AS u, n2.n AS w, CAST(count(*) AS BIGINT) AS cn
+            SELECT n1.n AS u, n2.n AS w, CAST(count(*) AS BIGINT) AS cn,
+                   CAST(sum(CAST(1048576 AS BIGINT) // degv.d) AS BIGINT) AS ra
             FROM nbr n1
             JOIN degv ON degv.v = n1.c AND degv.d BETWEEN 2 AND 64
             JOIN nbr n2 ON n1.c = n2.c AND n1.n < n2.n
             GROUP BY 1, 2
         ), newp AS (
-            SELECT u, w, cn FROM cnp
+            SELECT u, w, cn, ra FROM cnp
             WHERE NOT EXISTS (
                 SELECT 1 FROM und WHERE und.a = cnp.u AND und.b = cnp.w
             )
         ), sym AS (
-            SELECT u AS v, w AS p, cn FROM newp
-            UNION ALL SELECT w AS v, u AS p, cn FROM newp
+            SELECT u AS v, w AS p, cn, ra FROM newp
+            UNION ALL SELECT w AS v, u AS p, cn, ra FROM newp
         ), best AS (
-            SELECT v, p, cn FROM (
-                SELECT v, p, cn,
+            SELECT v, p, cn, ra FROM (
+                SELECT v, p, cn, ra,
                        row_number() OVER (
                            PARTITION BY v ORDER BY cn DESC, p
                        ) AS rn
@@ -1904,7 +1908,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT t.vertex_key, t.triangles, t.total_triangles,
                coalesce(best.p, '') AS lp_partner,
-               coalesce(best.cn, CAST(0 AS BIGINT)) AS lp_cn
+               coalesce(best.cn, CAST(0 AS BIGINT)) AS lp_cn,
+               coalesce(best.ra, CAST(0 AS BIGINT)) AS lp_ra_fp
         FROM (
             SELECT vertex_key, CAST(count(*) AS BIGINT) AS triangles,
                    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS total_triangles

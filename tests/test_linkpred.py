@@ -37,14 +37,17 @@ def _oracle(edge_pairs, keys_by_id, deg_cap):
         nbrs.setdefault(a, set()).add(b)
         nbrs.setdefault(b, set()).add(a)
     cn = {}
+    ra = {}
     for c, ns in nbrs.items():
         if not (2 <= deg[c] <= deg_cap):
             continue
+        w_c = (1 << 20) // deg[c]
         ns = sorted(ns)
         for i in range(len(ns)):
             for j in range(i + 1, len(ns)):
                 p = (ns[i], ns[j])
                 cn[p] = cn.get(p, 0) + 1
+                ra[p] = ra.get(p, 0) + w_c
     best = {}
     for (u, w), c in cn.items():
         if (u, w) in und:
@@ -53,9 +56,9 @@ def _oracle(edge_pairs, keys_by_id, deg_cap):
             cur = best.get(v)
             cand = (-c, keys_by_id[p])
             if cur is None or cand < cur[0]:
-                best[v] = (cand, p, c)
+                best[v] = (cand, p, c, ra[(u, w)])
     return {
-        v: (keys_by_id[p], c) for v, ((_, _), p, c) in best.items()
+        v: (keys_by_id[p], c, r) for v, ((_, _), p, c, r) in best.items()
     }
 
 
@@ -65,7 +68,8 @@ def _run(edge_pairs, keys_by_id, deg_cap, **kw):
     if out.empty:
         return {}
     return {
-        int(r.vertex_id): (r.lp_partner, int(r.lp_cn)) for r in out.itertuples()
+        int(r.vertex_id): (r.lp_partner, int(r.lp_cn), int(r.lp_ra_fp))
+        for r in out.itertuples()
     }
 
 
@@ -84,13 +88,14 @@ def test_counts_and_tiebreak():
     exp = _oracle(EDGES, KEYS, deg_cap=64)
     got = _run(EDGES, KEYS, deg_cap=64)
     assert got == exp
-    # (10, 11) share centers 13 and 14 and are not adjacent -> cn = 2
-    assert got[10] == ("y", 2)
-    assert got[11] == ("z", 2)
+    # (10, 11) share centers 13 (deg 5) and 14 (deg 2) and are not adjacent
+    # -> cn = 2, ra = 2^20//5 + 2^20//2 = 209715 + 524288
+    assert got[10] == ("y", 2, 734003)
+    assert got[11] == ("z", 2, 734003)
     # 12's candidates via center 13 all have cn = 1; the tie must break by
     # KEY ('t' < 'u' < 'y' < 'z'), i.e. partner id 16 — an id-ordered
     # tie-break would pick id 10 ('z') instead
-    assert got[12] == ("t", 1)
+    assert got[12] == ("t", 1, 209715)
 
 
 def test_hub_center_excluded():
@@ -103,7 +108,7 @@ def test_hub_center_excluded():
     got = _run(edges, keys, deg_cap=10)
     exp = _oracle(edges, keys, deg_cap=10)
     assert got == exp
-    assert got[200] == ("s01", 1)
+    assert got[200] == ("s01", 1, (1 << 20) // 10)
 
 
 def test_adjacent_pairs_excluded():

@@ -38,26 +38,44 @@ import ray.data
 from webgraph_ray.functions.joins import bucketed_join
 from webgraph_ray.graph.triangles import _canonical_batch, _deg_partials
 
+#: fixed-point scale for the resource-allocation weight 1/deg(center) —
+#: ``RA_SCALE // d`` is exact integer floor division in both numpy and the
+#: DuckDB mirror (`1048576 // d`), so the score stays hash-comparable.
+RA_SCALE = 1 << 20
+
 _PAIR_SCHEMA = pa.schema(
-    [pa.field("u", pa.int64()), pa.field("w", pa.int64()), pa.field("cn", pa.int64())]
+    [
+        pa.field("u", pa.int64()),
+        pa.field("w", pa.int64()),
+        pa.field("cn", pa.int64()),
+        pa.field("ra", pa.int64()),
+    ]
 )
 _EMPTY_PAIRS = pa.table(
-    {"u": pa.array([], pa.int64()), "w": pa.array([], pa.int64()), "cn": pa.array([], pa.int64())},
+    {
+        "u": pa.array([], pa.int64()),
+        "w": pa.array([], pa.int64()),
+        "cn": pa.array([], pa.int64()),
+        "ra": pa.array([], pa.int64()),
+    },
     schema=_PAIR_SCHEMA,
 )
 
 
 def _center_pairs(g: pd.DataFrame) -> pa.Table:
     """All neighbor pairs (u < w by id) through every center in one hash
-    bucket of centers, partial-combined within the bucket."""
+    bucket of centers, partial-combined within the bucket.  Each pair
+    carries both the common-neighbor count and the resource-allocation
+    partial (sum of ``RA_SCALE // deg(center)`` over its centers)."""
     if len(g) < 2:
         return _EMPTY_PAIRS
     g = g.sort_values(["c", "n"], kind="mergesort")
     c = g["c"].to_numpy(np.int64)
     n = g["n"].to_numpy(np.int64)
+    cw = g["cw"].to_numpy(np.int64)
     _, starts = np.unique(c, return_index=True)
     bounds = np.append(starts, len(c))
-    us, ws = [], []
+    us, ws, pws = [], [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         k = e - s
         if k < 2:
@@ -65,15 +83,22 @@ def _center_pairs(g: pd.DataFrame) -> pa.Table:
         i, j = np.triu_indices(k, k=1)
         us.append(n[s + i])
         ws.append(n[s + j])
+        # cw is constant within a center block
+        pws.append(np.full(len(i), cw[s], dtype=np.int64))
     if not us:
         return _EMPTY_PAIRS
     pair = np.stack([np.concatenate(us), np.concatenate(ws)], axis=1)
-    uniq, counts = np.unique(pair, axis=0, return_counts=True)
+    pw = np.concatenate(pws)
+    uniq, inverse = np.unique(pair, axis=0, return_inverse=True)
+    counts = np.bincount(inverse, minlength=len(uniq)).astype(np.int64)
+    # integer-valued float64 sums are exact far beyond any per-bucket total
+    ra = np.bincount(inverse, weights=pw, minlength=len(uniq)).astype(np.int64)
     return pa.table(
         {
             "u": pa.array(uniq[:, 0]),
             "w": pa.array(uniq[:, 1]),
-            "cn": pa.array(counts.astype(np.int64)),
+            "cn": pa.array(counts),
+            "ra": pa.array(ra),
         },
         schema=_PAIR_SCHEMA,
     )
@@ -88,10 +113,13 @@ def link_prediction(
 ) -> ray.data.Dataset:
     """Best predicted new link per vertex.
 
-    Returns ``Dataset(vertex_id, lp_partner, lp_cn)`` where ``lp_partner``
-    is the partner's vertex KEY and ``lp_cn`` its common-neighbor count;
-    only vertices with at least one candidate pair appear (left-join +
-    fill against a vertex universe for the dense view).
+    Returns ``Dataset(vertex_id, lp_partner, lp_cn, lp_ra_fp)`` where
+    ``lp_partner`` is the partner's vertex KEY, ``lp_cn`` its
+    common-neighbor count and ``lp_ra_fp`` the resource-allocation score of
+    the same chosen pair (sum of ``RA_SCALE // deg(center)`` over shared
+    centers — the exact-integer analog of RA's 1/deg downweighting); only
+    vertices with at least one candidate pair appear (left-join + fill
+    against a vertex universe for the dense view).
 
     Below ``broadcast_threshold`` undirected edges the adjacency-exclusion
     probe broadcasts a packed sorted edge array (``ray.put`` once, one
@@ -157,31 +185,50 @@ def link_prediction(
     if small:
         dpdf = deg.to_pandas()
         ok = (dpdf["deg"] >= 2) & (dpdf["deg"] <= deg_cap)
+        kept = dpdf.loc[ok].sort_values("vertex_id")
         centers_ref = ray.put(
-            np.sort(dpdf.loc[ok, "vertex_id"].to_numpy(dtype=np.int64))
+            (
+                kept["vertex_id"].to_numpy(dtype=np.int64),
+                (RA_SCALE // kept["deg"].to_numpy(dtype=np.int64)).astype(
+                    np.int64
+                ),
+            )
         )
 
         def keep_centers(t: pa.Table) -> pa.Table:
-            centers = ray.get(centers_ref)
+            centers, weights = ray.get(centers_ref)
             c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
             if len(centers) == 0 or len(c) == 0:
-                return t.filter(pa.array(np.zeros(len(c), dtype=bool)))
+                empty = t.filter(pa.array(np.zeros(len(c), dtype=bool)))
+                return empty.append_column("cw", pa.array([], pa.int64()))
             idx = np.searchsorted(centers, c)
             hit = (idx < len(centers)) & (
                 centers[np.minimum(idx, len(centers) - 1)] == c
             )
-            return t.filter(pa.array(hit))
+            kept_t = t.filter(pa.array(hit))
+            cw = weights[idx[hit]]
+            return kept_t.append_column("cw", pa.array(cw))
 
         nbr = nbr.map_batches(keep_centers, batch_format="pyarrow", zero_copy_batch=True)
     else:
         centers = deg.map_batches(
-            lambda df: df.loc[
-                (df["deg"] >= 2) & (df["deg"] <= deg_cap), ["vertex_id"]
-            ].rename(columns={"vertex_id": "c"}),
+            lambda df: pd.DataFrame(
+                {
+                    "c": df.loc[
+                        (df["deg"] >= 2) & (df["deg"] <= deg_cap), "vertex_id"
+                    ].to_numpy(dtype=np.int64),
+                    "cw": (
+                        RA_SCALE
+                        // df.loc[
+                            (df["deg"] >= 2) & (df["deg"] <= deg_cap), "deg"
+                        ].to_numpy(dtype=np.int64)
+                    ).astype(np.int64),
+                }
+            ),
             batch_format="pandas",
         )
         nbr = bucketed_join(
-            nbr, centers, keys=["c"], how="left_semi", num_buckets=num_partitions
+            nbr, centers, keys=["c"], how="inner", num_buckets=num_partitions
         )
 
     def _c_bucket(t: pa.Table) -> pa.Table:
@@ -197,9 +244,9 @@ def link_prediction(
     # --- global pair-count combine (one pair-hash bucket groupby) ---------
     def _sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return (
-            g.groupby(["u", "w"], as_index=False, sort=False)["cn"]
+            g.groupby(["u", "w"], as_index=False, sort=False)[["cn", "ra"]]
             .sum()
-            .astype({"cn": np.int64})
+            .astype({"cn": np.int64, "ra": np.int64})
         )
 
     cn = (
@@ -250,8 +297,8 @@ def link_prediction(
             cn, marker, keys=["u", "w"], how="left", num_buckets=num_partitions
         )
         newp = joined.map_batches(
-            lambda df: df.loc[df["__und"].isna(), ["u", "w", "cn"]].astype(
-                {"cn": np.int64}
+            lambda df: df.loc[df["__und"].isna(), ["u", "w", "cn", "ra"]].astype(
+                {"cn": np.int64, "ra": np.int64}
             ),
             batch_format="pandas",
         )
@@ -261,12 +308,14 @@ def link_prediction(
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["ra"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "v": pa.array(np.concatenate([u, w])),
                 # partner id under the join column name attach_keys expects
                 "vertex_id": pa.array(np.concatenate([w, u])),
                 "cn": pa.array(np.concatenate([c, c])),
+                "ra": pa.array(np.concatenate([r, r])),
             }
         )
 
@@ -274,7 +323,7 @@ def link_prediction(
 
     sym = newp.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
     with_keys = attach_keys(sym, vertices).map_batches(
-        lambda df: df[["v", "vertex_key", "cn"]].rename(
+        lambda df: df[["v", "vertex_key", "cn", "ra"]].rename(
             columns={"vertex_key": "lp_partner"}
         ),
         batch_format="pandas",
@@ -285,13 +334,15 @@ def link_prediction(
         return t.append_column("vb", pa.array((v % num_partitions).astype(np.int32)))
 
     def _best(g: pd.DataFrame) -> pd.DataFrame:
+        # the winner is chosen by (cn DESC, partner key) exactly as before;
+        # lp_ra_fp reports the RA score of that SAME chosen pair
         g = g.sort_values(
             ["v", "cn", "lp_partner"],
             ascending=[True, False, True],
             kind="mergesort",
         ).drop_duplicates("v", keep="first")
-        return g[["v", "lp_partner", "cn"]].rename(
-            columns={"v": "vertex_id", "cn": "lp_cn"}
+        return g[["v", "lp_partner", "cn", "ra"]].rename(
+            columns={"v": "vertex_id", "cn": "lp_cn", "ra": "lp_ra_fp"}
         )
 
     return (
