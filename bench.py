@@ -202,6 +202,18 @@ def run_suite() -> dict:
 
     tri_pv = timed("triangles", st_triangles)
 
+    # 5a. common-neighbor link prediction (bounded wedge volume via the
+    # degree cap; own bench key so 'triangles' stays round-comparable)
+    def st_linkpred():
+        from webgraph_ray.graph.linkpred import link_prediction
+        from webgraph_ray.stages.vertices import derive_vertices as _dv
+
+        lp = link_prediction(edges, _dv(edges))
+        extras["linkpred_rows"] = lp.count()
+        return extras["linkpred_rows"]
+
+    timed("linkpred", st_linkpred)
+
     # 5b. wide per-vertex feature table (round-2 flagship: degrees + typed
     # counts + chain depth + labels + triangles + fixed-point PageRank +
     # components assembled in one shuffle)
