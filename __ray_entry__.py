@@ -268,25 +268,49 @@ def q_triangles_per_vertex(sf_dir: str):
     a constant column (the total is a driver-side scalar from the same
     enumeration — stamping it per row keeps both facts in one gate row),
     annotated with per-vertex common-neighbor link prediction (lp_partner /
-    lp_cn: the best non-adjacent partner by shared-neighbor count through
-    degree-capped centers; webgraph_ray/graph/linkpred.py)."""
+    lp_cn / lp_ra_fp: the best non-adjacent partner by shared-neighbor
+    count through degree-capped centers plus its exact fixed-point
+    resource-allocation score) and the local clustering coefficient
+    (und_deg / cc_fp = floor(2 * 2^20 * triangles / (d * (d-1))); the
+    undirected pair dedup is built ONCE and shared by both annotations
+    (webgraph_ray/graph/linkpred.py)."""
     from webgraph_ray.functions.joins import bucketed_join
-    from webgraph_ray.graph.linkpred import link_prediction
+    from webgraph_ray.graph.linkpred import (
+        link_prediction,
+        undirected_degrees,
+        undirected_pairs,
+    )
 
     total, per_vertex = _triangles(sf_dir)
-    lp = link_prediction(_edges(sf_dir), _vertices(sf_dir))
+    und = undirected_pairs(_edges(sf_dir))
+    lp = link_prediction(_edges(sf_dir), _vertices(sf_dir), und=und)
+    degs = undirected_degrees(und)
     merged = bucketed_join(per_vertex, lp, keys=["vertex_id"], how="left")
+    merged = bucketed_join(merged, degs, keys=["vertex_id"], how="inner")
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["lp_partner"] = df["lp_partner"].fillna("")
         df["lp_cn"] = df["lp_cn"].fillna(0).astype(np.int64)
         df["lp_ra_fp"] = df["lp_ra_fp"].fillna(0).astype(np.int64)
-        return df
+        d = df["deg"].to_numpy(dtype=np.int64)
+        tri = df["triangles"].to_numpy(dtype=np.int64)
+        df["und_deg"] = d
+        # every triangle vertex has d >= 2, so the denominator is positive
+        df["cc_fp"] = (2 * (1 << 20) * tri) // (d * (d - 1))
+        return df.drop(columns=["deg"])
 
     joined = attach_keys(merged.map_batches(fill, batch_format="pandas"), _vertices(sf_dir))
     out = joined.select_columns(
-        ["vertex_key", "triangles", "lp_partner", "lp_cn", "lp_ra_fp"]
+        [
+            "vertex_key",
+            "triangles",
+            "lp_partner",
+            "lp_cn",
+            "lp_ra_fp",
+            "und_deg",
+            "cc_fp",
+        ]
     )
 
     def stamp(t: pa.Table) -> pa.Table:
@@ -1909,7 +1933,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.vertex_key, t.triangles, t.total_triangles,
                coalesce(best.p, '') AS lp_partner,
                coalesce(best.cn, CAST(0 AS BIGINT)) AS lp_cn,
-               coalesce(best.ra, CAST(0 AS BIGINT)) AS lp_ra_fp
+               coalesce(best.ra, CAST(0 AS BIGINT)) AS lp_ra_fp,
+               dv2.d AS und_deg,
+               (CAST(2097152 AS BIGINT) * t.triangles)
+                   // (dv2.d * (dv2.d - 1)) AS cc_fp
         FROM (
             SELECT vertex_key, CAST(count(*) AS BIGINT) AS triangles,
                    (SELECT CAST(count(*) AS BIGINT) FROM tri) AS total_triangles
@@ -1919,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM tri
             ) GROUP BY vertex_key
         ) t
+        JOIN degv dv2 ON dv2.v = t.vertex_key
         LEFT JOIN best ON best.v = t.vertex_key
         """,
         # iterative graph algorithms: oracle-checkable by construction —

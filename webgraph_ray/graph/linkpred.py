@@ -104,12 +104,69 @@ def _center_pairs(g: pd.DataFrame) -> pa.Table:
     )
 
 
+def undirected_pairs(
+    edges: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Distinct undirected pairs ``(a, b), a < b`` — per-batch dedup
+    partials then ONE pair-hash bucket groupby (materialized so callers
+    can fan out without recompute)."""
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def _pair_bucket(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        mix = a * np.uint64(0x9E3779B97F4A7C15) + b
+        bk = (mix % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("pair_bucket", pa.array(bk))
+
+    def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    return (
+        edges.map_batches(_canonical_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_pair_bucket, batch_format="pyarrow")
+        .groupby("pair_bucket")
+        .map_groups(_dedup_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+
+def undirected_degrees(
+    und: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-vertex distinct-neighbor degree over an `undirected_pairs`
+    output — per-batch partials + owner-bucket numpy reduce."""
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def _deg_bucket(t: pa.Table) -> pa.Table:
+        p = _deg_partials(t)
+        vid = p["vertex_id"].to_numpy(zero_copy_only=False)
+        return p.append_column("vb", pa.array((vid % num_partitions).astype(np.int32)))
+
+    def _deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        vid = g["vertex_id"].to_numpy(np.int64)
+        dv = g["deg"].to_numpy(np.int64)
+        order = np.argsort(vid, kind="stable")
+        vid, dv = vid[order], dv[order]
+        uniq, starts = np.unique(vid, return_index=True)
+        return pd.DataFrame({"vertex_id": uniq, "deg": np.add.reduceat(dv, starts)})
+
+    return (
+        und.map_batches(_deg_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vb")
+        .map_groups(_deg_reduce, batch_format="pandas")
+    )
+
+
 def link_prediction(
     edges: ray.data.Dataset,
     vertices: ray.data.Dataset,
     deg_cap: int = 64,
     num_partitions: int | None = None,
     broadcast_threshold: int = 4_000_000,
+    und: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Best predicted new link per vertex.
 
@@ -125,7 +182,9 @@ def link_prediction(
     probe broadcasts a packed sorted edge array (``ray.put`` once, one
     vectorized ``searchsorted`` per batch); above it a marker left-join
     over pair-hash buckets takes over — no driver materialization of
-    anything O(E) on that path.
+    anything O(E) on that path.  Pass a precomputed `undirected_pairs`
+    output as ``und`` to share the pair dedup with other consumers
+    (clustering coefficient, triangle counting).
     """
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
@@ -137,37 +196,12 @@ def link_prediction(
         bk = (mix % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("pair_bucket", pa.array(bk))
 
-    def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g[["a", "b"]].drop_duplicates()
-
-    und = (
-        edges.map_batches(_canonical_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(_pair_bucket, batch_format="pyarrow")
-        .groupby("pair_bucket")
-        .map_groups(_dedup_bucket, batch_format="pandas")
-        .materialize()
-    )
+    if und is None:
+        und = undirected_pairs(edges, num_partitions)
     small = und.count() <= broadcast_threshold
 
     # --- per-vertex undirected degree (owner-bucket numpy reduce) ---------
-    def _deg_bucket(t: pa.Table) -> pa.Table:
-        p = _deg_partials(t)
-        vid = p["vertex_id"].to_numpy(zero_copy_only=False)
-        return p.append_column("vb", pa.array((vid % num_partitions).astype(np.int32)))
-
-    def _deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        vid = g["vertex_id"].to_numpy(np.int64)
-        dv = g["deg"].to_numpy(np.int64)
-        order = np.argsort(vid, kind="stable")
-        vid, dv = vid[order], dv[order]
-        uniq, starts = np.unique(vid, return_index=True)
-        return pd.DataFrame({"vertex_id": uniq, "deg": np.add.reduceat(dv, starts)})
-
-    deg = (
-        und.map_batches(_deg_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vb")
-        .map_groups(_deg_reduce, batch_format="pandas")
-    )
+    deg = undirected_degrees(und, num_partitions)
 
     # --- center-filtered adjacency: rows (c, n), deg(c) in [2, deg_cap] ---
     def _both_dirs(t: pa.Table) -> pa.Table:
