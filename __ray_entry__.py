@@ -268,9 +268,10 @@ def q_triangles_per_vertex(sf_dir: str):
     a constant column (the total is a driver-side scalar from the same
     enumeration — stamping it per row keeps both facts in one gate row),
     annotated with per-vertex common-neighbor link prediction (lp_partner /
-    lp_cn / lp_ra_fp: the best non-adjacent partner by shared-neighbor
-    count through degree-capped centers plus its exact fixed-point
-    resource-allocation score) and the local clustering coefficient
+    lp_cn / lp_ra_fp / lp_jac_fp: the best non-adjacent partner by
+    shared-neighbor count through degree-capped centers plus its exact
+    fixed-point resource-allocation score and Jaccard coefficient
+    cn*2^20 // (deg(u)+deg(w)-cn)) and the local clustering coefficient
     (und_deg / cc_fp = floor(2 * 2^20 * triangles / (d * (d-1))); the
     undirected pair dedup is built ONCE and shared by both annotations
     (webgraph_ray/graph/linkpred.py)."""
@@ -293,6 +294,7 @@ def q_triangles_per_vertex(sf_dir: str):
         df["lp_partner"] = df["lp_partner"].fillna("")
         df["lp_cn"] = df["lp_cn"].fillna(0).astype(np.int64)
         df["lp_ra_fp"] = df["lp_ra_fp"].fillna(0).astype(np.int64)
+        df["lp_jac_fp"] = df["lp_jac_fp"].fillna(0).astype(np.int64)
         d = df["deg"].to_numpy(dtype=np.int64)
         tri = df["triangles"].to_numpy(dtype=np.int64)
         df["und_deg"] = d
@@ -308,6 +310,7 @@ def q_triangles_per_vertex(sf_dir: str):
             "lp_partner",
             "lp_cn",
             "lp_ra_fp",
+            "lp_jac_fp",
             "und_deg",
             "cc_fp",
         ]
@@ -1914,16 +1917,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN nbr n2 ON n1.c = n2.c AND n1.n < n2.n
             GROUP BY 1, 2
         ), newp AS (
-            SELECT u, w, cn, ra FROM cnp
+            SELECT u, w, cn, ra,
+                   (cn * CAST(1048576 AS BIGINT)) // (du.d + dw.d - cn) AS jac
+            FROM cnp
+            JOIN degv du ON du.v = cnp.u
+            JOIN degv dw ON dw.v = cnp.w
             WHERE NOT EXISTS (
                 SELECT 1 FROM und WHERE und.a = cnp.u AND und.b = cnp.w
             )
         ), sym AS (
-            SELECT u AS v, w AS p, cn, ra FROM newp
-            UNION ALL SELECT w AS v, u AS p, cn, ra FROM newp
+            SELECT u AS v, w AS p, cn, ra, jac FROM newp
+            UNION ALL SELECT w AS v, u AS p, cn, ra, jac FROM newp
         ), best AS (
-            SELECT v, p, cn, ra FROM (
-                SELECT v, p, cn, ra,
+            SELECT v, p, cn, ra, jac FROM (
+                SELECT v, p, cn, ra, jac,
                        row_number() OVER (
                            PARTITION BY v ORDER BY cn DESC, p
                        ) AS rn
@@ -1934,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
                coalesce(best.p, '') AS lp_partner,
                coalesce(best.cn, CAST(0 AS BIGINT)) AS lp_cn,
                coalesce(best.ra, CAST(0 AS BIGINT)) AS lp_ra_fp,
+               coalesce(best.jac, CAST(0 AS BIGINT)) AS lp_jac_fp,
                dv2.d AS und_deg,
                (CAST(2097152 AS BIGINT) * t.triangles)
                    // (dv2.d * (dv2.d - 1)) AS cc_fp

@@ -52,13 +52,15 @@ def _oracle(edge_pairs, keys_by_id, deg_cap):
     for (u, w), c in cn.items():
         if (u, w) in und:
             continue
+        jac = c * (1 << 20) // (deg[u] + deg[w] - c)
         for v, p in ((u, w), (w, u)):
             cur = best.get(v)
             cand = (-c, keys_by_id[p])
             if cur is None or cand < cur[0]:
-                best[v] = (cand, p, c, ra[(u, w)])
+                best[v] = (cand, p, c, ra[(u, w)], jac)
     return {
-        v: (keys_by_id[p], c, r) for v, ((_, _), p, c, r) in best.items()
+        v: (keys_by_id[p], c, r, j)
+        for v, ((_, _), p, c, r, j) in best.items()
     }
 
 
@@ -68,7 +70,12 @@ def _run(edge_pairs, keys_by_id, deg_cap, **kw):
     if out.empty:
         return {}
     return {
-        int(r.vertex_id): (r.lp_partner, int(r.lp_cn), int(r.lp_ra_fp))
+        int(r.vertex_id): (
+            r.lp_partner,
+            int(r.lp_cn),
+            int(r.lp_ra_fp),
+            int(r.lp_jac_fp),
+        )
         for r in out.itertuples()
     }
 
@@ -89,13 +96,15 @@ def test_counts_and_tiebreak():
     got = _run(EDGES, KEYS, deg_cap=64)
     assert got == exp
     # (10, 11) share centers 13 (deg 5) and 14 (deg 2) and are not adjacent
-    # -> cn = 2, ra = 2^20//5 + 2^20//2 = 209715 + 524288
-    assert got[10] == ("y", 2, 734003)
-    assert got[11] == ("z", 2, 734003)
+    # -> cn = 2, ra = 2^20//5 + 2^20//2 = 209715 + 524288; both endpoints
+    # have deg 2, so jac = 2*2^20 // (2+2-2) = 2^20
+    assert got[10] == ("y", 2, 734003, 1 << 20)
+    assert got[11] == ("z", 2, 734003, 1 << 20)
     # 12's candidates via center 13 all have cn = 1; the tie must break by
     # KEY ('t' < 'u' < 'y' < 'z'), i.e. partner id 16 — an id-ordered
     # tie-break would pick id 10 ('z') instead
-    assert got[12] == ("t", 1, 209715)
+    # deg(12) = deg(16) = 1 -> union size 1 -> jac = 2^20 despite cn = 1
+    assert got[12] == ("t", 1, 209715, 1 << 20)
 
 
 def test_hub_center_excluded():
@@ -108,7 +117,7 @@ def test_hub_center_excluded():
     got = _run(edges, keys, deg_cap=10)
     exp = _oracle(edges, keys, deg_cap=10)
     assert got == exp
-    assert got[200] == ("s01", 1, (1 << 20) // 10)
+    assert got[200] == ("s01", 1, (1 << 20) // 10, 1 << 20)
 
 
 def test_adjacent_pairs_excluded():

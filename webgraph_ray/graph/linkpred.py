@@ -43,6 +43,12 @@ from webgraph_ray.graph.triangles import _canonical_batch, _deg_partials
 #: DuckDB mirror (`1048576 // d`), so the score stays hash-comparable.
 RA_SCALE = 1 << 20
 
+#: fixed-point scale for the Jaccard coefficient of the chosen pair —
+#: ``(cn * JAC_SCALE) // (deg(u) + deg(w) - cn)`` is exact integer floor
+#: division (the denominator is the size of the neighbor-set union, always
+#: >= max(deg) >= 1 for a candidate pair), mirrored verbatim in DuckDB.
+JAC_SCALE = 1 << 20
+
 _PAIR_SCHEMA = pa.schema(
     [
         pa.field("u", pa.int64()),
@@ -170,11 +176,13 @@ def link_prediction(
 ) -> ray.data.Dataset:
     """Best predicted new link per vertex.
 
-    Returns ``Dataset(vertex_id, lp_partner, lp_cn, lp_ra_fp)`` where
-    ``lp_partner`` is the partner's vertex KEY, ``lp_cn`` its
-    common-neighbor count and ``lp_ra_fp`` the resource-allocation score of
+    Returns ``Dataset(vertex_id, lp_partner, lp_cn, lp_ra_fp, lp_jac_fp)``
+    where ``lp_partner`` is the partner's vertex KEY, ``lp_cn`` its
+    common-neighbor count, ``lp_ra_fp`` the resource-allocation score of
     the same chosen pair (sum of ``RA_SCALE // deg(center)`` over shared
-    centers — the exact-integer analog of RA's 1/deg downweighting); only
+    centers — the exact-integer analog of RA's 1/deg downweighting) and
+    ``lp_jac_fp`` its Jaccard coefficient ``cn * JAC_SCALE //
+    (deg(u) + deg(w) - cn)`` (neighbor-set overlap over union); only
     vertices with at least one candidate pair appear (left-join + fill
     against a vertex universe for the dense view).
 
@@ -337,12 +345,65 @@ def link_prediction(
             batch_format="pandas",
         )
 
+    # --- Jaccard of each surviving candidate pair ---------------------------
+    # jac = cn / |N(u) ∪ N(w)| = cn / (deg(u) + deg(w) - cn), exact
+    # fixed-point (denominator >= max endpoint degree >= 1 by construction).
+    # Below the gate the per-vertex degree table (O(V), far smaller than
+    # the edge set) broadcasts once; above it two bucketed joins attach the
+    # endpoint degrees.
+    if small:
+        dsort = dpdf.sort_values("vertex_id")
+        deg_ref = ray.put(
+            (
+                dsort["vertex_id"].to_numpy(dtype=np.int64),
+                dsort["deg"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def add_jac(t: pa.Table) -> pa.Table:
+            vid, dv = ray.get(deg_ref)
+            u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+            w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # every candidate endpoint appears in `und`, so both lookups hit
+            du = dv[np.searchsorted(vid, u)] if len(u) else np.empty(0, np.int64)
+            dw = dv[np.searchsorted(vid, w)] if len(w) else np.empty(0, np.int64)
+            jac = (c * JAC_SCALE) // (du + dw - c) if len(u) else np.empty(0, np.int64)
+            return t.append_column("jac", pa.array(jac.astype(np.int64)))
+
+        newp = newp.map_batches(add_jac, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        du_t = deg.map_batches(
+            lambda df: df.rename(columns={"vertex_id": "u", "deg": "du"}),
+            batch_format="pandas",
+        )
+        dw_t = deg.map_batches(
+            lambda df: df.rename(columns={"vertex_id": "w", "deg": "dw"}),
+            batch_format="pandas",
+        )
+        newp = bucketed_join(
+            newp, du_t, keys=["u"], how="inner", num_buckets=num_partitions
+        )
+        newp = bucketed_join(
+            newp, dw_t, keys=["w"], how="inner", num_buckets=num_partitions
+        )
+
+        def jac_big(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["cn"].to_numpy(np.int64)
+            den = df["du"].to_numpy(np.int64) + df["dw"].to_numpy(np.int64) - c
+            df = df[["u", "w", "cn", "ra"]].copy()
+            df["jac"] = (c * JAC_SCALE) // den
+            return df
+
+        newp = newp.map_batches(jac_big, batch_format="pandas")
+
     # --- symmetrize, attach partner keys, per-vertex argmax ----------------
     def _sym(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
         w = t["w"].to_numpy(zero_copy_only=False).astype(np.int64)
         c = t["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = t["ra"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["jac"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "v": pa.array(np.concatenate([u, w])),
@@ -350,6 +411,7 @@ def link_prediction(
                 "vertex_id": pa.array(np.concatenate([w, u])),
                 "cn": pa.array(np.concatenate([c, c])),
                 "ra": pa.array(np.concatenate([r, r])),
+                "jac": pa.array(np.concatenate([j, j])),
             }
         )
 
@@ -357,7 +419,7 @@ def link_prediction(
 
     sym = newp.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True)
     with_keys = attach_keys(sym, vertices).map_batches(
-        lambda df: df[["v", "vertex_key", "cn", "ra"]].rename(
+        lambda df: df[["v", "vertex_key", "cn", "ra", "jac"]].rename(
             columns={"vertex_key": "lp_partner"}
         ),
         batch_format="pandas",
@@ -369,14 +431,20 @@ def link_prediction(
 
     def _best(g: pd.DataFrame) -> pd.DataFrame:
         # the winner is chosen by (cn DESC, partner key) exactly as before;
-        # lp_ra_fp reports the RA score of that SAME chosen pair
+        # lp_ra_fp / lp_jac_fp report the RA and Jaccard scores of that
+        # SAME chosen pair
         g = g.sort_values(
             ["v", "cn", "lp_partner"],
             ascending=[True, False, True],
             kind="mergesort",
         ).drop_duplicates("v", keep="first")
-        return g[["v", "lp_partner", "cn", "ra"]].rename(
-            columns={"v": "vertex_id", "cn": "lp_cn", "ra": "lp_ra_fp"}
+        return g[["v", "lp_partner", "cn", "ra", "jac"]].rename(
+            columns={
+                "v": "vertex_id",
+                "cn": "lp_cn",
+                "ra": "lp_ra_fp",
+                "jac": "lp_jac_fp",
+            }
         )
 
     return (
