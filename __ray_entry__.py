@@ -1257,11 +1257,20 @@ def q_betweenness(sf_dir: str):
 
 
 def q_reciprocity(sf_dir: str):
-    """Directed-edge mutuality over the distinct edge set: one symmetric
-    pair-hash bucket shuffle, integer-exact ratio."""
-    from webgraph_ray.stages.features import reciprocity
+    """Edge-level global graph statistics in one row: directed-edge
+    mutuality over the distinct edge set (one symmetric pair-hash bucket
+    shuffle, integer-exact ratio) plus degree assortativity — the exact
+    integer Pearson moments (und_m/und_s1/und_s2/und_sxy) over the
+    distinct undirected pair set and the correlation itself as
+    truncated-toward-zero fixed-point assort_fp = (m*sxy - s1^2)*10^6 //
+    (m*s2 - s1^2); endpoint degrees broadcast below the vertex gate, two
+    bucketed joins above, driver combines constant-size partials in
+    arbitrary precision."""
+    from webgraph_ray.stages.features import assortativity, reciprocity
 
-    return reciprocity(_edges(sf_dir))
+    rec = reciprocity(_edges(sf_dir)).reset_index(drop=True)
+    ass = assortativity(_edges(sf_dir)).reset_index(drop=True)
+    return pd.concat([rec, ass], axis=1)
 
 
 def q_hits(sf_dir: str):
@@ -2126,9 +2135,9 @@ def _pack_sql() -> str:
 
 
 def _reciprocity_sql_oracle() -> str:
-    from webgraph_ray.stages.features import reciprocity_sql
+    from webgraph_ray.stages.features import reciprocity_assortativity_sql
 
-    return reciprocity_sql(_CTE_MAT)
+    return reciprocity_assortativity_sql(_CTE_MAT)
 
 
 def _build_training_oracles() -> dict[str, str]:

@@ -646,3 +646,182 @@ SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_directed,
              * 1000000)
             // greatest((SELECT count(*) FROM d), 1) AS BIGINT) AS ratio_fp"""
     )
+
+
+def assortativity(
+    edges,
+    und=None,
+    broadcast_threshold: int = 4_000_000,
+    num_partitions: int | None = None,
+) -> pd.DataFrame:
+    """One row of exact degree-assortativity moments over the distinct
+    undirected pair set (self-loops excluded):
+
+    - ``und_m``  = 2 * |pairs| (each pair contributes both orientations),
+    - ``und_s1`` = sum over pairs of ``deg(a) + deg(b)``,
+    - ``und_s2`` = sum over pairs of ``deg(a)^2 + deg(b)^2``,
+    - ``und_sxy``= 2 * sum over pairs of ``deg(a) * deg(b)``,
+    - ``assort_fp`` — the degree Pearson correlation
+      ``r = (m*sxy - s1^2) / (m*s2 - s1^2)`` as the exact integer
+      ``(num * 10^6) // den`` TRUNCATED TOWARD ZERO (DuckDB's BIGINT
+      ``//`` semantics, which the numpy path replicates sign-explicitly),
+      0 when the denominator is 0 (all degrees equal).
+
+    Scale shape: reuses :func:`undirected_pairs` /
+    :func:`undirected_degrees` (one pair-hash groupby + one owner-bucket
+    reduce, shareable with triangle counting / link prediction via
+    ``und=``); endpoint degrees broadcast once via ``ray.put`` below
+    ``broadcast_threshold`` vertices, two bucketed joins above; the
+    driver receives only constant-size per-batch moment partials and
+    combines them with arbitrary-precision Python ints, so no int64
+    overflow at any corpus size (|r| <= 1 bounds assort_fp by 10^6).
+    Reference analog: the degree-feature family of
+    /root/reference/code/features/structure.py:129-177 (assortativity is
+    its standard degree-correlation companion)."""
+    import pyarrow as pa
+
+    import ray
+
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.graph.linkpred import undirected_degrees, undirected_pairs
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    if und is None:
+        und = undirected_pairs(edges, num_partitions)
+    deg = undirected_degrees(und, num_partitions)
+
+    _PART = pa.schema(
+        [
+            pa.field("m", pa.int64()),
+            pa.field("s1", pa.int64()),
+            pa.field("s2", pa.int64()),
+            pa.field("sxy", pa.int64()),
+        ]
+    )
+
+    def moments(da: np.ndarray, db: np.ndarray) -> pa.Table:
+        return pa.table(
+            {
+                "m": pa.array([2 * len(da)], pa.int64()),
+                "s1": pa.array([int(np.sum(da + db))], pa.int64()),
+                "s2": pa.array([int(np.sum(da * da + db * db))], pa.int64()),
+                "sxy": pa.array([2 * int(np.sum(da * db))], pa.int64()),
+            },
+            schema=_PART,
+        )
+
+    n_v = deg.count()
+    if n_v == 0:
+        return pd.DataFrame(
+            {
+                c: np.array([0], dtype=np.int64)
+                for c in ("und_m", "und_s1", "und_s2", "und_sxy", "assort_fp")
+            }
+        )
+    if n_v <= broadcast_threshold:
+        ddf = deg.to_pandas().sort_values("vertex_id")
+        deg_ref = ray.put(
+            (
+                ddf["vertex_id"].to_numpy(dtype=np.int64),
+                ddf["deg"].to_numpy(dtype=np.int64),
+            )
+        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            vid, dv = ray.get(deg_ref)
+            a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # both endpoints of every pair appear in `und`, so lookups hit
+            da = dv[np.searchsorted(vid, a)] if len(a) else np.empty(0, np.int64)
+            db = dv[np.searchsorted(vid, b)] if len(b) else np.empty(0, np.int64)
+            return moments(da, db)
+
+        parts = und.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+    else:
+        da_t = deg.map_batches(
+            lambda df: df.rename(columns={"vertex_id": "a", "deg": "da"}),
+            batch_format="pandas",
+        )
+        db_t = deg.map_batches(
+            lambda df: df.rename(columns={"vertex_id": "b", "deg": "db"}),
+            batch_format="pandas",
+        )
+        joined = bucketed_join(
+            und, da_t, keys=["a"], how="inner", num_buckets=num_partitions
+        )
+        joined = bucketed_join(
+            joined, db_t, keys=["b"], how="inner", num_buckets=num_partitions
+        )
+
+        def partial_big(df: pd.DataFrame) -> pd.DataFrame:
+            return moments(
+                df["da"].to_numpy(np.int64), df["db"].to_numpy(np.int64)
+            ).to_pandas()
+
+        parts = joined.map_batches(partial_big, batch_format="pandas").to_pandas()
+
+    # driver-side combine in arbitrary precision
+    m = int(parts["m"].sum())
+    s1 = int(parts["s1"].sum())
+    s2 = int(parts["s2"].sum())
+    sxy = int(parts["sxy"].sum())
+    num = m * sxy - s1 * s1
+    den = m * s2 - s1 * s1
+    if den == 0:
+        fp = 0
+    else:
+        fp = (abs(num) * 1_000_000 // den) * (1 if num >= 0 else -1)
+    return pd.DataFrame(
+        {
+            "und_m": np.array([m], dtype=np.int64),
+            "und_s1": np.array([s1], dtype=np.int64),
+            "und_s2": np.array([s2], dtype=np.int64),
+            "und_sxy": np.array([sxy], dtype=np.int64),
+            "assort_fp": np.array([fp], dtype=np.int64),
+        }
+    )
+
+
+def reciprocity_assortativity_sql(edges_cte: str) -> str:
+    """DuckDB mirror of the combined reciprocity + degree-assortativity
+    gate row: same distinct directed set / distinct unordered pair set,
+    HUGEINT moment arithmetic, truncated-toward-zero fixed-point ratios."""
+    return (
+        edges_cte
+        + """, d AS MATERIALIZED (
+    SELECT DISTINCT src_key AS s, dst_key AS t
+    FROM edges WHERE src_key <> dst_key
+), undx AS MATERIALIZED (
+    SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM d
+), degx AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS dd FROM (
+        SELECT a AS v FROM undx UNION ALL SELECT b AS v FROM undx
+    ) GROUP BY v
+), ep AS (
+    SELECT du.dd AS x, dv.dd AS y
+    FROM undx JOIN degx du ON du.v = undx.a JOIN degx dv ON dv.v = undx.b
+), mom AS (
+    SELECT CAST(2 * count(*) AS HUGEINT) AS m,
+           CAST(coalesce(sum(x + y), 0) AS HUGEINT) AS s1,
+           CAST(coalesce(sum(x * x + y * y), 0) AS HUGEINT) AS s2,
+           2 * CAST(coalesce(sum(x * y), 0) AS HUGEINT) AS sxy
+    FROM ep
+)
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_directed,
+       CAST((SELECT count(*) FROM d a JOIN d b ON a.s = b.t AND a.t = b.s)
+            AS BIGINT) AS n_reciprocated,
+       CAST(((SELECT count(*) FROM d a JOIN d b ON a.s = b.t AND a.t = b.s)
+             * 1000000)
+            // greatest((SELECT count(*) FROM d), 1) AS BIGINT) AS ratio_fp,
+       CAST(m AS BIGINT) AS und_m,
+       CAST(s1 AS BIGINT) AS und_s1,
+       CAST(s2 AS BIGINT) AS und_s2,
+       CAST(sxy AS BIGINT) AS und_sxy,
+       CAST(CASE WHEN m * s2 - s1 * s1 = 0 THEN 0
+                 ELSE ((m * sxy - s1 * s1) * 1000000) // (m * s2 - s1 * s1)
+            END AS BIGINT) AS assort_fp
+FROM mom"""
+    )
