@@ -582,8 +582,19 @@ def q_tfidf_topk(sf_dir: str):
     integerized BM25 (k1=6/5, b=3/4, log-free rational idf — every
     quantity exact floor arithmetic; same two-pass df-broadcast shape
     as tfidf, with the corpus scalars N and total-token-count riding
-    the df partials as meta rows, no extra scan)."""
-    from webgraph_ray.stages.text import bm25_topk, collocations, tfidf_topk
+    the df partials as meta rows, no extra scan); 'lm' — the bigram
+    language-model fluency score (KenLM-perplexity analog): the corpus
+    is its own LM, each in-document adjacent bigram occurrence scores
+    the exact conditional-probability fixed point (c_ab*2^20)//c_a, a
+    document reports the floor-average (score_fp), its bigram-occurrence
+    count (term_rank) and its WORST transition (term — the curation
+    signal)."""
+    from webgraph_ray.stages.text import (
+        bm25_topk,
+        collocations,
+        lm_scores,
+        tfidf_topk,
+    )
 
     tf = tfidf_topk(_docs(sf_dir), k=3)
     tf.insert(0, "method", "tfidf")
@@ -599,7 +610,17 @@ def q_tfidf_topk(sf_dir: str):
             "score_fp": co["score_fp"].to_numpy(np.int64),
         }
     )
-    return pd.concat([tf, bm, co], ignore_index=True)
+    lm = lm_scores(_docs(sf_dir))
+    lm = pd.DataFrame(
+        {
+            "method": "lm",
+            "doc_id": lm["doc_id"].to_numpy(np.int64),
+            "term_rank": lm["n_bigrams"].to_numpy(np.int64),
+            "term": lm["worst_bigram"].to_numpy(),
+            "score_fp": lm["lm_fp"].to_numpy(np.int64),
+        }
+    )
+    return pd.concat([tf, bm, co, lm], ignore_index=True)
 
 
 def q_doc_signatures(sf_dir: str):
@@ -2161,6 +2182,7 @@ def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.stages.text import (
         bm25_topk_sql,
         collocations_sql,
+        lm_scores_sql,
         tfidf_topk_sql,
     )
     from webgraph_ray.stages import walks as _rw
@@ -2283,6 +2305,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'colloc', CAST(-1 AS BIGINT), rank, bigram, score_fp
         FROM ({collocations_sql(k=20, min_count=5)})
+        UNION ALL
+        SELECT 'lm', doc_id, n_bigrams, worst_bigram, lm_fp
+        FROM ({lm_scores_sql()})
         """,
         # fused per-doc text analysis: token stats + quality + lang id +
         # BPE stats in one row per document (mirrors stages/text.py::

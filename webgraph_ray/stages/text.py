@@ -818,6 +818,62 @@ def redact_pii_sql(table: str = "documents") -> str:
 COLLOC_SCALE = 10**12
 
 
+def _inbatch_bigrams(doc_idx: np.ndarray, flat):
+    """Indices of bigram START positions that stay inside one document of
+    an `_explode_ws_tokens` output (each batch row is a whole document, so
+    bigrams never span documents or batches)."""
+    n = len(flat)
+    if n < 2:
+        return np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+    lens = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+    return np.flatnonzero(pos <= np.repeat(lens, lens) - 2)
+
+
+def _gram_count_partial(t: pa.Table) -> pa.Table:
+    """Mergeable per-block (gram, cnt, kind) count partials over \\S+
+    tokens: kind 0 = unigram occurrences, kind 1 = in-document adjacent
+    bigram occurrences (shared by collocations and lm_scores)."""
+    import pyarrow.compute as pc
+
+    texts = t["text"]
+    doc_idx, flat = _explode_ws_tokens(texts)
+    n = len(flat)
+    gs, cs, ks = [], [], []
+    if n:
+        vc = pc.value_counts(flat)
+        gs.append(vc.field("values"))
+        cs.append(vc.field("counts").cast(pa.int64()))
+        ks.append(pa.array(np.zeros(len(vc), np.int64)))  # 0 = unigram
+    idx = _inbatch_bigrams(doc_idx, flat)
+    if len(idx):
+        grams = pc.binary_join_element_wise(
+            flat.take(pa.array(idx, pa.int64())),
+            flat.take(pa.array(idx + 1, pa.int64())),
+            " ",
+        )
+        vc = pc.value_counts(grams)
+        gs.append(vc.field("values"))
+        cs.append(vc.field("counts").cast(pa.int64()))
+        ks.append(pa.array(np.ones(len(vc), np.int64)))  # 1 = bigram
+    if not gs:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "gram": pa.concat_arrays([g.cast(pa.string()) for g in gs]),
+            "cnt": pa.concat_arrays(cs),
+            "kind": pa.concat_arrays(ks),
+        }
+    )
+
+
 def collocations(
     docs: ray.data.Dataset, k: int = 20, min_count: int = 5
 ) -> pd.DataFrame:
@@ -826,53 +882,9 @@ def collocations(
     bigrams occurring at least ``min_count`` times (the standard
     collocation support filter — rare pairs have unstable PMI).  Ties
     break by bigram text; bigrams never span documents."""
-    import pyarrow.compute as pc
-
-    def partial(t: pa.Table) -> pa.Table:
-        texts = t["text"]
-        doc_idx, flat = _explode_ws_tokens(texts)
-        n = len(flat)
-        gs, cs, ks = [], [], []
-        if n:
-            vc = pc.value_counts(flat)
-            gs.append(vc.field("values"))
-            cs.append(vc.field("counts").cast(pa.int64()))
-            ks.append(pa.array(np.zeros(len(vc), np.int64)))  # 0 = unigram
-        if n >= 2:
-            # bigram starts that stay inside one document
-            starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
-            lens = np.diff(np.r_[starts, n])
-            pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
-            idx = np.flatnonzero(pos <= np.repeat(lens, lens) - 2)
-            if len(idx):
-                grams = pc.binary_join_element_wise(
-                    flat.take(pa.array(idx, pa.int64())),
-                    flat.take(pa.array(idx + 1, pa.int64())),
-                    " ",
-                )
-                vc = pc.value_counts(grams)
-                gs.append(vc.field("values"))
-                cs.append(vc.field("counts").cast(pa.int64()))
-                ks.append(pa.array(np.ones(len(vc), np.int64)))  # 1 = bigram
-        if not gs:
-            return pa.table(
-                {
-                    "gram": pa.array([], pa.string()),
-                    "cnt": pa.array([], pa.int64()),
-                    "kind": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "gram": pa.concat_arrays([g.cast(pa.string()) for g in gs]),
-                "cnt": pa.concat_arrays(cs),
-                "kind": pa.concat_arrays(ks),
-            }
-        )
-
     parts = (
         docs.select_columns(["text"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(_gram_count_partial, batch_format="pyarrow")
         .to_pandas()
     )
     if not len(parts):
@@ -948,3 +960,147 @@ SELECT CAST(row_number() OVER (ORDER BY score_fp DESC, bigram) AS BIGINT)
 FROM co_scored
 ORDER BY score_fp DESC, bigram
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency score: the KenLM-perplexity analog of a
+# pretraining quality pipeline, in house exact-integer convention.  The
+# corpus itself is the LM: p(b|a) ~ c(ab)/c(a) over in-document adjacent
+# \S+ tokens, each bigram occurrence scoring the exact fixed point
+# (c_ab * LM_SCALE) // c_a <= LM_SCALE (c(a) counts every occurrence of
+# `a`, including document-final ones, so the ratio never exceeds 1).  A
+# document's fluency is the floor-average over its bigram occurrences;
+# its WORST transition (lowest per-occurrence score, ties by bigram
+# text) is reported alongside — the actionable signal for curation.
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1 << 20
+#: loud scale gate: the corpus gram vocabulary is broadcast to the
+#: scoring pass; above this the scale path is a gram-hash bucketed join
+#: (score pass shuffled by bigram), which this operator refuses to do
+#: silently.
+LM_MAX_VOCAB = 20_000_000
+
+
+def lm_scores(docs: ray.data.Dataset, max_vocab: int = LM_MAX_VOCAB) -> pd.DataFrame:
+    """(doc_id, n_bigrams, worst_bigram, lm_fp) for every document with at
+    least one in-document adjacent bigram: ``lm_fp`` is the floor-average
+    per-occurrence conditional-probability fixed point and
+    ``worst_bigram`` the document's lowest-scoring transition.
+
+    Same two-pass shape as tfidf/bm25: ONE streaming pass of mergeable
+    per-block (gram, kind, cnt) partials (shared kernel with
+    :func:`collocations`), reduced once on the driver
+    (vocabulary-bounded), then a ``ray.put``-broadcast shuffle-free
+    scoring pass — each batch scores only its own documents."""
+    parts = (
+        docs.select_columns(["text"])
+        .map_batches(_gram_count_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_bigrams": pd.Series(dtype="int64"),
+            "worst_bigram": pd.Series(dtype="object"),
+            "lm_fp": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    agg = parts.groupby(["kind", "gram"], sort=False)["cnt"].sum()
+    if len(agg) > max_vocab:
+        raise ValueError(
+            f"lm_scores: gram vocabulary {len(agg)} exceeds max_vocab="
+            f"{max_vocab}; at this scale score through a gram-hash "
+            "bucketed join instead of a broadcast"
+        )
+    uni = agg.loc[0] if 0 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    bi = agg.loc[1] if 1 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
+    if not len(bi):
+        return empty
+    import ray as _ray
+
+    counts_ref = _ray.put((uni, bi))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        u, b = _ray.get(counts_ref)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, flat = _explode_ws_tokens(t["text"])
+        idx = _inbatch_bigrams(doc_idx, flat)
+        if not len(idx):
+            return empty
+        firsts = flat.take(pa.array(idx, pa.int64()))
+        grams = pc.binary_join_element_wise(
+            firsts, flat.take(pa.array(idx + 1, pa.int64())), " "
+        )
+        gram_np = np.asarray(grams.cast(pa.string()), dtype=object)
+        c_ab = b.reindex(gram_np).to_numpy(np.int64)
+        c_a = u.reindex(np.asarray(firsts.cast(pa.string()), dtype=object)).to_numpy(np.int64)
+        fp = (c_ab * LM_SCALE) // c_a
+        d = pd.DataFrame(
+            {"doc_id": doc_ids[doc_idx[idx]], "bg": gram_np, "fp": fp}
+        ).sort_values(["doc_id", "fp", "bg"], kind="mergesort")
+        per = d.groupby("doc_id", sort=False)["fp"].agg(n="size", s="sum")
+        worst = d.drop_duplicates("doc_id", keep="first")
+        out = worst.merge(per, on="doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_bigrams": out["n"].to_numpy(np.int64),
+                "worst_bigram": out["bg"].to_numpy(),
+                "lm_fp": (
+                    out["s"].to_numpy(np.int64) // out["n"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def lm_scores_sql(doc_table: str = "documents") -> str:
+    """DuckDB mirror: same \S+ tokens, same in-document adjacency, same
+    per-occurrence floor score, floor-average and (fp asc, bigram asc)
+    worst-transition pick."""
+    return f"""
+WITH lm_l AS MATERIALIZED (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM {doc_table}
+),
+lm_uni AS (
+    SELECT t AS gram, CAST(count(*) AS BIGINT) AS c
+    FROM lm_l, unnest(l) AS u(t) GROUP BY 1
+),
+lm_occ AS MATERIALIZED (
+    SELECT doc_id, bg, split_part(bg, ' ', 1) AS a
+    FROM lm_l, unnest(list_transform(
+            generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]
+         )) AS u(bg)
+),
+lm_bi AS (
+    SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM lm_occ GROUP BY 1
+),
+lm_scored AS (
+    SELECT o.doc_id, o.bg,
+           (b.c_ab * {LM_SCALE}) // ua.c AS fp
+    FROM lm_occ o
+    JOIN lm_bi b ON b.bg = o.bg
+    JOIN lm_uni ua ON ua.gram = o.a
+),
+lm_ranked AS (
+    SELECT doc_id, bg, fp,
+           row_number() OVER (PARTITION BY doc_id ORDER BY fp, bg) AS rn,
+           CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+           CAST(sum(fp) OVER (PARTITION BY doc_id)
+                // count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS avg_fp
+    FROM lm_scored
+)
+SELECT doc_id, n AS n_bigrams, bg AS worst_bigram, avg_fp AS lm_fp
+FROM lm_ranked WHERE rn = 1
+ORDER BY doc_id"""
