@@ -380,16 +380,30 @@ def _components(sf_dir: str):
 
 
 def q_pagerank(sf_dir: str):
-    """Fixed-point PageRank family in one method-tagged gate row: 'global'
-    (uniform teleport) and 'personalized' (teleport restricted to the tool
-    seed set — random walk with restart).  Both runs share the engine; the
-    round-3 entries pagerank / ppr are consolidated (library unchanged,
-    both oracles still unrolled exact-int64 CTE chains)."""
+    """Fixed-point spectral-centrality family in one method-tagged gate
+    row: 'global' PageRank (uniform teleport), 'personalized' (teleport
+    restricted to the tool seed set — random walk with restart) and
+    'katz' (Katz centrality: x <- SCALE + (weighted in-sum)//alpha_den
+    with alpha = 1/(2*max weighted in-degree), exact int64, no
+    normalization step — the message kernel is the engine's existing
+    hits scatter, so no new exchange path).  All runs share the engine;
+    every oracle is an unrolled exact-int64 CTE chain."""
+    import shutil
+    import tempfile
+
+    from webgraph_ray.graph.katz import katz_keyed
+
     pr = _pagerank_fp(sf_dir).to_pandas()
     pr.insert(0, "method", "global")
     ppr = _ppr_fp(sf_dir)
     ppr.insert(0, "method", "personalized")
-    return pd.concat([pr, ppr], ignore_index=True)
+    work = tempfile.mkdtemp(prefix="webgraph_katz_")
+    try:
+        kz = katz_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    kz.insert(0, "method", "katz")
+    return pd.concat([pr, ppr, kz], ignore_index=True)
 
 
 def q_components(sf_dir: str):
@@ -2100,16 +2114,22 @@ def _pagerank_methods_sql() -> str:
     statement under their distinct prefixes (pr / ppr)."""
     from webgraph_ray.functions.oracles import PR_FP_ITERS
 
+    from webgraph_ray.graph.katz import KATZ_ITERS, katz_fp_ctes
+
     return (
         _CTE_MAT
         + _graph_oracles.pagerank_fp_ctes()
         + _graph_oracles.ppr_fp_ctes(PPR_SEEDS_SQL)
+        + katz_fp_ctes()
         + f"""
 SELECT 'global' AS method, vertex_key, CAST(val AS BIGINT) AS score_fp
 FROM pr{PR_FP_ITERS}
 UNION ALL
 SELECT 'personalized', vertex_key, CAST(val AS BIGINT)
-FROM ppr{PR_FP_ITERS}"""
+FROM ppr{PR_FP_ITERS}
+UNION ALL
+SELECT 'katz', vertex_key, CAST(val AS BIGINT)
+FROM kz{KATZ_ITERS}"""
     )
 
 

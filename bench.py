@@ -214,6 +214,18 @@ def run_suite() -> dict:
 
     timed("linkpred", st_linkpred)
 
+    # 5a'. Katz centrality: the hits scatter kernel + dense apply on ONE
+    # forward layout, alpha = 1/(2*max weighted in-degree), exact int64
+    def st_katz():
+        from webgraph_ray.graph.katz import katz_keyed
+        from webgraph_ray.stages.vertices import derive_vertices as _dv
+
+        kz = katz_keyed(edges, _dv(edges), wdir("katz"))
+        extras["katz_rows"] = len(kz)
+        return extras["katz_rows"]
+
+    timed("katz", st_katz)
+
     # 5b. wide per-vertex feature table (round-2 flagship: degrees + typed
     # counts + chain depth + labels + triangles + fixed-point PageRank +
     # components assembled in one shuffle)

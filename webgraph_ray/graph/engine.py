@@ -1179,6 +1179,16 @@ class GraphPartition:
         self.labels = agg
         return int(agg.sum())
 
+    def apply_katz(self, scale: int, alpha_den: int, *incoming):
+        """Katz iteration apply: labels <- scale + (per-dst aggregated
+        weighted in-sum) // alpha_den, exact int64 (the caller sizes
+        alpha_den >= 2 * max weighted in-degree, which bounds labels by
+        2*scale and every segment sum by alpha_den*scale — asserted
+        against 2^62 at the driver)."""
+        agg = self._agg_dense_incoming(incoming, np.int64)
+        self.labels = int(scale) + agg // int(alpha_den)
+        return True
+
     def scale_labels(self, scale: int, total: int):
         """labels <- labels * scale // total (exact int64; caller ensures
         labels * scale < 2^63).  A degenerate half-step (total == 0, i.e.
