@@ -1309,19 +1309,35 @@ def q_reciprocity(sf_dir: str):
 
 
 def q_hits(sf_dir: str):
-    """HITS hubs & authorities: exact-int64 alternating power iteration
-    over forward + reversed layouts with L1 normalization (see
-    webgraph_ray/graph/hits.py)."""
+    """Hub/authority family in one method-tagged gate row: 'hits' (exact
+    int64 alternating power iteration with per-half-step L1 normalization)
+    and 'salsa' (Lempel-Moran's stochastic variant: each half-step is the
+    degree-normalized share transfer (h//wout)*w — mass-conserving up to
+    floors, so NO normalization step; the message kernel is the PageRank
+    share gather without damping).  Both run forward + reversed layouts
+    derived from ONE build's parquet (see webgraph_ray/graph/hits.py and
+    graph/salsa.py)."""
     import shutil
     import tempfile
 
     from webgraph_ray.graph.hits import hits_keyed
+    from webgraph_ray.graph.salsa import salsa_keyed
 
     work = tempfile.mkdtemp(prefix="webgraph_hits_")
     try:
-        return hits_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+        ht = hits_keyed(_edges(sf_dir), _vertices(sf_dir), work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+    ht.insert(0, "method", "hits")
+    work = tempfile.mkdtemp(prefix="webgraph_salsa_")
+    try:
+        sl = salsa_keyed(
+            _edges(sf_dir), _vertices(sf_dir), work
+        ).to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    sl.insert(0, "method", "salsa")
+    return pd.concat([ht, sl], ignore_index=True)
 
 
 def q_grouped_topk(sf_dir: str):
@@ -2103,9 +2119,22 @@ ORDER BY 1"""
 
 
 def _hits_sql_oracle() -> str:
-    from webgraph_ray.graph.hits import hits_sql
+    from webgraph_ray.graph.hits import HITS_ITERS, hits_ctes
+    from webgraph_ray.graph.salsa import SALSA_ITERS, salsa_ctes
 
-    return hits_sql(_CTE_MAT)
+    return (
+        _CTE_MAT
+        + hits_ctes()
+        + salsa_ctes()
+        + f"""
+SELECT 'hits' AS method, a.vertex_key,
+       CAST(a.val AS BIGINT) AS auth_fp,
+       CAST(h.val AS BIGINT) AS hub_fp
+FROM ht_a{HITS_ITERS} a JOIN ht_h{HITS_ITERS} h USING (vertex_key)
+UNION ALL
+SELECT 'salsa', a.vertex_key, CAST(a.val AS BIGINT), CAST(h.val AS BIGINT)
+FROM sl_a{SALSA_ITERS} a JOIN sl_h{SALSA_ITERS} h USING (vertex_key)"""
+    )
 
 
 def _pagerank_methods_sql() -> str:

@@ -194,6 +194,17 @@ def run_suite() -> dict:
 
     timed("hits", st_hits)
 
+    # 4a. SALSA (stochastic hub/authority): same two-layout shape as hits,
+    # share-transfer half-steps, no normalization barrier; own bench key
+    def st_salsa():
+        from webgraph_ray.graph.salsa import salsa_keyed
+        from webgraph_ray.stages.vertices import derive_vertices as _dv
+
+        sl = salsa_keyed(edges, _dv(edges), wdir("salsa"))
+        extras["salsa_rows"] = sl.count()
+
+    timed("salsa", st_salsa)
+
     # 5. triangle counting
     def st_triangles():
         total, tri_pv = triangle_counts(edges)

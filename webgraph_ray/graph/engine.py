@@ -712,11 +712,11 @@ class GraphPartition:
         if algo == "pagerank":
             # filled later once global N is known (set_uniform_state)
             self.state = np.full(n, init_value if init_value is not None else 0.0)
-        elif algo == "pagerank_fp":
-            # fixed-point PageRank: int64 mass units carried in self.labels.
-            # Requires integer edge weights (asserted here, once).
+        elif algo in ("pagerank_fp", "salsa"):
+            # fixed-point PageRank / SALSA: int64 mass units carried in
+            # self.labels.  Requires integer edge weights (asserted once).
             assert np.array_equal(self.ew, np.floor(self.ew)), (
-                "fixed-point pagerank requires integer edge weights"
+                "fixed-point pagerank/salsa requires integer edge weights"
             )
             self.ew_int = self.ew.astype(np.int64)
             if len(self.ew_int) == 0 or np.abs(self.ew_int).max() < 2**31:
@@ -754,6 +754,17 @@ class GraphPartition:
                     pos = pos[ok]
                     self.labels[pos] = lab
                     self.frozen[pos] = True
+        elif algo == "salsa":
+            # stochastic half-step: contrib = (s // out_strength) * w, NO
+            # damping and NO normalization (mass-conserving up to floors;
+            # the per-dst sums are bounded by the total mass = scale)
+            share = self.labels // self.out_int
+            edge_vals = gather(share, np.int64)
+            edge_vals = edge_vals * self.ew_int
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
         elif algo == "hits":
             # HITS half-steps: labels carries the current hub (on the
             # forward layout) or authority (on the reversed layout) score
@@ -833,7 +844,7 @@ class GraphPartition:
         if algo == "pagerank":
             outs = self.out_strength[pos]
             vals = np.where(outs > 0, self.state[pos] / np.maximum(outs, 1e-300), 0.0)
-        elif algo == "pagerank_fp":
+        elif algo in ("pagerank_fp", "salsa"):
             # broadcast the integer per-unit-weight share s // out
             vals = self.labels[pos] // self.out_int[pos]
         elif algo == "kcore":
@@ -873,6 +884,17 @@ class GraphPartition:
             share = self.labels // self.out_int
             edge_vals = gather(share, np.int64)
             edge_vals = (edge_vals * self.ew_int * 17) // 20
+            if len(self.seg_starts):
+                msg = np.add.reduceat(edge_vals, self.seg_starts)
+            else:
+                msg = np.array([], dtype=np.int64)
+        elif algo == "salsa":
+            # stochastic half-step: contrib = (s // out_strength) * w, NO
+            # damping and NO normalization (mass-conserving up to floors;
+            # the per-dst sums are bounded by the total mass = scale)
+            share = self.labels // self.out_int
+            edge_vals = gather(share, np.int64)
+            edge_vals = edge_vals * self.ew_int
             if len(self.seg_starts):
                 msg = np.add.reduceat(edge_vals, self.seg_starts)
             else:

@@ -197,6 +197,26 @@ def hits_sql(
     over edges only; absent vertices contribute 0 to the total exactly as
     the Ray side's zero-filled agg arrays do."""
     x = prefix
+    return (
+        edges_cte
+        + hits_ctes(iters, scale, prefix)
+        + f"""
+SELECT a.vertex_key,
+       CAST(a.val AS BIGINT) AS auth_fp,
+       CAST(h.val AS BIGINT) AS hub_fp
+FROM {x}_a{iters} a JOIN {x}_h{iters} h USING (vertex_key)
+ORDER BY 1"""
+    )
+
+
+def hits_ctes(
+    iters: int = HITS_ITERS,
+    scale: int = HITS_SCALE,
+    prefix: str = "ht",
+) -> str:
+    """CTE chain only (assumes an ``edges`` CTE in scope), ending in
+    ``{prefix}_a{iters}`` / ``{prefix}_h{iters}``."""
+    x = prefix
     parts = [
         f"""
 , {x}_verts AS MATERIALIZED (
@@ -236,13 +256,4 @@ def hits_sql(
     FROM {x}_verts v LEFT JOIN {x}_hr{i} r ON r.vertex_key = v.vertex_key
 )"""
         )
-    return (
-        edges_cte
-        + "".join(parts)
-        + f"""
-SELECT a.vertex_key,
-       CAST(a.val AS BIGINT) AS auth_fp,
-       CAST(h.val AS BIGINT) AS hub_fp
-FROM {x}_a{iters} a JOIN {x}_h{iters} h USING (vertex_key)
-ORDER BY 1"""
-    )
+    return "".join(parts)
