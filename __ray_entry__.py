@@ -602,12 +602,14 @@ def q_tfidf_topk(sf_dir: str):
     the exact conditional-probability fixed point (c_ab*2^20)//c_a, a
     document reports the floor-average (score_fp), its bigram-occurrence
     count (term_rank) and its WORST transition (term — the curation
-    signal)."""
+    signal); 'vocab' — the tokenizer vocabulary pre-pass: corpus top-200
+    tokens by count (doc_id -1, ties by token text)."""
     from webgraph_ray.stages.text import (
         bm25_topk,
         collocations,
         lm_scores,
         tfidf_topk,
+        vocab_topk,
     )
 
     tf = tfidf_topk(_docs(sf_dir), k=3)
@@ -634,7 +636,17 @@ def q_tfidf_topk(sf_dir: str):
             "score_fp": lm["lm_fp"].to_numpy(np.int64),
         }
     )
-    return pd.concat([tf, bm, co, lm], ignore_index=True)
+    vb = vocab_topk(_docs(sf_dir), k=200)
+    vb = pd.DataFrame(
+        {
+            "method": "vocab",
+            "doc_id": np.full(len(vb), -1, dtype=np.int64),
+            "term_rank": vb["rank"].to_numpy(np.int64),
+            "term": vb["token"].to_numpy(),
+            "score_fp": vb["count"].to_numpy(np.int64),
+        }
+    )
+    return pd.concat([tf, bm, co, lm, vb], ignore_index=True)
 
 
 def q_doc_signatures(sf_dir: str):
@@ -2233,6 +2245,7 @@ def _build_training_oracles() -> dict[str, str]:
         collocations_sql,
         lm_scores_sql,
         tfidf_topk_sql,
+        vocab_topk_sql,
     )
     from webgraph_ray.stages import walks as _rw
 
@@ -2357,6 +2370,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'lm', doc_id, n_bigrams, worst_bigram, lm_fp
         FROM ({lm_scores_sql()})
+        UNION ALL
+        SELECT 'vocab', CAST(-1 AS BIGINT), rank, token, count
+        FROM ({vocab_topk_sql(k=200)})
         """,
         # fused per-doc text analysis: token stats + quality + lang id +
         # BPE stats in one row per document (mirrors stages/text.py::

@@ -89,3 +89,26 @@ def test_worst_bigram_tiebreak():
 def test_empty_corpus():
     got = lm_scores(_ds([(0, ""), (1, "x")]))
     assert got.empty
+
+
+def test_vocab_topk():
+    from webgraph_ray.stages.text import vocab_topk, vocab_topk_sql
+
+    docs = [(0, "b a a c"), (1, "c b a"), (2, "")]
+    got = vocab_topk(_ds(docs), k=2)
+    # counts: a=3, b=2, c=2 -> top-2 = a(3), then b beats c by text
+    assert list(got["token"]) == ["a", "b"]
+    assert list(got["count"]) == [3, 2]
+    assert list(got["rank"]) == [1, 2]
+
+    con = duckdb.connect()
+    con.register(
+        "docs_fixture",
+        pd.DataFrame({"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}),
+    )
+    sql = con.execute(vocab_topk_sql(k=2, doc_table="docs_fixture")).df()
+    con.close()
+    assert list(sql["token"]) == ["a", "b"]
+    assert list(sql["count"]) == [3, 2]
+
+    assert vocab_topk(_ds([(0, "")]), k=5).empty

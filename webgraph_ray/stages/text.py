@@ -1104,3 +1104,54 @@ lm_ranked AS (
 SELECT doc_id, n AS n_bigrams, bg AS worst_bigram, avg_fp AS lm_fp
 FROM lm_ranked WHERE rn = 1
 ORDER BY doc_id"""
+
+
+def vocab_topk(docs: ray.data.Dataset, k: int = 1000) -> pd.DataFrame:
+    """(rank, token, count): the corpus's top-``k`` \\S+ tokens by
+    occurrence count (ties by token text) — the vocabulary pre-pass of a
+    tokenizer pipeline.  ONE streaming pass of the shared mergeable
+    gram-count partials (:func:`_gram_count_partial`, unigram rows only),
+    reduced once on the driver; no shuffle."""
+    parts = (
+        docs.select_columns(["text"])
+        .map_batches(_gram_count_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "rank": pd.Series(dtype="int64"),
+            "token": pd.Series(dtype="object"),
+            "count": pd.Series(dtype="int64"),
+        }
+    )
+    if not len(parts):
+        return empty
+    uni = parts[parts["kind"] == 0]
+    if not len(uni):
+        return empty
+    agg = uni.groupby("gram", sort=False)["cnt"].sum().reset_index()
+    agg = agg.sort_values(
+        ["cnt", "gram"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(agg) + 1, dtype=np.int64),
+            "token": agg["gram"].to_numpy(),
+            "count": agg["cnt"].to_numpy(np.int64),
+        }
+    )
+
+
+def vocab_topk_sql(k: int = 1000, doc_table: str = "documents") -> str:
+    """DuckDB mirror: same tokens, same (count desc, token asc) order."""
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY c DESC, gram) AS BIGINT) AS rank,
+       gram AS token,
+       CAST(c AS BIGINT) AS count
+FROM (
+    SELECT t AS gram, count(*) AS c
+    FROM {doc_table}, unnest(regexp_extract_all(text, '\\S+')) AS u(t)
+    GROUP BY 1
+)
+ORDER BY c DESC, gram
+LIMIT {k}"""
