@@ -386,12 +386,14 @@ def q_pagerank(sf_dir: str):
     'katz' (Katz centrality: x <- SCALE + (weighted in-sum)//alpha_den
     with alpha = 1/(2*max weighted in-degree), exact int64, no
     normalization step — the message kernel is the engine's existing
-    hits scatter, so no new exchange path).  All runs share the engine;
-    every oracle is an unrolled exact-int64 CTE chain."""
+    hits scatter, so no new exchange path) and 'eigen' (eigenvector
+    centrality: the un-damped normalized power iteration — the forward
+    HITS half-step on one layout).  All runs share the engine; every
+    oracle is an unrolled exact-int64 CTE chain."""
     import shutil
     import tempfile
 
-    from webgraph_ray.graph.katz import katz_keyed
+    from webgraph_ray.graph.katz import eigenvector_keyed, katz_keyed
 
     pr = _pagerank_fp(sf_dir).to_pandas()
     pr.insert(0, "method", "global")
@@ -403,7 +405,13 @@ def q_pagerank(sf_dir: str):
     finally:
         shutil.rmtree(work, ignore_errors=True)
     kz.insert(0, "method", "katz")
-    return pd.concat([pr, ppr, kz], ignore_index=True)
+    work = tempfile.mkdtemp(prefix="webgraph_eigen_")
+    try:
+        ev = eigenvector_keyed(_edges(sf_dir), _vertices(sf_dir), work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ev.insert(0, "method", "eigen")
+    return pd.concat([pr, ppr, kz, ev], ignore_index=True)
 
 
 def q_components(sf_dir: str):
@@ -2155,13 +2163,19 @@ def _pagerank_methods_sql() -> str:
     statement under their distinct prefixes (pr / ppr)."""
     from webgraph_ray.functions.oracles import PR_FP_ITERS
 
-    from webgraph_ray.graph.katz import KATZ_ITERS, katz_fp_ctes
+    from webgraph_ray.graph.katz import (
+        EIGEN_ITERS,
+        KATZ_ITERS,
+        eigen_fp_ctes,
+        katz_fp_ctes,
+    )
 
     return (
         _CTE_MAT
         + _graph_oracles.pagerank_fp_ctes()
         + _graph_oracles.ppr_fp_ctes(PPR_SEEDS_SQL)
         + katz_fp_ctes()
+        + eigen_fp_ctes()
         + f"""
 SELECT 'global' AS method, vertex_key, CAST(val AS BIGINT) AS score_fp
 FROM pr{PR_FP_ITERS}
@@ -2170,7 +2184,10 @@ SELECT 'personalized', vertex_key, CAST(val AS BIGINT)
 FROM ppr{PR_FP_ITERS}
 UNION ALL
 SELECT 'katz', vertex_key, CAST(val AS BIGINT)
-FROM kz{KATZ_ITERS}"""
+FROM kz{KATZ_ITERS}
+UNION ALL
+SELECT 'eigen', vertex_key, CAST(val AS BIGINT)
+FROM ev{EIGEN_ITERS}"""
     )
 
 

@@ -98,3 +98,61 @@ def test_sql_parity(tmp_path):
     con.close()
     assert list(oracle["vertex_key"]) == list(got["vertex_key"])
     assert list(oracle["score_fp"]) == list(got["score_fp"])
+
+
+# --- eigenvector centrality (same module family) ---------------------------
+
+from webgraph_ray.graph.katz import eigen_fp_ctes, eigenvector_keyed  # noqa: E402
+
+EIG_SCALE = 10**7
+
+
+def _brute_eigen(edge_rows, iters, scale=EIG_SCALE):
+    verts = sorted({v for e in edge_rows for v in e[:2]})
+    x = {v: scale // len(verts) for v in verts}
+    for _ in range(iters):
+        raw = {v: 0 for v in verts}
+        for s, d, w in edge_rows:
+            raw[d] += x[s] * w
+        total = sum(raw.values())
+        if total == 0:
+            x = {v: 0 for v in verts}
+        else:
+            x = {v: (raw[v] * scale) // total for v in verts}
+    return x
+
+
+def test_eigen_matches_brute_and_sql(tmp_path):
+    exp = _brute_eigen(EDGES, iters=12)
+    edges, vertices = _mk(EDGES)
+    got = eigenvector_keyed(edges, vertices, str(tmp_path))
+    got_map = {
+        int(k[1:]): int(s) for k, s in zip(got["vertex_key"], got["score_fp"])
+    }
+    assert got_map == exp
+    df = pd.DataFrame(
+        {
+            "src_key": [f"v{e[0]:03d}" for e in EDGES],
+            "dst_key": [f"v{e[1]:03d}" for e in EDGES],
+            "weight": [e[2] for e in EDGES],
+        }
+    )
+    con = duckdb.connect()
+    con.register("raw_edges", df)
+    sql = (
+        "WITH edges AS (SELECT src_key, dst_key, weight FROM raw_edges)"
+        + eigen_fp_ctes(iters=12)
+        + "\nSELECT vertex_key, CAST(val AS BIGINT) AS score_fp FROM ev12"
+        "\nORDER BY vertex_key"
+    )
+    oracle = con.execute(sql).df()
+    con.close()
+    assert list(oracle["vertex_key"]) == list(got["vertex_key"])
+    assert list(oracle["score_fp"]) == list(got["score_fp"])
+
+
+def test_eigen_partition_invariance(tmp_path):
+    edges, vertices = _mk(EDGES)
+    a = eigenvector_keyed(edges, vertices, str(tmp_path / "a"), num_parts=1)
+    b = eigenvector_keyed(edges, vertices, str(tmp_path / "b"), num_parts=4)
+    assert a.equals(b)

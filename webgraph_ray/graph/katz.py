@@ -172,3 +172,125 @@ def katz_fp_ctes(
 )"""
         )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality: the un-damped, un-shifted power iteration — the
+# forward half-step of HITS on a single layout with per-step L1
+# normalization (labels * scale // total, exact int64).  Completes the
+# classical spectral family beside PageRank (damped+teleport), Katz
+# (additive shift) and HITS/SALSA (two-sided).
+# ---------------------------------------------------------------------------
+
+EIGEN_ITERS = 12
+EIGEN_SCALE = 10**7
+
+
+def eigenvector_keyed(
+    edges: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    work_dir: str,
+    iters: int = EIGEN_ITERS,
+    scale: int = EIGEN_SCALE,
+    num_parts: int | None = None,
+) -> pd.DataFrame:
+    """(vertex_key, score_fp) — right-eigenvector centrality (in-edge
+    weighted sums) after ``iters`` normalized power steps."""
+    from ray.data.aggregate import Max, Min
+
+    agg = edges.select_columns(["weight"]).aggregate(
+        Min("weight", alias_name="w_min"), Max("weight", alias_name="w_max")
+    )
+    max_w = max(abs(agg.get("w_min") or 0), abs(agg.get("w_max") or 0))
+    # same bound as HITS: labels <= scale after each normalization, so the
+    # next raw sums are <= scale * total_weight and label*scale < 2^62
+    assert scale * scale * max(max_w, 1) < 2**62, (
+        f"eigenvector overflow bound violated: scale={scale}, max |weight|={max_w}"
+    )
+
+    eng = GraphEngine(os.path.join(work_dir, "eigen"), num_parts=num_parts)
+    eng.build(edges, symmetrize=False)
+    try:
+        eng.start()
+        ray.get([a.init_state.remote("hits") for a in eng.actors])
+        ray.get(
+            [
+                a.set_uniform_labels.remote(scale // max(eng.N, 1))
+                for a in eng.actors
+            ]
+        )
+        pending: list = []
+        for _ in range(iters):
+            hub_ref = eng._initial_hub_ref("hits")
+            outs = eng._exchange("hits", hub_ref)
+            applies = [
+                eng.actors[q].apply_sum.remote(
+                    *[outs[i][q] for i in range(len(outs))]
+                )
+                for q in range(eng.P)
+            ]
+            total = int(sum(ray.get(applies)))
+            pending.extend(
+                a.scale_labels.remote(scale, total) for a in eng.actors
+            )
+        ray.get(pending)  # surface normalization errors
+        tables = ray.get([a.result_table.remote("hits") for a in eng.actors])
+        res = ray.data.from_arrow(
+            [
+                pa.table(
+                    {"vertex_id": t["vertex_id"], "score_fp": t["label"]}
+                )
+                for t in tables
+            ]
+        )
+        return (
+            attach_keys(res, vertices)
+            .select_columns(["vertex_key", "score_fp"])
+            .to_pandas()
+            .sort_values("vertex_key", kind="mergesort")
+            .reset_index(drop=True)
+        )
+    finally:
+        eng.shutdown()
+
+
+def eigen_fp_ctes(
+    iters: int = EIGEN_ITERS,
+    scale: int = EIGEN_SCALE,
+    edges_cte: str = "edges",
+    prefix: str = "ev",
+) -> str:
+    """Unrolled DuckDB mirror: per step one weighted in-sum aggregate and
+    the same L1 normalization idiom as the HITS oracle (absent vertices
+    contribute 0; a zero total zeroes the vector)."""
+    E, x = edges_cte, prefix
+    parts = [
+        f"""
+, {x}_verts AS MATERIALIZED (
+    SELECT DISTINCT vertex_key FROM (
+        SELECT src_key AS vertex_key FROM {E}
+        UNION ALL SELECT dst_key FROM {E}
+    )
+), {x}_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {x}_verts)
+, {x}0 AS MATERIALIZED (
+    SELECT v.vertex_key, {scale} // n.n AS val
+    FROM {x}_verts v CROSS JOIN {x}_n n
+)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"""
+, {x}_r{i} AS MATERIALIZED (
+    SELECT e.dst_key AS vertex_key,
+           sum(s.val * CAST(e.weight AS BIGINT)) AS v
+    FROM {E} e JOIN {x}{p} s ON s.vertex_key = e.src_key
+    GROUP BY 1
+), {x}{i} AS MATERIALIZED (
+    SELECT v.vertex_key,
+           coalesce((r.v * {scale})
+                    // (SELECT sum(v) FROM {x}_r{i}), 0) AS val
+    FROM {x}_verts v LEFT JOIN {x}_r{i} r ON r.vertex_key = v.vertex_key
+)"""
+        )
+    return "".join(parts)
