@@ -702,9 +702,13 @@ def q_near_dup_pairs(sf_dir: str):
     broadcast matmul / hyperplane-LSH buckets), plus the SPAN-level
     criterion of Lee et al. 2022 ('substring': two docs share a verbatim
     run of 6 whitespace tokens — catches shared boilerplate between
-    documents whose whole-document similarity is below every threshold).
-    Replaces the three round-3 entries minhash_dup_pairs /
-    jaccard_dup_pairs / cosine_dup_pairs."""
+    documents whose whole-document similarity is below every threshold),
+    plus Broder's one-sided CONTAINMENT criterion ('containment':
+    |A∩B| / min(|A|,|B|) — catches quotes/subsets whose symmetric
+    resemblance sits below every Jaccard threshold; exact all-pairs
+    only, loud raise above the gate since LSH approximates resemblance,
+    not containment).  Replaces the three round-3 entries
+    minhash_dup_pairs / jaccard_dup_pairs / cosine_dup_pairs."""
     from webgraph_ray.stages.dedup import (
         jaccard_dup_pairs,
         minhash_lsh_dedup,
@@ -730,6 +734,13 @@ def q_near_dup_pairs(sf_dir: str):
         .select_columns(["doc_a", "doc_b"])
         .map_batches(tag("jaccard"), batch_format="pyarrow")
     )
+    ct = (
+        jaccard_dup_pairs(
+            _docs(sf_dir), threshold=CONTAINMENT_THRESHOLD, mode="containment"
+        )
+        .select_columns(["doc_a", "doc_b"])
+        .map_batches(tag("containment"), batch_format="pyarrow")
+    )
 
     def cos_tag(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -748,7 +759,7 @@ def q_near_dup_pairs(sf_dir: str):
         .select_columns(["doc_a", "doc_b"])
         .map_batches(tag("substring"), batch_format="pyarrow")
     )
-    return mh.union(jc).union(cs).union(ss)
+    return mh.union(jc).union(cs).union(ss).union(ct)
 
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -2073,6 +2084,7 @@ def _lang_scores_sql() -> str:
 
 
 MINHASH_THRESHOLD = 0.5
+CONTAINMENT_THRESHOLD = 0.75
 # span-dedup window (tokens): 6 separates the planted near-dup spans from
 # coincidental fixture n-grams (W=4 matches 400+ coincidences, W=6 the ~25
 # real shared runs); Lee et al. use 50 BPE tokens at corpus scale
@@ -2419,6 +2431,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'substring' AS method, doc_a, doc_b
         FROM ({_dd.substring_pairs_sql(SUBSTRING_WINDOW)})
+        UNION ALL
+        SELECT 'containment' AS method, doc_a, doc_b
+        FROM ({_th.containment_pairs_sql(CONTAINMENT_THRESHOLD)})
         """,
         "kmeans_clusters": _cl.kmeans_sql(k=8, iters=3),
         "semdedup": _cl.semdedup_sql(k=8, iters=3, threshold=0.4),

@@ -418,3 +418,43 @@ def test_dup_clusters_no_pairs():
         .to_pandas().sort_values("doc_id")
     )
     assert list(got["cluster_id"]) == list(got["doc_id"])
+
+
+def test_containment_catches_quote():
+    """A short doc fully quoted inside a long one: containment = 1 while
+    symmetric Jaccard is far below threshold — the one-sided criterion
+    must find the pair, the symmetric one must not."""
+    import duckdb
+
+    from webgraph_ray.functions.texthash import containment_pairs_sql
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i:04d} paragraph body" for i in range(40))
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [quote, filler + " " + quote, "zzz " * 30]}
+    )
+    ds = ray.data.from_pandas(df)
+    ct = dedup.jaccard_dup_pairs(ds, threshold=0.9, mode="containment").to_pandas()
+    assert set(zip(ct["doc_a"], ct["doc_b"])) == {(1, 2)}
+    jc = dedup.jaccard_dup_pairs(ds, threshold=0.9).to_pandas()
+    assert len(jc) == 0
+    # DuckDB mirror parity
+    con = duckdb.connect()
+    con.register("docs_fixture", df)
+    sql = con.execute(containment_pairs_sql(0.9, doc_table="docs_fixture")).df()
+    con.close()
+    assert set(zip(sql["doc_a"], sql["doc_b"])) == {(1, 2)}
+
+
+def test_containment_gate_always_raises(planted):
+    """No approximate fallback exists for containment (LSH approximates
+    resemblance): above the gate it must raise even with approx_fallback."""
+    ds = ray.data.from_pandas(planted)
+    with pytest.raises(ValueError, match="containment"):
+        dedup.jaccard_dup_pairs(
+            ds,
+            threshold=0.9,
+            mode="containment",
+            broadcast_threshold=10,
+            approx_fallback=True,
+        )

@@ -277,6 +277,25 @@ WHERE len(list_intersect(a.g, b.g)) * {den}
       >= {num} * (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))"""
 
 
+def containment_pairs_sql(
+    threshold: float, doc_table: str = "documents", k: int = K_GRAM
+) -> str:
+    """Exact all-pairs char-gram CONTAINMENT oracle (mirrors
+    stages/dedup.py:jaccard_dup_pairs mode='containment'): keep (a, b)
+    when |A∩B| / min(|A|, |B|) clears the threshold — no size prune, a
+    tiny doc fully inside a huge one must qualify."""
+    num, den = threshold_ratio(threshold)
+    return f"""
+WITH cp_g AS MATERIALIZED (
+    SELECT doc_id, list_distinct({sql_grams_list('text', k)}) AS g
+    FROM {doc_table} WHERE length(text) >= {k}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM cp_g a JOIN cp_g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g)) * {den}
+      >= {num} * least(len(a.g), len(b.g))"""
+
+
 def minhash_pairs_sql(
     threshold: float,
     doc_table: str = "documents",

@@ -255,8 +255,16 @@ def jaccard_dup_pairs(
     threshold: float = 0.5,
     broadcast_threshold: int = 100_000,
     approx_fallback: bool = False,
+    mode: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact char-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    ``mode="containment"`` switches the criterion to Broder's one-sided
+    CONTAINMENT ``|A∩B| / min(|A|, |B|)`` — "the smaller document is
+    mostly inside the other" — which catches quotes / subsets whose
+    symmetric resemblance sits below every Jaccard threshold.  MinHash
+    LSH approximates resemblance, NOT containment, so the above-gate
+    ``approx_fallback`` is refused in containment mode (loud raise).
 
     Below ``broadcast_threshold`` docs: the shingle table is broadcast once
     (``ray.put``) as an exploded inverted index and every batch computes
@@ -273,7 +281,15 @@ def jaccard_dup_pairs(
     output as exact."""
     from webgraph_ray.functions import texthash as th
 
+    assert mode in ("jaccard", "containment"), mode
     if docs.count() > broadcast_threshold:
+        if mode == "containment":
+            raise ValueError(
+                "containment mode is exact all-pairs only (MinHash-LSH "
+                "approximates resemblance, not containment); shard the "
+                f"corpus below {broadcast_threshold} docs or use the "
+                "substring-span criterion at scale"
+            )
         if not approx_fallback:
             raise ValueError(
                 "jaccard_dup_pairs is exact all-pairs and gated at "
@@ -344,8 +360,11 @@ def jaccard_dup_pairs(
         ia = inter["inter"].to_numpy(np.int64)
         sa = my_sizes.reindex(inter["doc_id_a"]).to_numpy(np.int64)
         sb = side_sizes.reindex(inter["doc_id_b"]).to_numpy(np.int64)
-        uni = sa + sb - ia
-        keep = ia * den >= num * uni  # exact integer compare
+        if mode == "containment":
+            keep = ia * den >= num * np.minimum(sa, sb)
+        else:
+            uni = sa + sb - ia
+            keep = ia * den >= num * uni  # exact integer compare
         return pd.DataFrame(
             {
                 "doc_a": inter["doc_id_a"].to_numpy(np.int64)[keep],
