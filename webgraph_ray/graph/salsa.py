@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray

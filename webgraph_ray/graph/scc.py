@@ -133,9 +133,10 @@ def scc_keyed(
                 "FW-BW round settled nothing — the remaining minimum id "
                 "must always settle; engine invariant broken"
             )
-        assert cur.count() <= broadcast_threshold, (
-            "settled-id filter is broadcast below the gate; at this size "
-            "switch to the bucketed anti-join path"
+        assert len(sids) <= broadcast_threshold, (
+            "settled-id filter is broadcast below the gate; at this many "
+            "settled vertices switch to a bucketed anti-join over the "
+            "edge table"
         )
         sref = ray.put(sids)
 
