@@ -112,3 +112,12 @@ def test_vocab_topk():
     assert list(sql["count"]) == [3, 2]
 
     assert vocab_topk(_ds([(0, "")]), k=5).empty
+
+
+def test_join_path_matches_broadcast():
+    """Forcing max_vocab=0 exercises the over-gate scale path (distributed
+    count reduce + two gram-key bucketed joins + doc re-aggregation): it
+    must be bit-identical to the broadcast path."""
+    broadcast = lm_scores(_ds(DOCS))
+    joined = lm_scores(_ds(DOCS), max_vocab=0)
+    assert broadcast.equals(joined)

@@ -988,15 +988,22 @@ def lm_scores(docs: ray.data.Dataset, max_vocab: int = LM_MAX_VOCAB) -> pd.DataF
     per-occurrence conditional-probability fixed point and
     ``worst_bigram`` the document's lowest-scoring transition.
 
-    Same two-pass shape as tfidf/bm25: ONE streaming pass of mergeable
-    per-block (gram, kind, cnt) partials (shared kernel with
-    :func:`collocations`), reduced once on the driver
+    Same two-pass shape as tfidf/bm25 below the vocabulary gate: ONE
+    streaming pass of mergeable per-block (gram, kind, cnt) partials
+    (shared kernel with :func:`collocations`), reduced once on the driver
     (vocabulary-bounded), then a ``ray.put``-broadcast shuffle-free
-    scoring pass — each batch scores only its own documents."""
-    parts = (
+    scoring pass — each batch scores only its own documents.  ABOVE the
+    gate (counted on the partial rows, which upper-bound the vocabulary,
+    so the driver never materializes an over-gate count table) the scale
+    path takes over: counts reduce through a gram-hash bucket groupby
+    and the per-occurrence rows score through TWO gram-key bucketed
+    joins (bigram then first-token) plus one doc-bucket re-aggregation —
+    three bounded shuffles instead of a broadcast, bit-identical output
+    (pytest-pinned)."""
+    pc_ds = (
         docs.select_columns(["text"])
         .map_batches(_gram_count_partial, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
     empty = pd.DataFrame(
         {
@@ -1006,15 +1013,12 @@ def lm_scores(docs: ray.data.Dataset, max_vocab: int = LM_MAX_VOCAB) -> pd.DataF
             "lm_fp": pd.Series(dtype="int64"),
         }
     )
-    if not len(parts):
+    if pc_ds.count() == 0:
         return empty
+    if pc_ds.count() > max_vocab:
+        return _lm_scores_joined(docs, pc_ds, empty)
+    parts = pc_ds.to_pandas()
     agg = parts.groupby(["kind", "gram"], sort=False)["cnt"].sum()
-    if len(agg) > max_vocab:
-        raise ValueError(
-            f"lm_scores: gram vocabulary {len(agg)} exceeds max_vocab="
-            f"{max_vocab}; at this scale score through a gram-hash "
-            "bucketed join instead of a broadcast"
-        )
     uni = agg.loc[0] if 0 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
     bi = agg.loc[1] if 1 in agg.index.get_level_values(0) else pd.Series(dtype="int64")
     if not len(bi):
@@ -1062,6 +1066,124 @@ def lm_scores(docs: ray.data.Dataset, max_vocab: int = LM_MAX_VOCAB) -> pd.DataF
         .map_batches(score, batch_format="pyarrow")
         .to_pandas()
     )
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def _lm_occurrence_rows(t: pa.Table) -> pd.DataFrame:
+    """One row per in-document adjacent bigram occurrence:
+    (doc_id, bg, a)."""
+    import pyarrow.compute as pc
+
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx, flat = _explode_ws_tokens(t["text"])
+    idx = _inbatch_bigrams(doc_idx, flat)
+    if not len(idx):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "bg": pd.Series(dtype="object"),
+                "a": pd.Series(dtype="object"),
+            }
+        )
+    firsts = flat.take(pa.array(idx, pa.int64()))
+    grams = pc.binary_join_element_wise(
+        firsts, flat.take(pa.array(idx + 1, pa.int64())), " "
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": doc_ids[doc_idx[idx]],
+            "bg": np.asarray(grams.cast(pa.string()), dtype=object),
+            "a": np.asarray(firsts.cast(pa.string()), dtype=object),
+        }
+    )
+
+
+def _lm_scores_joined(
+    docs: ray.data.Dataset, pc_ds: ray.data.Dataset, empty: pd.DataFrame
+) -> pd.DataFrame:
+    """The over-gate scale path of :func:`lm_scores`: distributed count
+    reduce + two gram-key bucketed joins + one doc-bucket re-aggregation.
+    Bit-identical to the broadcast path (same floors, same tie-break)."""
+    import ray as _ray
+
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # process-stable hash: the same gram must land in the same bucket
+        # from every worker (builtin hash() is per-process randomized)
+        from webgraph_ray.functions.hashing import hash_keys
+
+        h = np.abs(hash_keys(df["gram"].to_numpy(dtype=object)))
+        return df.assign(__b=(h % nb).astype(np.int32))
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["kind", "gram"], sort=False, as_index=False)["cnt"]
+            .sum()
+            .astype({"cnt": np.int64})
+        )
+        return out
+
+    counts = (
+        pc_ds.map_batches(_bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(_reduce, batch_format="pandas")
+        .materialize()
+    )
+    bi_c = counts.map_batches(
+        lambda df: df.loc[df["kind"] == 1, ["gram", "cnt"]].rename(
+            columns={"gram": "bg", "cnt": "c_ab"}
+        ),
+        batch_format="pandas",
+    )
+    uni_c = counts.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["gram", "cnt"]].rename(
+            columns={"gram": "a", "cnt": "c_a"}
+        ),
+        batch_format="pandas",
+    )
+    occ = docs.select_columns(["doc_id", "text"]).map_batches(
+        _lm_occurrence_rows, batch_format="pyarrow"
+    )
+    j = bucketed_join(occ, bi_c, keys=["bg"], how="inner")
+    j = bucketed_join(j, uni_c, keys=["a"], how="inner")
+
+    def _score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        fp = (
+            df["c_ab"].to_numpy(np.int64) * LM_SCALE
+        ) // df["c_a"].to_numpy(np.int64)
+        out = df[["doc_id", "bg"]].copy()
+        out["fp"] = fp
+        out["__d"] = (out["doc_id"].to_numpy(np.int64) % nb).astype(np.int32)
+        return out
+
+    def _per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "fp", "bg"], kind="mergesort")
+        per = g.groupby("doc_id", sort=False)["fp"].agg(n="size", s="sum")
+        worst = g.drop_duplicates("doc_id", keep="first")
+        out = worst.merge(per, on="doc_id")
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_bigrams": out["n"].to_numpy(np.int64),
+                "worst_bigram": out["bg"].to_numpy(),
+                "lm_fp": (
+                    out["s"].to_numpy(np.int64) // out["n"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    out = (
+        j.map_batches(_score_rows, batch_format="pandas")
+        .groupby("__d")
+        .map_groups(_per_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return empty
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
 
 
