@@ -98,3 +98,13 @@ def test_partition_invariance(tmp_path):
     e2, v2 = _mk(edges)
     b = scc_keyed(e2, v2, str(tmp_path / "b"), num_parts=4)
     assert a.equals(b)
+
+
+def test_antijoin_path_matches_broadcast(tmp_path):
+    """broadcast_threshold=0 forces the settled-filter anti-join path."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 3), (4, 5)]
+    e1, v1 = _mk(edges)
+    a = scc_keyed(e1, v1, str(tmp_path / "a"))
+    e2, v2 = _mk(edges)
+    b = scc_keyed(e2, v2, str(tmp_path / "b"), broadcast_threshold=0)
+    assert a.equals(b)

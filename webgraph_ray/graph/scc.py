@@ -48,6 +48,26 @@ from webgraph_ray.graph.engine import GraphEngine
 from webgraph_ray.pipelines.flagship import attach_keys
 
 
+def _drop_endpoint(
+    cur: ray.data.Dataset, smarks: ray.data.Dataset, col: str
+) -> ray.data.Dataset:
+    """Anti-join: drop edges whose ``col`` endpoint appears in ``smarks``
+    (a (vertex_id) marker table) — bucketed left join + unmatched filter."""
+    marks = smarks.map_batches(
+        lambda df, c=col: df.rename(columns={"vertex_id": c}).assign(
+            __hit=np.int8(1)
+        ),
+        batch_format="pandas",
+    )
+    joined = bucketed_join(cur, marks, keys=[col], how="left")
+    return joined.map_batches(
+        lambda df: df.loc[df["__hit"].isna(), ["src", "dst", "weight"]].astype(
+            {"src": np.int64, "dst": np.int64, "weight": np.int64}
+        ),
+        batch_format="pandas",
+    )
+
+
 def scc_keyed(
     edges: ray.data.Dataset,
     vertices: ray.data.Dataset,
@@ -133,26 +153,30 @@ def scc_keyed(
                 "FW-BW round settled nothing — the remaining minimum id "
                 "must always settle; engine invariant broken"
             )
-        assert len(sids) <= broadcast_threshold, (
-            "settled-id filter is broadcast below the gate; at this many "
-            "settled vertices switch to a bucketed anti-join over the "
-            "edge table"
-        )
-        sref = ray.put(sids)
+        if len(sids) <= broadcast_threshold:
+            sref = ray.put(sids)
 
-        def drop_settled(t: pa.Table) -> pa.Table:
-            s = ray.get(sref)
-            a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ia = np.searchsorted(s, a)
-            ib = np.searchsorted(s, b)
-            hit_a = (ia < len(s)) & (s[np.minimum(ia, len(s) - 1)] == a)
-            hit_b = (ib < len(s)) & (s[np.minimum(ib, len(s) - 1)] == b)
-            return t.filter(pa.array(~(hit_a | hit_b)))
+            def drop_settled(t: pa.Table) -> pa.Table:
+                s = ray.get(sref)
+                a = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(s, a)
+                ib = np.searchsorted(s, b)
+                hit_a = (ia < len(s)) & (s[np.minimum(ia, len(s) - 1)] == a)
+                hit_b = (ib < len(s)) & (s[np.minimum(ib, len(s) - 1)] == b)
+                return t.filter(pa.array(~(hit_a | hit_b)))
 
-        cur = cur.map_batches(
-            drop_settled, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+            cur = cur.map_batches(
+                drop_settled, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        else:
+            # scale path: two bucketed anti-joins (marker left-join, keep
+            # unmatched) — nothing O(settled) ever reaches the driver
+            smarks = ray.data.from_pandas(
+                settled[["vertex_id"]].astype({"vertex_id": np.int64})
+            )
+            cur = _drop_endpoint(cur, smarks, "src")
+            cur = _drop_endpoint(cur, smarks, "dst").materialize()
         shutil.rmtree(rdir, ignore_errors=True)
         rounds += 1
 
