@@ -121,3 +121,12 @@ def test_join_path_matches_broadcast():
     broadcast = lm_scores(_ds(DOCS))
     joined = lm_scores(_ds(DOCS), max_vocab=0)
     assert broadcast.equals(joined)
+
+
+def test_vocab_distributed_path_matches():
+    from webgraph_ray.stages.text import vocab_topk
+
+    docs = [(0, "b a a c d d d"), (1, "c b a e"), (2, "f f")]
+    a = vocab_topk(_ds(docs), k=3)
+    b = vocab_topk(_ds(docs), k=3, max_vocab=0)
+    assert a.equals(b)

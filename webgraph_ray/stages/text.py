@@ -1228,16 +1228,22 @@ FROM lm_ranked WHERE rn = 1
 ORDER BY doc_id"""
 
 
-def vocab_topk(docs: ray.data.Dataset, k: int = 1000) -> pd.DataFrame:
+def vocab_topk(
+    docs: ray.data.Dataset, k: int = 1000, max_vocab: int = LM_MAX_VOCAB
+) -> pd.DataFrame:
     """(rank, token, count): the corpus's top-``k`` \\S+ tokens by
     occurrence count (ties by token text) — the vocabulary pre-pass of a
     tokenizer pipeline.  ONE streaming pass of the shared mergeable
     gram-count partials (:func:`_gram_count_partial`, unigram rows only),
-    reduced once on the driver; no shuffle."""
-    parts = (
+    reduced once on the driver below the gate (counted on partial rows);
+    ABOVE it the distributed top-k shape takes over: token-hash bucket
+    groupby (every token wholly in one bucket) -> per-bucket exact sums +
+    per-bucket top-k -> the driver merges only #buckets * k rows.
+    Bit-identical across paths (pytest-pinned)."""
+    pc_ds = (
         docs.select_columns(["text"])
         .map_batches(_gram_count_partial, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
     empty = pd.DataFrame(
         {
@@ -1246,12 +1252,39 @@ def vocab_topk(docs: ray.data.Dataset, k: int = 1000) -> pd.DataFrame:
             "count": pd.Series(dtype="int64"),
         }
     )
-    if not len(parts):
+    if pc_ds.count() == 0:
         return empty
-    uni = parts[parts["kind"] == 0]
-    if not len(uni):
-        return empty
-    agg = uni.groupby("gram", sort=False)["cnt"].sum().reset_index()
+    if pc_ds.count() <= max_vocab:
+        parts = pc_ds.to_pandas()
+        uni = parts[parts["kind"] == 0]
+        if not len(uni):
+            return empty
+        agg = uni.groupby("gram", sort=False)["cnt"].sum().reset_index()
+    else:
+        from webgraph_ray.functions.hashing import hash_keys
+        from webgraph_ray.functions.shuffle import default_num_buckets
+
+        nb = default_num_buckets()
+
+        def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["kind"] == 0]
+            h = np.abs(hash_keys(df["gram"].to_numpy(dtype=object)))
+            return df.assign(__b=(h % nb).astype(np.int32))
+
+        def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+            a = g.groupby("gram", sort=False)["cnt"].sum().reset_index()
+            return a.sort_values(
+                ["cnt", "gram"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+
+        agg = (
+            pc_ds.map_batches(_bucket, batch_format="pandas")
+            .groupby("__b")
+            .map_groups(_bucket_topk, batch_format="pandas")
+            .to_pandas()
+        )
+        if not len(agg):
+            return empty
     agg = agg.sort_values(
         ["cnt", "gram"], ascending=[False, True], kind="mergesort"
     ).head(k)
