@@ -446,15 +446,33 @@ def test_containment_catches_quote():
     assert set(zip(sql["doc_a"], sql["doc_b"])) == {(1, 2)}
 
 
-def test_containment_gate_always_raises(planted):
-    """No approximate fallback exists for containment (LSH approximates
-    resemblance): above the gate it must raise even with approx_fallback."""
+def test_containment_bucketed_path_matches_broadcast(planted):
+    """Above the gate containment takes the EXACT bucketed inverted-index
+    path (never the MinHash fallback — LSH approximates resemblance, not
+    containment): pairs must equal the broadcast path's exactly."""
     ds = ray.data.from_pandas(planted)
-    with pytest.raises(ValueError, match="containment"):
-        dedup.jaccard_dup_pairs(
-            ds,
-            threshold=0.9,
-            mode="containment",
-            broadcast_threshold=10,
-            approx_fallback=True,
-        )
+    broad = dedup.jaccard_dup_pairs(ds, threshold=0.5, mode="containment")
+    bp = set(zip(*[broad.to_pandas()[c] for c in ("doc_a", "doc_b")]))
+    bucketed = dedup.jaccard_dup_pairs(
+        ds,
+        threshold=0.5,
+        mode="containment",
+        broadcast_threshold=1,
+        approx_fallback=True,  # must be ignored in containment mode
+    )
+    kp = set(zip(*[bucketed.to_pandas()[c] for c in ("doc_a", "doc_b")]))
+    assert kp == bp and len(bp) >= 1
+
+
+def test_containment_hot_shingle_gate():
+    """A shingle shared by more docs than max_shingle_docs fails loudly on
+    the bucketed path (quadratic pair volume)."""
+    common = "exactsharedboilerplateprefix"
+    df = pd.DataFrame(
+        {"doc_id": range(8), "text": [common + str(i) for i in range(8)]}
+    )
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="max_shingle_docs"):
+        dedup._containment_pairs_bucketed(
+            ds, threshold=0.5, max_shingle_docs=3
+        ).to_pandas()

@@ -284,12 +284,10 @@ def jaccard_dup_pairs(
     assert mode in ("jaccard", "containment"), mode
     if docs.count() > broadcast_threshold:
         if mode == "containment":
-            raise ValueError(
-                "containment mode is exact all-pairs only (MinHash-LSH "
-                "approximates resemblance, not containment); shard the "
-                f"corpus below {broadcast_threshold} docs or use the "
-                "substring-span criterion at scale"
-            )
+            # exact scale path: bucketed inverted-index self-join (no
+            # broadcast, hot-shingle skew gate) — MinHash-LSH is NOT a
+            # valid fallback here (it approximates resemblance)
+            return _containment_pairs_bucketed(docs, threshold)
         if not approx_fallback:
             raise ValueError(
                 "jaccard_dup_pairs is exact all-pairs and gated at "
@@ -373,6 +371,159 @@ def jaccard_dup_pairs(
         )
 
     return docs.map_batches(pairs, batch_format="pandas")
+
+
+def _containment_pairs_bucketed(
+    docs: ray.data.Dataset,
+    threshold: float,
+    max_shingle_docs: int = 256,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact containment pairs WITHOUT a broadcast: explode distinct
+    (doc_id, shingle) rows, ONE shingle-hash bucket groupby enumerating
+    per-shingle doc pairs (a hot shingle held by > ``max_shingle_docs``
+    docs fails loudly — C(d,2) pair volume is the skew hazard, same gate
+    convention as substring_dup_pairs), ONE pair-hash bucket combine to
+    exact intersection counts, then two bucketed joins attach the per-doc
+    shingle-set sizes for the ``|A∩B| >= t * min(|A|,|B|)`` filter.
+    Bit-identical to the broadcast path (pytest path-equality pin)."""
+    import ray as _ray
+
+    from webgraph_ray.functions import texthash as th
+    from webgraph_ray.functions.joins import bucketed_join
+
+    if num_buckets is None:
+        num_buckets = max(2, int(_ray.cluster_resources().get("CPU", 4)))
+    num, den = th.threshold_ratio(threshold)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, shingles = [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            sh = th.shingle_set(text)
+            if len(sh) == 0:
+                continue
+            ids.append(np.full(len(sh), doc_id, dtype=np.int64))
+            shingles.append(sh)
+        if not ids:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "shingle": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {"doc_id": np.concatenate(ids), "shingle": np.concatenate(shingles)}
+        )
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas"
+    ).materialize()
+
+    # per-doc shingle-set sizes (owner-bucket reduce, O(docs) rows)
+    def size_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).size().reset_index(name="sz")
+        g["__b"] = (g["doc_id"].to_numpy(np.int64) % num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    sizes = (
+        rows.map_batches(size_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(
+            lambda g: g.groupby("doc_id", sort=False, as_index=False)["sz"]
+            .sum()
+            .astype({"sz": np.int64}),
+            batch_format="pandas",
+        )
+    )
+
+    def sh_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __s=(
+                df["shingle"].to_numpy(np.int64) % num_buckets
+            ).astype(np.int32)
+        )
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shingle", "doc_id"], kind="mergesort")
+        s = g["shingle"].to_numpy(np.int64)
+        d = g["doc_id"].to_numpy(np.int64)
+        _, starts = np.unique(s, return_index=True)
+        bounds = np.append(starts, len(s))
+        widths = np.diff(bounds)
+        if len(widths) and int(widths.max()) > max_shingle_docs:
+            raise ValueError(
+                f"containment: a shingle is held by {int(widths.max())} "
+                f"docs (> max_shingle_docs={max_shingle_docs}); pair "
+                "volume is quadratic in that count — drop boilerplate "
+                "shingles or raise the gate explicitly"
+            )
+        us, ws = [], []
+        for st, en in zip(bounds[:-1], bounds[1:]):
+            k = en - st
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            us.append(d[st + i])
+            ws.append(d[st + j])
+        if not us:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "inter": pd.Series(dtype="int64"),
+                }
+            )
+        pair = np.stack([np.concatenate(us), np.concatenate(ws)], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {"doc_a": uniq[:, 0], "doc_b": uniq[:, 1], "inter": cnt}
+        )
+
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(np.uint64)
+        b = df["doc_b"].to_numpy(np.uint64)
+        mix = a * np.uint64(0x9E3779B97F4A7C15) + b
+        return df.assign(__p=(mix % np.uint64(num_buckets)).astype(np.int32))
+
+    inter = (
+        rows.map_batches(sh_bucket, batch_format="pandas")
+        .groupby("__s")
+        .map_groups(pair_partial, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__p")
+        .map_groups(
+            lambda g: g.groupby(["doc_a", "doc_b"], sort=False, as_index=False)[
+                "inter"
+            ]
+            .sum()
+            .astype({"inter": np.int64}),
+            batch_format="pandas",
+        )
+    )
+
+    sa = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "sz": "sa"}),
+        batch_format="pandas",
+    )
+    sb = sizes.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "sz": "sb"}),
+        batch_format="pandas",
+    )
+    j = bucketed_join(inter, sa, keys=["doc_a"], how="inner")
+    j = bucketed_join(j, sb, keys=["doc_b"], how="inner")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ia = df["inter"].to_numpy(np.int64)
+        mn = np.minimum(
+            df["sa"].to_numpy(np.int64), df["sb"].to_numpy(np.int64)
+        )
+        m = ia * den >= num * mn
+        return df.loc[m, ["doc_a", "doc_b"]].astype(np.int64)
+
+    return j.map_batches(keep, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
