@@ -425,7 +425,9 @@ def q_labelprop(sf_dir: str):
     'community' (unseeded deterministic mode-LPA community detection over
     the distinct undirected pairs — a Ray Data composition: one bucketed
     label⋈adjacency join + map-side vote partials + fixed-cardinality
-    bucket argmax per round)."""
+    bucket argmax per round), and 'modularity' (per-community fixed-point
+    Newman modularity of that partition + exact '__total__', HUGEINT
+    two-floor arithmetic mirrored bit-for-bit)."""
     import shutil
     import tempfile
 
@@ -459,9 +461,14 @@ def q_labelprop(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
     seeded["label"] = seeded["label"].astype(np.int64).astype(str)
     seeded.insert(0, "method", "seeded")
-    comm = community_lpa(edges).to_pandas()
+    from webgraph_ray.graph.community import community_modularity
+
+    comm_ds = community_lpa(edges).materialize()
+    comm = comm_ds.to_pandas()
     comm.insert(0, "method", "community")
-    return pd.concat([seeded, comm], ignore_index=True)
+    mod = community_modularity(edges, labels=comm_ds)
+    mod.insert(0, "method", "modularity")
+    return pd.concat([seeded, comm, mod], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2217,12 +2224,17 @@ def _labelprop_methods_sql() -> str:
     self-contained WITH subquery over the same edge derivation."""
     from webgraph_ray.graph.community import community_lpa_sql
 
+    from webgraph_ray.graph.community import community_modularity_sql
+
     return f"""
 SELECT 'seeded' AS method, vertex_key, CAST(label AS VARCHAR) AS label
 FROM ({_graph_oracles.labelprop_sql(_CTE_MAT)})
 UNION ALL
 SELECT 'community', vertex_key, label
-FROM ({community_lpa_sql(_CTE_MAT)})"""
+FROM ({community_lpa_sql(_CTE_MAT)})
+UNION ALL
+SELECT 'modularity', vertex_key, label
+FROM ({community_modularity_sql(_CTE_MAT)})"""
 
 
 def _pq_ann_sql_oracle() -> str:

@@ -37,10 +37,9 @@ import ray.data
 COMMUNITY_ROUNDS = 4
 
 
-def _und_neighbors(
-    edges: ray.data.Dataset, num_buckets: int
-) -> ray.data.Dataset:
-    """(v, u) rows: both directions of the distinct undirected pairs."""
+def _und_pairs(edges: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """(a, b) rows: the distinct undirected pairs (a < b, self-loops
+    dropped) — the same ``und`` universe the triangle oracle uses."""
     from webgraph_ray.functions.shuffle import bucket_distinct
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -52,13 +51,20 @@ def _und_neighbors(
         b = np.maximum(s.to_numpy(object), d.to_numpy(object))
         return pd.DataFrame({"a": a, "b": b})
 
-    und = bucket_distinct(
+    return bucket_distinct(
         edges.select_columns(["src_key", "dst_key"]).map_batches(
             pairs, batch_format="pandas"
         ),
         ["a", "b"],
         num_buckets=num_buckets,
     )
+
+
+def _und_neighbors(
+    edges: ray.data.Dataset, num_buckets: int
+) -> ray.data.Dataset:
+    """(v, u) rows: both directions of the distinct undirected pairs."""
+    und = _und_pairs(edges, num_buckets)
 
     def both(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -216,8 +222,14 @@ def community_lpa(
     return labels.map_batches(final, batch_format="pandas")
 
 
-def community_lpa_sql(base_cte: str, rounds: int = COMMUNITY_ROUNDS) -> str:
-    """Exact DuckDB mirror: unrolled mode-update CTE chain."""
+def community_lpa_sql(
+    base_cte: str, rounds: int = COMMUNITY_ROUNDS, final_select: bool = True
+) -> str:
+    """Exact DuckDB mirror: unrolled mode-update CTE chain.
+
+    ``final_select=False`` returns just the CTE chain (ending at
+    ``cm_l{rounds}``) so callers can append further CTEs — the
+    modularity mirror builds on top of it."""
     parts = [
         base_cte,
         """
@@ -251,8 +263,199 @@ def community_lpa_sql(base_cte: str, rounds: int = COMMUNITY_ROUNDS) -> str:
     FROM cm_l{r - 1} p LEFT JOIN cm_w{r} w ON w.v = p.v
 )"""
         )
-    parts.append(
-        f"""
+    if final_select:
+        parts.append(
+            f"""
 SELECT v AS vertex_key, lbl AS label FROM cm_l{rounds}"""
-    )
+        )
     return "".join(parts)
+
+
+MODULARITY_SCALE = 10**9
+
+
+def community_modularity(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset | None = None,
+    rounds: int = COMMUNITY_ROUNDS,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 5_000_000,
+) -> pd.DataFrame:
+    """Per-community fixed-point Newman modularity of the mode-LPA
+    partition, plus the exact ``__total__`` sum.
+
+    Universe: the distinct undirected pair graph (``m`` pairs, the same
+    ``und`` the triangle oracle uses); communities = final LPA labels.
+    Only communities with >=1 incident undirected edge appear (an
+    isolated singleton's contribution is exactly 0), matching the SQL
+    mirror.  Per community ``c`` with ``in_c`` internal pairs and
+    ``deg_c`` member-degree sum, the contribution is the two-floor
+    fixed-point form (each term nonnegative, so Python floor ==
+    truncation == DuckDB ``//``)::
+
+        q_c = (S*4*m*in_c) // (4*m^2)  -  (S*deg_c^2) // (4*m^2)
+
+    with S = MODULARITY_SCALE.  The intermediate products exceed int64
+    (deg_c^2 alone can), so the per-community formula runs on Python
+    arbitrary-precision ints inside the bucket combine (DuckDB mirrors
+    with HUGEINT); the stored contributions are int64-bounded (|q_c|
+    <= S).  Scale shape: label attachment is the house size-gated
+    broadcast (``ray.put`` once) vs two bucketed hash joins above the
+    threshold; per-batch (community, deg, internal) partials collapse in
+    a fixed-cardinality bucket combine, so shuffled bytes are O(distinct
+    communities), not O(E); only the per-community result table (the
+    gate row itself) reaches the driver.
+
+    Output columns: ``vertex_key`` (community label or ``__total__``),
+    ``label`` (stringified q_c, the labelprop row's value column).
+
+    Reference analog: none (WebGraph stops at ancestor flags); Newman
+    modularity (Newman & Girvan 2004) is the standard partition-quality
+    readout for the community operator, built to the house standard.
+    """
+    import ray as _ray
+
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    if labels is None:
+        labels = community_lpa(
+            edges,
+            rounds=rounds,
+            num_buckets=num_buckets,
+            broadcast_threshold=broadcast_threshold,
+        ).materialize()
+    und = _und_pairs(edges, num_buckets).materialize()
+    m = int(und.count())
+    if m == 0:
+        return pd.DataFrame({"vertex_key": ["__total__"], "label": ["0"]})
+
+    if labels.count() <= broadcast_threshold:
+        ldf = labels.to_pandas()
+        ref = _ray.put(
+            pd.Series(
+                ldf["label"].to_numpy(object),
+                index=ldf["vertex_key"].to_numpy(object),
+            )
+        )
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            mp = _ray.get(ref)
+            return pd.DataFrame(
+                {
+                    "ca": df["a"].map(mp).to_numpy(object),
+                    "cb": df["b"].map(mp).to_numpy(object),
+                }
+            )
+
+        tagged = und.map_batches(tag, batch_format="pandas")
+    else:
+        la = labels.map_batches(
+            lambda df: df.rename(columns={"vertex_key": "a", "label": "ca"}),
+            batch_format="pandas",
+        )
+        lb = labels.map_batches(
+            lambda df: df.rename(columns={"vertex_key": "b", "label": "cb"}),
+            batch_format="pandas",
+        )
+        j1 = bucketed_join(und, la, keys=["a"], num_buckets=num_buckets)
+        tagged = bucketed_join(
+            j1.map_batches(
+                lambda df: df[["b", "ca"]], batch_format="pandas"
+            ),
+            lb,
+            keys=["b"],
+            num_buckets=num_buckets,
+        )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ca = df["ca"].to_numpy(object)
+        cb = df["cb"].to_numpy(object)
+        t = pd.DataFrame(
+            {
+                "c": np.concatenate([ca, cb]),
+                "inc": np.concatenate(
+                    [(ca == cb).astype(np.int64), np.zeros(len(df), np.int64)]
+                ),
+            }
+        )
+        g = (
+            t.groupby("c", sort=False)
+            .agg(deg=("inc", "size"), inc=("inc", "sum"))
+            .reset_index()
+        )
+        g["__b"] = (hash_keys(g["c"].to_numpy(object)) % num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    S = MODULARITY_SCALE
+    denom = 4 * m * m
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c", sort=False)[["deg", "inc"]].sum().reset_index()
+        q = [
+            (S * 4 * m * int(i)) // denom - (S * int(d) * int(d)) // denom
+            for d, i in zip(agg["deg"], agg["inc"])
+        ]
+        return pd.DataFrame(
+            {
+                "vertex_key": agg["c"].to_numpy(object),
+                "label": [str(x) for x in q],
+                "__q": np.array(q, dtype=np.int64),
+            }
+        )
+
+    per = (
+        tagged.map_batches(partials, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+    total = int(per.sum("__q"))
+    out = per.select_columns(["vertex_key", "label"]).to_pandas()
+    return pd.concat(
+        [
+            out,
+            pd.DataFrame({"vertex_key": ["__total__"], "label": [str(total)]}),
+        ],
+        ignore_index=True,
+    )
+
+
+def community_modularity_sql(
+    base_cte: str, rounds: int = COMMUNITY_ROUNDS
+) -> str:
+    """Exact DuckDB mirror of :func:`community_modularity`: the LPA CTE
+    chain, then the same two-floor HUGEINT arithmetic."""
+    S = MODULARITY_SCALE
+    chain = community_lpa_sql(base_cte, rounds=rounds, final_select=False)
+    return (
+        chain
+        + f"""
+, md_tag AS MATERIALIZED (
+    SELECT la.lbl AS ca, lb.lbl AS cb
+    FROM cm_und u
+    JOIN cm_l{rounds} la ON la.v = u.a
+    JOIN cm_l{rounds} lb ON lb.v = u.b
+), md_m AS (SELECT count(*) AS m FROM md_tag)
+, md_deg AS (
+    SELECT c, count(*) AS deg, sum(i) AS inc FROM (
+        SELECT ca AS c, CASE WHEN ca = cb THEN 1 ELSE 0 END AS i FROM md_tag
+        UNION ALL SELECT cb, 0 FROM md_tag)
+    GROUP BY 1
+), md_q AS (
+    SELECT c,
+           (CAST({S} AS HUGEINT) * 4 * m.m * d.inc)
+               // (4 * CAST(m.m AS HUGEINT) * m.m)
+         - (CAST({S} AS HUGEINT) * d.deg * d.deg)
+               // (4 * CAST(m.m AS HUGEINT) * m.m) AS q
+    FROM md_deg d CROSS JOIN md_m m
+)
+SELECT c AS vertex_key, CAST(q AS VARCHAR) AS label FROM md_q
+UNION ALL
+SELECT '__total__', CAST(sum(q) AS VARCHAR) FROM md_q"""
+    )
