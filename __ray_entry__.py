@@ -1027,7 +1027,11 @@ def q_sketches(sf_dir: str):
     bounded domain): per-block (type, bit_length bucket, count)
     partials merged by addition, quantile estimate = the lower bound of
     the bucket holding the ceil(q*n)-th value (a 2x bracket of the
-    exact quantile, cross-pinned in tests/test_lbq.py)."""
+    exact quantile, cross-pinned in tests/test_lbq.py).  The 'mixing'
+    kind is the capped-proportional data-mixing weight table (UniMax
+    style: per-source doc counts capped at cap_factor x the uniform
+    share, weights = scale-fixed-point capped shares, all integer floor
+    arithmetic — the pretraining mixture step)."""
     import tempfile
 
     from webgraph_ray.graph.anf import ANF_HOPS, neighborhood_function
@@ -1038,6 +1042,7 @@ def q_sketches(sf_dir: str):
         hll_distinct,
         kmv_distinct,
         logbucket_quantiles,
+        mixing_weights,
         stratified_sample,
     )
 
@@ -1048,6 +1053,7 @@ def q_sketches(sf_dir: str):
     strat = stratified_sample(_raw_events(sf_dir), n=5)
     pca = pca_moment_rows(_embs(sf_dir))
     lbq = logbucket_quantiles(_raw_events(sf_dir))
+    mix = mixing_weights(_docs(sf_dir))
     with tempfile.TemporaryDirectory(prefix="anf_layout_") as wd:
         anf = neighborhood_function(_edges(sf_dir), wd, hops=ANF_HOPS)
     rows = (
@@ -1094,6 +1100,11 @@ def q_sketches(sf_dir: str):
             for et, p, v in zip(
                 lbq["event_type"], lbq["quantile_pct"], lbq["est_lo_cents"]
             )
+        ]
+        + [
+            ("mixing", f"{s}:{c}", int(mix[c].iloc[i]))
+            for i, s in enumerate(mix["source"])
+            for c in ("n_docs", "capped", "weight_fp")
         ]
     )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
@@ -2494,6 +2505,12 @@ def _build_training_oracles() -> dict[str, str]:
                event_type || ':' || CAST(quantile_pct AS VARCHAR) AS key,
                est_lo_cents AS value
         FROM ({_sk.logbucket_quantiles_sql()})
+        UNION ALL
+        SELECT 'mixing' AS sketch,
+               source || ':' || x.key AS key, x.value
+        FROM ({_sk.mixing_weights_sql()}),
+             LATERAL (SELECT unnest(['n_docs', 'capped', 'weight_fp']) AS key,
+                             unnest([n_docs, capped, weight_fp]) AS value) x
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),

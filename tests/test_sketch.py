@@ -375,3 +375,47 @@ def test_bloom_empty_corpus():
     assert int(got["n_set_bits"].iloc[0]) == 0
     assert int(got["est_distinct"].iloc[0]) == 0
     assert int(got["fp_probes_hit"].iloc[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# capped-proportional mixing weights
+# ---------------------------------------------------------------------------
+
+
+def test_mixing_weights_matches_oracle():
+    import duckdb
+
+    from webgraph_ray.stages.sketch import mixing_weights, mixing_weights_sql
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(100, dtype=np.int64),
+            "text": ["w"] * 100,
+            "source": (["web"] * 70 + ["books"] * 20 + ["code"] * 9 + ["wiki"]),
+        }
+    )
+    got = mixing_weights(ray.data.from_pandas(docs).repartition(7))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(mixing_weights_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    # the capped head: web (70 > cap=2*100//4=50) is clipped, tail is not
+    m = got.set_index("source")
+    assert m.loc["web", "capped"] == 50
+    assert m.loc["books", "capped"] == 20
+    assert int(m["weight_fp"].sum()) <= 10**9
+
+
+def test_mixing_weights_empty():
+    from webgraph_ray.stages.sketch import mixing_weights
+
+    docs = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "text": pd.Series([], dtype=object),
+         "source": pd.Series([], dtype=object)}
+    )
+    out = mixing_weights(ray.data.from_pandas(docs))
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "n_docs", "capped", "weight_fp"]

@@ -744,3 +744,95 @@ SELECT event_type,
             AS BIGINT) AS est_lo_cents
 FROM lbq_pick
 ORDER BY event_type, quantile_pct"""
+
+
+# ---------------------------------------------------------------------------
+# Capped-proportional data-mixing weights — the pretraining mixture step:
+# given per-source document counts, sample sources proportionally but cap
+# any one source at cap_factor x the uniform share (the UniMax idea,
+# Chung et al. 2023: head sources stop growing, tail sources keep their
+# natural proportion).  Everything is exact integer floor arithmetic so
+# the DuckDB mirror is bit-identical.  Scale shape: per-batch (source,
+# count) partials collapse driver-side (the distinct-source table IS the
+# result and is mixture-k sized); the corpus is scanned once with only
+# the source column read.
+# Reference analog: none (WebGraph has no corpus mixing); sibling of the
+# quality/curation family in the LLM-data surface.
+# ---------------------------------------------------------------------------
+
+MIXING_SCALE = 10**9
+MIXING_CAP_FACTOR = 2
+
+
+def mixing_weights(
+    docs: ray.data.Dataset,
+    cap_factor: int = MIXING_CAP_FACTOR,
+    scale: int = MIXING_SCALE,
+) -> pd.DataFrame:
+    """(source, n_docs, capped, weight_fp) per distinct source.
+
+    cap = (cap_factor * total_docs) // n_sources; capped = min(count,
+    cap); weight_fp = (scale * capped) // sum(capped).  All Python-int
+    arithmetic (counts can exceed int64 products at design scale), each
+    floor mirrored by DuckDB ``//`` over HUGEINT."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False).size().rename("c").reset_index()
+        return g
+
+    parts = (
+        docs.select_columns(["source"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "capped": pd.Series([], dtype=np.int64),
+                "weight_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+    agg = parts.groupby("source", sort=True)["c"].sum().reset_index()
+    k = len(agg)
+    total = int(agg["c"].sum())
+    cap = (cap_factor * total) // k
+    counts = [int(c) for c in agg["c"]]
+    capped = [min(c, cap) for c in counts]
+    t = sum(capped)
+    w = [(scale * c) // t for c in capped]
+    return pd.DataFrame(
+        {
+            "source": agg["source"].to_numpy(object),
+            "n_docs": np.array(counts, dtype=np.int64),
+            "capped": np.array(capped, dtype=np.int64),
+            "weight_fp": np.array(w, dtype=np.int64),
+        }
+    )
+
+
+def mixing_weights_sql(
+    cap_factor: int = MIXING_CAP_FACTOR,
+    scale: int = MIXING_SCALE,
+    doc_table: str = "documents",
+) -> str:
+    """DuckDB mirror: identical cap / floor-divide chain over HUGEINT."""
+    return f"""
+WITH mx_src AS (
+    SELECT source, count(*) AS c FROM {doc_table} GROUP BY 1
+),
+mx_cap AS (
+    SELECT ({cap_factor} * sum(c)) // count(*) AS cap FROM mx_src
+),
+mx_cpd AS (
+    SELECT source, c, least(c, (SELECT cap FROM mx_cap)) AS cc FROM mx_src
+),
+mx_t AS (SELECT sum(cc) AS t FROM mx_cpd)
+SELECT source,
+       CAST(c AS BIGINT) AS n_docs,
+       CAST(cc AS BIGINT) AS capped,
+       CAST((CAST({scale} AS HUGEINT) * cc) // (SELECT t FROM mx_t)
+            AS BIGINT) AS weight_fp
+FROM mx_cpd
+ORDER BY source"""
