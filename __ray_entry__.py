@@ -618,10 +618,15 @@ def q_tfidf_topk(sf_dir: str):
     document reports the floor-average (score_fp), its bigram-occurrence
     count (term_rank) and its WORST transition (term — the curation
     signal); 'vocab' — the tokenizer vocabulary pre-pass: corpus top-200
-    tokens by count (doc_id -1, ties by token text)."""
+    tokens by count (doc_id -1, ties by token text); 'dsir' — DSIR-style
+    importance weights (Xie et al. 2023): per-doc floor-average of the
+    Laplace-smoothed fixed-point target/raw unigram probability ratio
+    (target = lang='en' sub-corpus), with the doc's most-target-like
+    token as the term column."""
     from webgraph_ray.stages.text import (
         bm25_topk,
         collocations,
+        dsir_scores,
         lm_scores,
         tfidf_topk,
         vocab_topk,
@@ -661,7 +666,17 @@ def q_tfidf_topk(sf_dir: str):
             "score_fp": vb["count"].to_numpy(np.int64),
         }
     )
-    return pd.concat([tf, bm, co, lm, vb], ignore_index=True)
+    ds = dsir_scores(_docs(sf_dir))
+    ds = pd.DataFrame(
+        {
+            "method": "dsir",
+            "doc_id": ds["doc_id"].to_numpy(np.int64),
+            "term_rank": ds["n_tokens"].to_numpy(np.int64),
+            "term": ds["top_term"].to_numpy(),
+            "score_fp": ds["dsir_fp"].to_numpy(np.int64),
+        }
+    )
+    return pd.concat([tf, bm, co, lm, vb, ds], ignore_index=True)
 
 
 def q_doc_signatures(sf_dir: str):
@@ -2295,6 +2310,7 @@ def _build_training_oracles() -> dict[str, str]:
     from webgraph_ray.stages.text import (
         bm25_topk_sql,
         collocations_sql,
+        dsir_scores_sql,
         lm_scores_sql,
         tfidf_topk_sql,
         vocab_topk_sql,
@@ -2425,6 +2441,9 @@ def _build_training_oracles() -> dict[str, str]:
         UNION ALL
         SELECT 'vocab', CAST(-1 AS BIGINT), rank, token, count
         FROM ({vocab_topk_sql(k=200)})
+        UNION ALL
+        SELECT 'dsir', doc_id, n_tokens, top_term, dsir_fp
+        FROM ({dsir_scores_sql()})
         """,
         # fused per-doc text analysis: token stats + quality + lang id +
         # BPE stats in one row per document (mirrors stages/text.py::

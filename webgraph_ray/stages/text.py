@@ -1310,3 +1310,285 @@ FROM (
 )
 ORDER BY c DESC, gram
 LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights — Data Selection via Importance Resampling
+# (Xie et al. 2023): score every document by how much its token unigram
+# distribution resembles a TARGET distribution relative to the raw corpus.
+# Here the target is the sub-corpus whose ``lang`` column equals
+# ``target_lang`` (the high-resource-language selection shape); the
+# per-gram signal is the Laplace-smoothed probability ratio kept as a
+# log-free fixed point so DuckDB mirrors it bit-for-bit:
+#
+#     s_g = (S * (tc_g + 1) * (R + V)) // ((rc_g + 1) * (T + V))
+#
+# (tc/rc = target/raw occurrence counts of gram g, T/R their totals, V
+# the distinct-gram count; the products exceed int64 at design scale, so
+# both engines use arbitrary-precision ints — Python int / HUGEINT).  A
+# document reports the floor-average of its occurrences' s_g (the
+# linear-ratio surrogate of DSIR's summed log-ratio — same ranking
+# monotonicity per occurrence, no floats), its token count and its
+# highest-scoring token (tie -> smaller token).
+# Reference analog: none (WebGraph has no corpus selection); sibling of
+# the lm/tfidf/bm25 term-scoring family and the same two-pass,
+# vocabulary-gated shape: mergeable per-block count partials + broadcast
+# scoring below the gate, gram-hash bucket reduce + ONE gram-key
+# bucketed join + one doc-bucket re-aggregation above it (bit-identical,
+# pytest-pinned).
+# ---------------------------------------------------------------------------
+
+DSIR_SCALE = 1 << 20
+DSIR_MAX_VOCAB = 20_000_000
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_tokens": pd.Series(dtype="int64"),
+            "top_term": pd.Series(dtype="object"),
+            "dsir_fp": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def _dsir_gram_scores(rc, tc, R: int, T: int, V: int) -> list:
+    """Python-int fixed-point ratio per gram (intermediates > int64)."""
+    S = DSIR_SCALE
+    return [
+        (S * (int(t) + 1) * (R + V)) // ((int(r) + 1) * (T + V))
+        for r, t in zip(rc, tc)
+    ]
+
+
+def _dsir_doc_rows(doc_ids, doc_idx, toks, s) -> pd.DataFrame:
+    """Per-doc floor-average + argmax-term from occurrence scores."""
+    d = pd.DataFrame(
+        {"doc_id": doc_ids[doc_idx], "tok": toks, "s": s}
+    ).sort_values(["doc_id", "s", "tok"], ascending=[True, False, True],
+                  kind="mergesort")
+    per = d.groupby("doc_id", sort=False)["s"].agg(n="size", ssum="sum")
+    best = d.drop_duplicates("doc_id", keep="first")
+    out = best.merge(per, on="doc_id")
+    return pd.DataFrame(
+        {
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "n_tokens": out["n"].to_numpy(np.int64),
+            "top_term": out["tok"].to_numpy(),
+            "dsir_fp": out["ssum"].to_numpy(np.int64)
+                       // out["n"].to_numpy(np.int64),
+        }
+    )
+
+
+def dsir_scores(
+    docs: ray.data.Dataset,
+    target_lang: str = DSIR_TARGET_LANG,
+    max_vocab: int = DSIR_MAX_VOCAB,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """(doc_id, n_tokens, top_term, dsir_fp) for every doc with >=1 token."""
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        doc_idx, flat = _explode_ws_tokens(t["text"])
+        if not len(flat):
+            return pd.DataFrame(
+                {
+                    "gram": pd.Series(dtype="object"),
+                    "rc": pd.Series(dtype="int64"),
+                    "tc": pd.Series(dtype="int64"),
+                }
+            )
+        langs = np.asarray(t["lang"].to_numpy(zero_copy_only=False), dtype=object)
+        toks = np.asarray(flat.cast(pa.string()), dtype=object)
+        is_t = (langs[doc_idx] == target_lang).astype(np.int64)
+        df = pd.DataFrame({"gram": toks, "tc": is_t})
+        return (
+            df.groupby("gram", sort=False)
+            .agg(rc=("tc", "size"), tc=("tc", "sum"))
+            .reset_index()
+        )
+
+    parts = (
+        docs.select_columns(["lang", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .materialize()
+    )
+    if parts.count() == 0:
+        return _dsir_empty()
+
+    if parts.count() <= max_vocab:
+        # broadcast path: vocabulary-bounded reduce on the driver, then a
+        # ray.put-broadcast shuffle-free scoring pass
+        pdf = parts.to_pandas()
+        agg = pdf.groupby("gram", sort=False)[["rc", "tc"]].sum()
+        R, T, V = int(agg["rc"].sum()), int(agg["tc"].sum()), len(agg)
+        s = pd.Series(
+            np.array(
+                _dsir_gram_scores(agg["rc"], agg["tc"], R, T, V), dtype=np.int64
+            ),
+            index=agg.index,
+        )
+        import ray as _ray
+
+        ref = _ray.put(s)
+
+        def score(t: pa.Table) -> pd.DataFrame:
+            sm = _ray.get(ref)
+            doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx, flat = _explode_ws_tokens(t["text"])
+            if not len(flat):
+                return _dsir_empty()
+            toks = np.asarray(flat.cast(pa.string()), dtype=object)
+            sv = sm.reindex(toks).to_numpy(np.int64)
+            return _dsir_doc_rows(doc_ids, doc_idx, toks, sv)
+
+        out = (
+            docs.select_columns(["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+    # ----- scale path: gram-hash bucket reduce + ONE gram-key bucketed
+    # join + doc-bucket re-aggregation (no whole-vocabulary driver table)
+    def tag_gram(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__b"] = (
+            hash_keys(out["gram"].to_numpy(object)) % num_buckets
+        ).astype(np.int32)
+        return out
+
+    def sum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("gram", sort=False)[["rc", "tc"]].sum().reset_index()
+        )
+
+    red = (
+        parts.map_batches(tag_gram, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(sum_bucket, batch_format="pandas")
+        .materialize()
+    )
+    R, T, V = int(red.sum("rc")), int(red.sum("tc")), int(red.count())
+
+    def score_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gram": df["gram"].to_numpy(object),
+                "s": np.array(
+                    _dsir_gram_scores(df["rc"], df["tc"], R, T, V),
+                    dtype=np.int64,
+                ),
+            }
+        )
+
+    sc = red.map_batches(score_map, batch_format="pandas")
+
+    def occ_rows(t: pa.Table) -> pd.DataFrame:
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, flat = _explode_ws_tokens(t["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[doc_idx],
+                "gram": np.asarray(flat.cast(pa.string()), dtype=object),
+            }
+        )
+
+    occ = docs.select_columns(["doc_id", "text"]).map_batches(
+        occ_rows, batch_format="pyarrow"
+    )
+    j = bucketed_join(occ, sc, keys=["gram"], num_buckets=num_buckets)
+
+    # map-side per-doc partials (sum/count merge by addition; the argmax
+    # merges by the same (s desc, tok asc) rule), ONE doc-bucket combine
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["doc_id", "s", "gram"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        per = d.groupby("doc_id", sort=False)["s"].agg(n="size", ssum="sum")
+        best = d.drop_duplicates("doc_id", keep="first")
+        out = best.merge(per, on="doc_id")[["doc_id", "gram", "s", "n", "ssum"]]
+        out["__b"] = (out["doc_id"].to_numpy(np.int64) % num_buckets).astype(
+            np.int32
+        )
+        return out
+
+    def doc_combine(g: pd.DataFrame) -> pd.DataFrame:
+        sums = g.groupby("doc_id", sort=False)[["n", "ssum"]].sum()
+        best = g.sort_values(
+            ["doc_id", "s", "gram"], ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("doc_id", keep="first")
+        out = best.merge(sums, on="doc_id", suffixes=("_p", ""))
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_tokens": out["n"].to_numpy(np.int64),
+                "top_term": out["gram"].to_numpy(),
+                "dsir_fp": out["ssum"].to_numpy(np.int64)
+                           // out["n"].to_numpy(np.int64),
+            }
+        )
+
+    out = (
+        j.map_batches(doc_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(doc_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def dsir_scores_sql(
+    target_lang: str = DSIR_TARGET_LANG, doc_table: str = "documents"
+) -> str:
+    """DuckDB mirror: identical Laplace fixed-point ratio over HUGEINT."""
+    S = DSIR_SCALE
+    return f"""
+WITH ds_toks AS MATERIALIZED (
+    SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS t
+    FROM {doc_table}
+),
+ds_rc AS MATERIALIZED (
+    SELECT t, count(*) AS rc,
+           count(*) FILTER (WHERE lang = '{target_lang}') AS tc
+    FROM ds_toks GROUP BY 1
+),
+ds_tot AS (
+    SELECT sum(rc) AS R, sum(tc) AS T, count(*) AS V FROM ds_rc
+),
+ds_sc AS MATERIALIZED (
+    SELECT r.t,
+           (CAST({S} AS HUGEINT) * (r.tc + 1) * (tot.R + tot.V))
+               // ((r.rc + 1) * (tot.T + tot.V)) AS s
+    FROM ds_rc r CROSS JOIN ds_tot tot
+),
+ds_j AS MATERIALIZED (
+    SELECT o.doc_id, o.t, sc.s FROM ds_toks o JOIN ds_sc sc ON sc.t = o.t
+),
+ds_per AS (
+    SELECT doc_id, count(*) AS n, sum(s) AS ssum FROM ds_j GROUP BY 1
+),
+ds_top AS (
+    SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, t ASC) AS rn
+        FROM ds_j) WHERE rn = 1
+)
+SELECT p.doc_id,
+       CAST(p.n AS BIGINT) AS n_tokens,
+       tp.t AS top_term,
+       CAST(p.ssum // p.n AS BIGINT) AS dsir_fp
+FROM ds_per p JOIN ds_top tp USING (doc_id)
+ORDER BY doc_id"""
