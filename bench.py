@@ -442,6 +442,28 @@ def run_suite() -> dict:
 
     timed("pack_pii_community", st_pack_pii_community)
 
+    # 6a''. round-5 selection ops, each its own key: Newman modularity of
+    # the mode-LPA partition (includes its own LPA run: label attachment +
+    # fixed-cardinality per-community combine), and DSIR importance
+    # weights + capped-proportional mixing weights over documents
+    from webgraph_ray.graph.community import community_modularity
+    from webgraph_ray.stages.sketch import mixing_weights
+    from webgraph_ray.stages.text import dsir_scores
+
+    def st_modularity():
+        mod = community_modularity(edges)
+        extras["modularity_total_fp"] = int(
+            mod.loc[mod["vertex_key"] == "__total__", "label"].iloc[0]
+        )
+
+    timed("modularity", st_modularity)
+
+    def st_dsir_mixing():
+        extras["dsir_rows"] = int(len(dsir_scores(docs)))
+        extras["mixing_sources"] = int(len(mixing_weights(docs)))
+
+    timed("dsir_mixing", st_dsir_mixing)
+
     # ANN index quality: recall of the bucket-probed LSH index vs exact
     from webgraph_ray.stages.embed import lsh_ann_topk
 
