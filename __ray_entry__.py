@@ -425,9 +425,11 @@ def q_labelprop(sf_dir: str):
     'community' (unseeded deterministic mode-LPA community detection over
     the distinct undirected pairs — a Ray Data composition: one bucketed
     label⋈adjacency join + map-side vote partials + fixed-cardinality
-    bucket argmax per round), and 'modularity' (per-community fixed-point
+    bucket argmax per round), 'modularity' (per-community fixed-point
     Newman modularity of that partition + exact '__total__', HUGEINT
-    two-floor arithmetic mirrored bit-for-bit)."""
+    two-floor arithmetic mirrored bit-for-bit), and 'louvain' (the
+    partition after synchronous greedy modularity-refinement moves —
+    the Louvain move phase, integral 2m-scaled gain comparator)."""
     import shutil
     import tempfile
 
@@ -461,14 +463,19 @@ def q_labelprop(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
     seeded["label"] = seeded["label"].astype(np.int64).astype(str)
     seeded.insert(0, "method", "seeded")
-    from webgraph_ray.graph.community import community_modularity
+    from webgraph_ray.graph.community import (
+        community_modularity,
+        louvain_refine,
+    )
 
     comm_ds = community_lpa(edges).materialize()
     comm = comm_ds.to_pandas()
     comm.insert(0, "method", "community")
     mod = community_modularity(edges, labels=comm_ds)
     mod.insert(0, "method", "modularity")
-    return pd.concat([seeded, comm, mod], ignore_index=True)
+    lv = louvain_refine(edges, labels=comm_ds).to_pandas()
+    lv.insert(0, "method", "louvain")
+    return pd.concat([seeded, comm, mod, lv], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2250,7 +2257,10 @@ def _labelprop_methods_sql() -> str:
     self-contained WITH subquery over the same edge derivation."""
     from webgraph_ray.graph.community import community_lpa_sql
 
-    from webgraph_ray.graph.community import community_modularity_sql
+    from webgraph_ray.graph.community import (
+        community_modularity_sql,
+        louvain_refine_sql,
+    )
 
     return f"""
 SELECT 'seeded' AS method, vertex_key, CAST(label AS VARCHAR) AS label
@@ -2260,7 +2270,10 @@ SELECT 'community', vertex_key, label
 FROM ({community_lpa_sql(_CTE_MAT)})
 UNION ALL
 SELECT 'modularity', vertex_key, label
-FROM ({community_modularity_sql(_CTE_MAT)})"""
+FROM ({community_modularity_sql(_CTE_MAT)})
+UNION ALL
+SELECT 'louvain', vertex_key, label
+FROM ({louvain_refine_sql(_CTE_MAT)})"""
 
 
 def _pq_ann_sql_oracle() -> str:

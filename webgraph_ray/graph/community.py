@@ -459,3 +459,380 @@ SELECT c AS vertex_key, CAST(q AS VARCHAR) AS label FROM md_q
 UNION ALL
 SELECT '__total__', CAST(sum(q) AS VARCHAR) FROM md_q"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Parallel greedy modularity refinement (Louvain-style move phase).
+# Starting from a partition (default: the mode-LPA labels), every vertex
+# simultaneously considers moving to the community of one of its
+# neighbors: the candidate score is the standard Louvain gain comparator
+# scaled by 2m to stay integral,
+#
+#     g(v -> c) = 2*m*k_vc - (tot(c) - deg_v*[c == own]) * deg_v
+#
+# (k_vc = v's neighbors in c, tot(c) = degree mass of c, both over the
+# distinct undirected pair graph), argmax with (score desc, community
+# asc) tie-break, "stay" included as a candidate.  Moves are synchronous
+# (the distributed-Louvain convention — deterministic, one bounded
+# exchange per round, no sequential vertex scan), so a fixed ``rounds``
+# budget is part of the semantics rather than run-to-convergence.
+# Products exceed int64 at design scale: Python-int / HUGEINT on the
+# two engines.  Reference analog: none (WebGraph stops at ancestor
+# flags); Blondel et al. 2008 move phase, built to the house standard.
+# ---------------------------------------------------------------------------
+
+LOUVAIN_ROUNDS = 2
+
+
+def louvain_refine(
+    edges: ray.data.Dataset,
+    labels: ray.data.Dataset | None = None,
+    rounds: int = LOUVAIN_ROUNDS,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 5_000_000,
+) -> ray.data.Dataset:
+    """(vertex_key, label) after ``rounds`` synchronous greedy
+    modularity-refinement moves over the partition ``labels`` (defaults
+    to the mode-LPA partition).
+
+    Scale shape per round (below ``broadcast_threshold`` vertices): the
+    label / degree / community-mass maps are ``ray.put`` once and every
+    candidate is scored map-side, leaving ONE v-bucket combine; above
+    the gate the same dataflow runs through bucketed hash joins (label
+    attachment on the neighbor key, own+deg attachment on v, mass
+    attachment on the community key).  A vertex with no undirected
+    neighbor keeps its label (computed once, not per round)."""
+    import ray as _ray
+
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.joins import bucketed_join
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    nbr = _und_neighbors(edges, num_buckets).materialize()
+    if labels is None:
+        labels = community_lpa(
+            edges,
+            num_buckets=num_buckets,
+            broadcast_threshold=broadcast_threshold,
+        ).materialize()
+
+    def to_vl(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "v": df["vertex_key"].to_numpy(object),
+                "lbl": df["label"].to_numpy(object),
+            }
+        )
+
+    labels = labels.map_batches(to_vl, batch_format="pandas").materialize()
+    m = int(nbr.count()) // 2
+    if m == 0:
+        return labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"vertex_key": df["v"], "label": df["lbl"]}
+            ),
+            batch_format="pandas",
+        )
+
+    # per-vertex undirected degree (constant across rounds): map-side
+    # partial counts + one v-bucket combine
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=False).size().rename("deg").reset_index()
+        g["__b"] = (hash_keys(g["v"].to_numpy(object)) % num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", sort=False)["deg"].sum().reset_index()
+
+    deg = (
+        nbr.map_batches(deg_partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(deg_combine, batch_format="pandas")
+        .materialize()
+    )
+
+    # isolated vertices (in labels, no und neighbor) keep their label —
+    # computed ONCE, unioned back each round (same idiom as LPA; label
+    # rows ride through the anti-join so no follow-up semi-join)
+    def tag_lbl(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["v", "lbl"]].copy()
+        out["__s"] = np.int8(0)
+        out["__b"] = (
+            hash_keys(out["v"].to_numpy(object)) % num_buckets
+        ).astype(np.int32)
+        return out
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["v"]].drop_duplicates().copy()
+        out["lbl"] = None
+        out["__s"] = np.int8(1)
+        out["__b"] = (
+            hash_keys(out["v"].to_numpy(object)) % num_buckets
+        ).astype(np.int32)
+        return out
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["__s"] == 1, "v"])
+        return g.loc[(g["__s"] == 0) & ~g["v"].isin(have), ["v", "lbl"]]
+
+    iso_labels = (
+        labels.map_batches(tag_lbl, batch_format="pandas")
+        .union(deg.map_batches(tag_deg, batch_format="pandas"))
+        .groupby("__b")
+        .map_groups(anti, batch_format="pandas")
+        .materialize()
+    )
+
+    def winners_group(
+        g: pd.DataFrame,
+    ) -> pd.DataFrame:
+        """rows: (v, c, kvc, own, deg, tot) -> one (v, lbl) winner each."""
+        agg = (
+            g.groupby(["v", "c"], sort=False)
+            .agg(
+                kvc=("kvc", "sum"),
+                own=("own", "first"),
+                deg=("deg", "first"),
+                tot=("tot", "first"),
+            )
+            .reset_index()
+        )
+        score = [
+            2 * m * int(k) - (int(t) - (int(d) if c == o else 0)) * int(d)
+            for k, c, o, d, t in zip(
+                agg["kvc"], agg["c"], agg["own"], agg["deg"], agg["tot"]
+            )
+        ]
+        agg["__score"] = score  # python ints (object) — exact compare
+        agg = agg.sort_values(
+            ["v", "__score", "c"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        win = agg.drop_duplicates("v", keep="first")
+        return pd.DataFrame({"v": win["v"], "lbl": win["c"]})
+
+    small = labels.count() <= broadcast_threshold
+
+    for _ in range(rounds):
+        # community degree mass tot(c): labels ⋈ deg on v, combine on c
+        if small:
+            ldf = labels.to_pandas()
+            ddf = deg.to_pandas()
+            own_s = pd.Series(
+                ldf["lbl"].to_numpy(object), index=ldf["v"].to_numpy(object)
+            )
+            deg_s = pd.Series(
+                ddf["deg"].to_numpy(np.int64),
+                index=ddf["v"].to_numpy(object),
+            )
+            tot_df = pd.DataFrame(
+                {"c": own_s.reindex(deg_s.index).to_numpy(object),
+                 "deg": deg_s.to_numpy(np.int64)}
+            )
+            tot_s = tot_df.groupby("c", sort=False)["deg"].sum()
+            maps_ref = _ray.put((own_s, deg_s, tot_s))
+
+            def cand_partial(df: pd.DataFrame) -> pd.DataFrame:
+                own_m, deg_m, tot_m = _ray.get(maps_ref)
+                cu = df["u"].map(own_m).to_numpy(object)
+                t = pd.DataFrame({"v": df["v"].to_numpy(object), "c": cu})
+                g = (
+                    t.groupby(["v", "c"], sort=False)
+                    .size()
+                    .rename("kvc")
+                    .reset_index()
+                )
+                # own candidate rides along with kvc = 0
+                vs = g["v"].drop_duplicates()
+                own_rows = pd.DataFrame(
+                    {
+                        "v": vs.to_numpy(object),
+                        "c": vs.map(own_m).to_numpy(object),
+                        "kvc": np.zeros(len(vs), np.int64),
+                    }
+                )
+                out = pd.concat([g, own_rows], ignore_index=True)
+                out["own"] = out["v"].map(own_m).to_numpy(object)
+                out["deg"] = out["v"].map(deg_m).to_numpy(np.int64)
+                out["tot"] = out["c"].map(tot_m).to_numpy(np.int64)
+                out["__b"] = (
+                    hash_keys(out["v"].to_numpy(object)) % num_buckets
+                ).astype(np.int32)
+                return out
+
+            winners = (
+                nbr.map_batches(cand_partial, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(winners_group, batch_format="pandas")
+                .materialize()
+            )
+        else:
+            # joined scale path: label attachment on u; kvc combine on v;
+            # own+deg+tot attachment through bucketed joins
+            lbl_u = labels.map_batches(
+                lambda df: df.rename(columns={"v": "u", "lbl": "c"}),
+                batch_format="pandas",
+            )
+            withc = bucketed_join(nbr, lbl_u, keys=["u"], num_buckets=num_buckets)
+
+            def kvc_partial(df: pd.DataFrame) -> pd.DataFrame:
+                g = (
+                    df.groupby(["v", "c"], sort=False)
+                    .size()
+                    .rename("kvc")
+                    .reset_index()
+                )
+                g["__b"] = (
+                    hash_keys(g["v"].to_numpy(object)) % num_buckets
+                ).astype(np.int32)
+                return g
+
+            def kvc_combine(g: pd.DataFrame) -> pd.DataFrame:
+                return (
+                    g.groupby(["v", "c"], sort=False)["kvc"]
+                    .sum()
+                    .reset_index()
+                )
+
+            kvc = (
+                withc.map_batches(kvc_partial, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(kvc_combine, batch_format="pandas")
+            )
+            vown = bucketed_join(
+                labels, deg, keys=["v"], num_buckets=num_buckets
+            ).materialize()
+            own_rows = vown.map_batches(
+                lambda df: pd.DataFrame(
+                    {
+                        "v": df["v"].to_numpy(object),
+                        "c": df["lbl"].to_numpy(object),
+                        "kvc": np.zeros(len(df), np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            cand = kvc.union(own_rows)
+            cand = bucketed_join(
+                cand,
+                vown.map_batches(
+                    lambda df: df.rename(columns={"lbl": "own"}),
+                    batch_format="pandas",
+                ),
+                keys=["v"],
+                num_buckets=num_buckets,
+            )
+
+            def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+                g = (
+                    df.groupby("lbl", sort=False)["deg"].sum().reset_index()
+                ).rename(columns={"lbl": "c", "deg": "tot"})
+                g["__b"] = (
+                    hash_keys(g["c"].to_numpy(object)) % num_buckets
+                ).astype(np.int32)
+                return g
+
+            def tot_combine(g: pd.DataFrame) -> pd.DataFrame:
+                return g.groupby("c", sort=False)["tot"].sum().reset_index()
+
+            tot = (
+                vown.map_batches(tot_partial, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(tot_combine, batch_format="pandas")
+            )
+            cand = bucketed_join(cand, tot, keys=["c"], num_buckets=num_buckets)
+
+            def tag_v(df: pd.DataFrame) -> pd.DataFrame:
+                out = df.copy()
+                out["__b"] = (
+                    hash_keys(out["v"].to_numpy(object)) % num_buckets
+                ).astype(np.int32)
+                return out
+
+            winners = (
+                cand.map_batches(tag_v, batch_format="pandas")
+                .groupby("__b")
+                .map_groups(winners_group, batch_format="pandas")
+                .materialize()
+            )
+        labels = winners.union(iso_labels).materialize()
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame({"vertex_key": df["v"], "label": df["lbl"]}),
+        batch_format="pandas",
+    )
+
+
+def louvain_refine_sql(
+    base_cte: str,
+    lpa_rounds: int = COMMUNITY_ROUNDS,
+    rounds: int = LOUVAIN_ROUNDS,
+    seed_select: str | None = None,
+) -> str:
+    """Exact DuckDB mirror of :func:`louvain_refine` seeded by the LPA
+    partition: unrolled synchronous move rounds over HUGEINT scores.
+
+    ``seed_select``: a ``SELECT v, lbl FROM ...`` statement providing the
+    seed partition instead of the LPA chain (mirrors passing ``labels``
+    to the Ray side; the LPA CTEs are then skipped entirely)."""
+    chain = community_lpa_sql(
+        base_cte,
+        rounds=lpa_rounds if seed_select is None else 0,
+        final_select=False,
+    )
+    seed = seed_select or f"SELECT v, lbl FROM cm_l{lpa_rounds}"
+    parts = [
+        chain,
+        f"""
+, lv_m AS (SELECT count(*) AS m FROM cm_und)
+, lv_deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM cm_nbr GROUP BY 1)
+, lv_l0 AS ({seed})""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+, lv_kvc{r} AS (
+    SELECT n.v, l.lbl AS c, count(*) AS kvc
+    FROM cm_nbr n JOIN lv_l{r - 1} l ON l.v = n.u
+    GROUP BY 1, 2
+), lv_cand{r} AS (
+    SELECT v, c, sum(kvc) AS kvc FROM (
+        SELECT v, c, kvc FROM lv_kvc{r}
+        UNION ALL
+        SELECT d.v, l.lbl, 0 FROM lv_deg d JOIN lv_l{r - 1} l ON l.v = d.v)
+    GROUP BY 1, 2
+), lv_tot{r} AS (
+    SELECT l.lbl AS c, sum(d.deg) AS tot
+    FROM lv_l{r - 1} l JOIN lv_deg d ON d.v = l.v
+    GROUP BY 1
+), lv_sc{r} AS (
+    SELECT a.v, a.c,
+           2 * CAST(m.m AS HUGEINT) * a.kvc
+             - (t.tot - CASE WHEN o.lbl = a.c THEN d.deg ELSE 0 END)
+               * CAST(d.deg AS HUGEINT) AS score
+    FROM lv_cand{r} a
+    JOIN lv_tot{r} t ON t.c = a.c
+    JOIN lv_l{r - 1} o ON o.v = a.v
+    JOIN lv_deg d ON d.v = a.v
+    CROSS JOIN lv_m m
+), lv_w{r} AS (
+    SELECT v, c FROM (
+        SELECT v, c,
+               row_number() OVER (
+                   PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+        FROM lv_sc{r}) WHERE rn = 1
+), lv_l{r} AS (
+    SELECT p.v, coalesce(w.c, p.lbl) AS lbl
+    FROM lv_l{r - 1} p LEFT JOIN lv_w{r} w ON w.v = p.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS vertex_key, lbl AS label FROM lv_l{rounds}"""
+    )
+    return "".join(parts)
