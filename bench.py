@@ -442,21 +442,32 @@ def run_suite() -> dict:
 
     timed("pack_pii_community", st_pack_pii_community)
 
-    # 6a''. round-5 selection ops, each its own key: Newman modularity of
-    # the mode-LPA partition (includes its own LPA run: label attachment +
-    # fixed-cardinality per-community combine), and DSIR importance
-    # weights + capped-proportional mixing weights over documents
-    from webgraph_ray.graph.community import community_modularity
+    # 6a''. round-5 selection ops, each its own key: partition quality —
+    # ONE mode-LPA run, Newman modularity of it, Louvain-style refinement
+    # moves, modularity of the refined partition (the improvement is the
+    # reported signal); and DSIR importance weights + capped-proportional
+    # mixing weights over documents
+    from webgraph_ray.graph.community import (
+        community_lpa,
+        community_modularity,
+        louvain_refine,
+    )
     from webgraph_ray.stages.sketch import mixing_weights
     from webgraph_ray.stages.text import dsir_scores
 
-    def st_modularity():
-        mod = community_modularity(edges)
+    def st_community_quality():
+        labels = community_lpa(edges).materialize()
+        mod = community_modularity(edges, labels=labels)
         extras["modularity_total_fp"] = int(
             mod.loc[mod["vertex_key"] == "__total__", "label"].iloc[0]
         )
+        refined = louvain_refine(edges, labels=labels).materialize()
+        rmod = community_modularity(edges, labels=refined)
+        extras["modularity_refined_fp"] = int(
+            rmod.loc[rmod["vertex_key"] == "__total__", "label"].iloc[0]
+        )
 
-    timed("modularity", st_modularity)
+    timed("community_quality", st_community_quality)
 
     def st_dsir_mixing():
         extras["dsir_rows"] = int(len(dsir_scores(docs)))
