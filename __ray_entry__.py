@@ -1053,7 +1053,11 @@ def q_sketches(sf_dir: str):
     kind is the capped-proportional data-mixing weight table (UniMax
     style: per-source doc counts capped at cap_factor x the uniform
     share, weights = scale-fixed-point capped shares, all integer floor
-    arithmetic — the pretraining mixture step)."""
+    arithmetic — the pretraining mixture step).  The 'tvdrift' kind is
+    the per-source distribution-drift monitor: exact fixed-point
+    total-variation distance between each source's token distribution
+    and the corpus's (big-int |sc*R - rc*S| fold with the absent-gram
+    tail in closed form; HUGEINT mirror)."""
     import tempfile
 
     from webgraph_ray.graph.anf import ANF_HOPS, neighborhood_function
@@ -1065,6 +1069,7 @@ def q_sketches(sf_dir: str):
         kmv_distinct,
         logbucket_quantiles,
         mixing_weights,
+        source_drift,
         stratified_sample,
     )
 
@@ -1076,6 +1081,7 @@ def q_sketches(sf_dir: str):
     pca = pca_moment_rows(_embs(sf_dir))
     lbq = logbucket_quantiles(_raw_events(sf_dir))
     mix = mixing_weights(_docs(sf_dir))
+    drift = source_drift(_docs(sf_dir))
     with tempfile.TemporaryDirectory(prefix="anf_layout_") as wd:
         anf = neighborhood_function(_edges(sf_dir), wd, hops=ANF_HOPS)
     rows = (
@@ -1127,6 +1133,11 @@ def q_sketches(sf_dir: str):
             ("mixing", f"{s}:{c}", int(mix[c].iloc[i]))
             for i, s in enumerate(mix["source"])
             for c in ("n_docs", "capped", "weight_fp")
+        ]
+        + [
+            ("tvdrift", f"{s}:{c}", int(drift[c].iloc[i]))
+            for i, s in enumerate(drift["source"])
+            for c in ("n_tokens", "tv_fp")
         ]
     )
     return pd.DataFrame(rows, columns=["sketch", "key", "value"]).astype(
@@ -2543,6 +2554,12 @@ def _build_training_oracles() -> dict[str, str]:
         FROM ({_sk.mixing_weights_sql()}),
              LATERAL (SELECT unnest(['n_docs', 'capped', 'weight_fp']) AS key,
                              unnest([n_docs, capped, weight_fp]) AS value) x
+        UNION ALL
+        SELECT 'tvdrift' AS sketch,
+               source || ':' || x.key AS key, x.value
+        FROM ({_sk.source_drift_sql()}),
+             LATERAL (SELECT unnest(['n_tokens', 'tv_fp']) AS key,
+                             unnest([n_tokens, tv_fp]) AS value) x
         """,
         "sequence_pack": _pack_sql(),
         "kcore": _kc.kcore_sql(_CTE_MAT, k=KCORE_K),

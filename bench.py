@@ -452,7 +452,7 @@ def run_suite() -> dict:
         community_modularity,
         louvain_refine,
     )
-    from webgraph_ray.stages.sketch import mixing_weights
+    from webgraph_ray.stages.sketch import mixing_weights, source_drift
     from webgraph_ray.stages.text import dsir_scores
 
     def st_community_quality():
@@ -469,11 +469,13 @@ def run_suite() -> dict:
 
     timed("community_quality", st_community_quality)
 
-    def st_dsir_mixing():
+    def st_selection_ops():
         extras["dsir_rows"] = int(len(dsir_scores(docs)))
         extras["mixing_sources"] = int(len(mixing_weights(docs)))
+        drift = source_drift(docs)
+        extras["tvdrift_max_fp"] = int(drift["tv_fp"].max())
 
-    timed("dsir_mixing", st_dsir_mixing)
+    timed("selection_ops", st_selection_ops)
 
     # ANN index quality: recall of the bucket-probed LSH index vs exact
     from webgraph_ray.stages.embed import lsh_ann_topk

@@ -419,3 +419,67 @@ def test_mixing_weights_empty():
     out = mixing_weights(ray.data.from_pandas(docs))
     assert len(out) == 0
     assert list(out.columns) == ["source", "n_docs", "capped", "weight_fp"]
+
+
+# ---------------------------------------------------------------------------
+# per-source total-variation drift
+# ---------------------------------------------------------------------------
+
+
+def test_source_drift_matches_oracle():
+    import duckdb
+
+    from webgraph_ray.stages.sketch import source_drift, source_drift_sql
+
+    rng = np.random.default_rng(7)
+    words_a = ["x", "y", "z", "common"]
+    words_b = ["p", "q", "common"]
+    rows = []
+    for i in range(80):
+        src = "a" if i % 3 else "b"
+        words = words_a if src == "a" else words_b
+        k = int(rng.integers(0, 7))
+        rows.append((i, " ".join(rng.choice(words, size=k)), src))
+    docs = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    got = source_drift(ray.data.from_pandas(docs).repartition(7))
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(source_drift_sql()).df().astype(
+        {"n_tokens": np.int64, "tv_fp": np.int64}
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True)
+    )
+    # brute-force float cross-check
+    from collections import Counter
+
+    toks = {
+        s: Counter(
+            w for t in docs.loc[docs["source"] == s, "text"] for w in t.split()
+        )
+        for s in ("a", "b")
+    }
+    allc = toks["a"] + toks["b"]
+    R = sum(allc.values())
+    for s in ("a", "b"):
+        ss = sum(toks[s].values())
+        tv = 0.5 * sum(
+            abs(toks[s][g] / ss - allc[g] / R) for g in allc
+        )
+        got_tv = int(got.set_index("source").loc[s, "tv_fp"]) / 1e9
+        assert abs(got_tv - tv) < 2e-9
+
+
+def test_source_drift_identical_distribution_is_zero():
+    from webgraph_ray.stages.sketch import source_drift
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": ["a b", "a b", "a b", "a b"],
+            "source": ["s1", "s1", "s2", "s2"],
+        }
+    )
+    out = source_drift(ray.data.from_pandas(docs)).set_index("source")
+    assert int(out.loc["s1", "tv_fp"]) == 0
+    assert int(out.loc["s2", "tv_fp"]) == 0

@@ -836,3 +836,181 @@ SELECT source,
             AS BIGINT) AS weight_fp
 FROM mx_cpd
 ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution drift — corpus monitoring for pretraining
+# mixtures: the exact total-variation distance between each source's token
+# unigram distribution and the whole corpus's,
+#
+#     TV(s) = 1/2 * sum_g | p_g(s) - q_g |
+#
+# kept as a single fixed-point floor over arbitrary-precision integers
+# (sum_g |sc_g*R - rc_g*S_s| spans ~2*S_s*R, far past int64; Python int /
+# HUGEINT on the two engines).  The absent-gram tail (grams the source
+# never emits) folds in closed form: S_s*(R - sum_present rc), so the
+# scan only touches (gram, source) pairs that exist.  Scale shape: one
+# token pass of mergeable (gram, source, cnt) partials, ONE gram-hash
+# bucket combine (all sources of a gram land in its bucket, so per-gram
+# corpus counts are computed in-group), then a per-batch (source, A, B)
+# big-int partial fold — the driver sees #blocks x #sources tiny rows.
+# Reference analog: none; sibling of mixing_weights in the mixture-ops
+# family.
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 10**9
+
+
+def source_drift(
+    docs: ray.data.Dataset,
+    scale: int = DRIFT_SCALE,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """(source, n_tokens, tv_fp): exact fixed-point total-variation drift
+    of each source's token distribution from the corpus distribution.
+    Sources with zero tokens carry no row (TV undefined)."""
+    from webgraph_ray.functions.hashing import hash_keys
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+")
+        n = toks.str.len().to_numpy(np.int64)
+        src = np.repeat(df["source"].to_numpy(object), n)
+        flat = np.concatenate([np.array(t, dtype=object) for t in toks]) \
+            if int(n.sum()) else np.array([], dtype=object)
+        t = pd.DataFrame({"gram": flat, "source": src})
+        g = (
+            t.groupby(["gram", "source"], sort=False)
+            .size()
+            .rename("sc")
+            .reset_index()
+        )
+        g["__b"] = (
+            hash_keys(g["gram"].to_numpy(object)) % num_buckets
+        ).astype(np.int32)
+        return g
+
+    parts = (
+        docs.select_columns(["source", "text"])
+        .map_batches(partial, batch_format="pandas")
+        .materialize()
+    )
+    if parts.count() == 0:
+        return pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "n_tokens": pd.Series(dtype=np.int64),
+                "tv_fp": pd.Series(dtype=np.int64),
+            }
+        )
+
+    # rc (per-gram corpus count) is attached INSIDE the gram-hash bucket
+    # combine — a bucket holds every (gram, source) row of its grams, so
+    # each output row is self-contained and any later batching of those
+    # rows keeps the big-int fold exact
+    def combine_rc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby(["gram", "source"], sort=False)["sc"]
+            .sum()
+            .reset_index()
+        )
+        rc = agg.groupby("gram", sort=False)["sc"].transform("sum")
+        agg["rc"] = rc.to_numpy(np.int64)
+        return agg
+
+    sgrc = (
+        parts.groupby("__b")
+        .map_groups(combine_rc, batch_format="pandas")
+        .materialize()
+    )
+
+    # tiny scalars: per-source totals and the corpus total
+    stot_df = (
+        sgrc.map_batches(
+            lambda df: df.groupby("source", sort=False)["sc"]
+            .sum()
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("source", sort=True)["sc"]
+        .sum()
+    )
+    s_tot = {s: int(v) for s, v in stot_df.items()}
+    R = sum(s_tot.values())
+    import ray as _ray
+
+    ref = _ray.put(s_tot)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        st = _ray.get(ref)
+        rows = {}
+        for gram, source, sc, rc in zip(
+            df["gram"], df["source"], df["sc"], df["rc"]
+        ):
+            ss = st[source]
+            a, b = rows.get(source, (0, 0))
+            rows[source] = (
+                a + abs(int(sc) * R - int(rc) * ss),
+                b + int(rc),
+            )
+        return pd.DataFrame(
+            {
+                "source": list(rows),
+                "A": [str(v[0]) for v in rows.values()],
+                "B": [str(v[1]) for v in rows.values()],
+            }
+        )
+
+    folded = sgrc.map_batches(fold, batch_format="pandas").to_pandas()
+    out_rows = []
+    for source in sorted(s_tot):
+        sel = folded[folded["source"] == source]
+        A = sum(int(x) for x in sel["A"])
+        B = sum(int(x) for x in sel["B"])
+        ss = s_tot[source]
+        tv = (scale * (A + ss * (R - B))) // (2 * ss * R)
+        out_rows.append((source, ss, tv))
+    return pd.DataFrame(
+        out_rows, columns=["source", "n_tokens", "tv_fp"]
+    ).astype({"n_tokens": np.int64, "tv_fp": np.int64})
+
+
+def source_drift_sql(
+    scale: int = DRIFT_SCALE, doc_table: str = "documents"
+) -> str:
+    """DuckDB mirror: identical big-int TV fold over HUGEINT."""
+    return f"""
+WITH dr_toks AS MATERIALIZED (
+    SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS t
+    FROM {doc_table}
+),
+dr_sg AS MATERIALIZED (
+    SELECT source, t, count(*) AS sc FROM dr_toks GROUP BY 1, 2
+),
+dr_gc AS (SELECT t, sum(sc) AS rc FROM dr_sg GROUP BY 1),
+dr_ss AS (SELECT source, sum(sc) AS s_tot FROM dr_sg GROUP BY 1),
+dr_tot AS (SELECT sum(sc) AS R FROM dr_sg),
+dr_a AS (
+    SELECT sg.source,
+           sum(abs(CAST(sg.sc AS HUGEINT) * tot.R
+                   - CAST(gc.rc AS HUGEINT) * ss.s_tot)) AS A,
+           sum(gc.rc) AS B
+    FROM dr_sg sg
+    JOIN dr_gc gc ON gc.t = sg.t
+    JOIN dr_ss ss ON ss.source = sg.source
+    CROSS JOIN dr_tot tot
+    GROUP BY 1
+)
+SELECT a.source,
+       CAST(ss.s_tot AS BIGINT) AS n_tokens,
+       CAST((CAST({scale} AS HUGEINT)
+             * (a.A + ss.s_tot * (tot.R - a.B)))
+            // (2 * CAST(ss.s_tot AS HUGEINT) * tot.R) AS BIGINT) AS tv_fp
+FROM dr_a a
+JOIN dr_ss ss ON ss.source = a.source
+CROSS JOIN dr_tot tot
+ORDER BY a.source"""
