@@ -466,14 +466,16 @@ def q_labelprop(sf_dir: str):
     from webgraph_ray.graph.community import (
         community_modularity,
         louvain_refine,
+        shared_und_layout,
     )
 
-    comm_ds = community_lpa(edges).materialize()
+    und, nbr = shared_und_layout(edges)
+    comm_ds = community_lpa(edges, nbr=nbr).materialize()
     comm = comm_ds.to_pandas()
     comm.insert(0, "method", "community")
-    mod = community_modularity(edges, labels=comm_ds)
+    mod = community_modularity(edges, labels=comm_ds, und=und)
     mod.insert(0, "method", "modularity")
-    lv = louvain_refine(edges, labels=comm_ds).to_pandas()
+    lv = louvain_refine(edges, labels=comm_ds, nbr=nbr).to_pandas()
     lv.insert(0, "method", "louvain")
     return pd.concat([seeded, comm, mod, lv], ignore_index=True)
 

@@ -451,18 +451,20 @@ def run_suite() -> dict:
         community_lpa,
         community_modularity,
         louvain_refine,
+        shared_und_layout,
     )
     from webgraph_ray.stages.sketch import mixing_weights, source_drift
     from webgraph_ray.stages.text import dsir_scores
 
     def st_community_quality():
-        labels = community_lpa(edges).materialize()
-        mod = community_modularity(edges, labels=labels)
+        und, nbr = shared_und_layout(edges)
+        labels = community_lpa(edges, nbr=nbr).materialize()
+        mod = community_modularity(edges, labels=labels, und=und)
         extras["modularity_total_fp"] = int(
             mod.loc[mod["vertex_key"] == "__total__", "label"].iloc[0]
         )
-        refined = louvain_refine(edges, labels=labels).materialize()
-        rmod = community_modularity(edges, labels=refined)
+        refined = louvain_refine(edges, labels=labels, nbr=nbr).materialize()
+        rmod = community_modularity(edges, labels=refined, und=und)
         extras["modularity_refined_fp"] = int(
             rmod.loc[rmod["vertex_key"] == "__total__", "label"].iloc[0]
         )

@@ -37,6 +37,35 @@ import ray.data
 COMMUNITY_ROUNDS = 4
 
 
+def shared_und_layout(
+    edges: ray.data.Dataset, num_buckets: int | None = None
+) -> tuple:
+    """Materialize the (und pairs, both-direction neighbors) layout ONCE
+    so an LPA -> modularity -> refinement chain shares it instead of
+    re-deriving the distinct undirected universe per stage (each
+    derivation is a bucket-distinct shuffle of the edge table)."""
+    from webgraph_ray.functions.shuffle import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    und = _und_pairs(edges, num_buckets).materialize()
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "v": np.concatenate(
+                    [df["a"].to_numpy(object), df["b"].to_numpy(object)]
+                ),
+                "u": np.concatenate(
+                    [df["b"].to_numpy(object), df["a"].to_numpy(object)]
+                ),
+            }
+        )
+
+    nbr = und.map_batches(both, batch_format="pandas").materialize()
+    return und, nbr
+
+
 def _und_pairs(edges: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
     """(a, b) rows: the distinct undirected pairs (a < b, self-loops
     dropped) — the same ``und`` universe the triangle oracle uses."""
@@ -82,6 +111,7 @@ def community_lpa(
     rounds: int = COMMUNITY_ROUNDS,
     num_buckets: int | None = None,
     broadcast_threshold: int = 5_000_000,
+    nbr: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(vertex_key, label) after ``rounds`` deterministic mode-LPA updates.
 
@@ -98,7 +128,8 @@ def community_lpa(
     if num_buckets is None:
         num_buckets = default_num_buckets()
 
-    nbr = _und_neighbors(edges, num_buckets).materialize()
+    if nbr is None:
+        nbr = _und_neighbors(edges, num_buckets).materialize()
 
     def flat_verts(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -280,6 +311,7 @@ def community_modularity(
     rounds: int = COMMUNITY_ROUNDS,
     num_buckets: int | None = None,
     broadcast_threshold: int = 5_000_000,
+    und: ray.data.Dataset | None = None,
 ) -> pd.DataFrame:
     """Per-community fixed-point Newman modularity of the mode-LPA
     partition, plus the exact ``__total__`` sum.
@@ -328,7 +360,8 @@ def community_modularity(
             num_buckets=num_buckets,
             broadcast_threshold=broadcast_threshold,
         ).materialize()
-    und = _und_pairs(edges, num_buckets).materialize()
+    if und is None:
+        und = _und_pairs(edges, num_buckets).materialize()
     m = int(und.count())
     if m == 0:
         return pd.DataFrame({"vertex_key": ["__total__"], "label": ["0"]})
@@ -490,6 +523,7 @@ def louvain_refine(
     rounds: int = LOUVAIN_ROUNDS,
     num_buckets: int | None = None,
     broadcast_threshold: int = 5_000_000,
+    nbr: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """(vertex_key, label) after ``rounds`` synchronous greedy
     modularity-refinement moves over the partition ``labels`` (defaults
@@ -510,7 +544,8 @@ def louvain_refine(
 
     if num_buckets is None:
         num_buckets = default_num_buckets()
-    nbr = _und_neighbors(edges, num_buckets).materialize()
+    if nbr is None:
+        nbr = _und_neighbors(edges, num_buckets).materialize()
     if labels is None:
         labels = community_lpa(
             edges,
