@@ -427,9 +427,11 @@ def q_labelprop(sf_dir: str):
     label⋈adjacency join + map-side vote partials + fixed-cardinality
     bucket argmax per round), 'modularity' (per-community fixed-point
     Newman modularity of that partition + exact '__total__', HUGEINT
-    two-floor arithmetic mirrored bit-for-bit), and 'louvain' (the
-    partition after synchronous greedy modularity-refinement moves —
-    the Louvain move phase, integral 2m-scaled gain comparator)."""
+    two-floor arithmetic mirrored bit-for-bit), 'conductance'
+    (per-community cut/min-volume fixed point from the same aggregates,
+    '__max__' summary), and 'louvain' (the partition after synchronous
+    greedy modularity-refinement moves — the Louvain move phase,
+    integral 2m-scaled gain comparator)."""
     import shutil
     import tempfile
 
@@ -475,9 +477,13 @@ def q_labelprop(sf_dir: str):
     comm.insert(0, "method", "community")
     mod = community_modularity(edges, labels=comm_ds, und=und)
     mod.insert(0, "method", "modularity")
+    cond = community_modularity(
+        edges, labels=comm_ds, und=und, metric="conductance"
+    )
+    cond.insert(0, "method", "conductance")
     lv = louvain_refine(edges, labels=comm_ds, nbr=nbr).to_pandas()
     lv.insert(0, "method", "louvain")
-    return pd.concat([seeded, comm, mod, lv], ignore_index=True)
+    return pd.concat([seeded, comm, mod, cond, lv], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2284,6 +2290,9 @@ FROM ({community_lpa_sql(_CTE_MAT)})
 UNION ALL
 SELECT 'modularity', vertex_key, label
 FROM ({community_modularity_sql(_CTE_MAT)})
+UNION ALL
+SELECT 'conductance', vertex_key, label
+FROM ({community_modularity_sql(_CTE_MAT, metric="conductance")})
 UNION ALL
 SELECT 'louvain', vertex_key, label
 FROM ({louvain_refine_sql(_CTE_MAT)})"""

@@ -312,9 +312,17 @@ def community_modularity(
     num_buckets: int | None = None,
     broadcast_threshold: int = 5_000_000,
     und: ray.data.Dataset | None = None,
+    metric: str = "modularity",
 ) -> pd.DataFrame:
     """Per-community fixed-point Newman modularity of the mode-LPA
     partition, plus the exact ``__total__`` sum.
+
+    ``metric="conductance"`` reuses the identical aggregation (the cut
+    falls out of the same two counters: cut_c = deg_c - 2*in_c) and
+    reports per-community conductance ``(S*cut_c) // min(vol_c,
+    2m - vol_c)`` (-1 when the denominator is 0, i.e. one community
+    holds every endpoint) with a ``__max__`` summary row instead of the
+    ``__total__`` sum.
 
     Universe: the distinct undirected pair graph (``m`` pairs, the same
     ``und`` the triangle oracle uses); communities = final LPA labels.
@@ -425,15 +433,25 @@ def community_modularity(
         )
         return g
 
+    if metric not in ("modularity", "conductance"):
+        raise ValueError(metric)
     S = MODULARITY_SCALE
     denom = 4 * m * m
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("c", sort=False)[["deg", "inc"]].sum().reset_index()
-        q = [
-            (S * 4 * m * int(i)) // denom - (S * int(d) * int(d)) // denom
-            for d, i in zip(agg["deg"], agg["inc"])
-        ]
+        if metric == "modularity":
+            q = [
+                (S * 4 * m * int(i)) // denom - (S * int(d) * int(d)) // denom
+                for d, i in zip(agg["deg"], agg["inc"])
+            ]
+        else:
+            q = [
+                (S * (int(d) - 2 * int(i))) // min(int(d), 2 * m - int(d))
+                if min(int(d), 2 * m - int(d)) > 0
+                else -1
+                for d, i in zip(agg["deg"], agg["inc"])
+            ]
         return pd.DataFrame(
             {
                 "vertex_key": agg["c"].to_numpy(object),
@@ -448,24 +466,47 @@ def community_modularity(
         .map_groups(combine, batch_format="pandas")
         .materialize()
     )
-    total = int(per.sum("__q"))
+    if metric == "modularity":
+        summary = ("__total__", str(int(per.sum("__q"))))
+    else:
+        summary = ("__max__", str(int(per.max("__q"))))
     out = per.select_columns(["vertex_key", "label"]).to_pandas()
     return pd.concat(
         [
             out,
-            pd.DataFrame({"vertex_key": ["__total__"], "label": [str(total)]}),
+            pd.DataFrame({"vertex_key": [summary[0]], "label": [summary[1]]}),
         ],
         ignore_index=True,
     )
 
 
 def community_modularity_sql(
-    base_cte: str, rounds: int = COMMUNITY_ROUNDS
+    base_cte: str,
+    rounds: int = COMMUNITY_ROUNDS,
+    metric: str = "modularity",
 ) -> str:
     """Exact DuckDB mirror of :func:`community_modularity`: the LPA CTE
-    chain, then the same two-floor HUGEINT arithmetic."""
+    chain, then the same two-floor HUGEINT arithmetic (or the
+    conductance floor when ``metric="conductance"``)."""
     S = MODULARITY_SCALE
     chain = community_lpa_sql(base_cte, rounds=rounds, final_select=False)
+    if metric == "modularity":
+        q_expr = f"""
+           (CAST({S} AS HUGEINT) * 4 * m.m * d.inc)
+               // (4 * CAST(m.m AS HUGEINT) * m.m)
+         - (CAST({S} AS HUGEINT) * d.deg * d.deg)
+               // (4 * CAST(m.m AS HUGEINT) * m.m)"""
+        summary = "SELECT '__total__', CAST(sum(q) AS VARCHAR) FROM md_q"
+    elif metric == "conductance":
+        q_expr = f"""
+           CASE WHEN least(CAST(d.deg AS HUGEINT),
+                           2 * CAST(m.m AS HUGEINT) - d.deg) = 0 THEN -1
+                ELSE (CAST({S} AS HUGEINT) * (d.deg - 2 * d.inc))
+                     // least(CAST(d.deg AS HUGEINT),
+                              2 * CAST(m.m AS HUGEINT) - d.deg) END"""
+        summary = "SELECT '__max__', CAST(max(q) AS VARCHAR) FROM md_q"
+    else:
+        raise ValueError(metric)
     return (
         chain
         + f"""
@@ -481,16 +522,12 @@ def community_modularity_sql(
         UNION ALL SELECT cb, 0 FROM md_tag)
     GROUP BY 1
 ), md_q AS (
-    SELECT c,
-           (CAST({S} AS HUGEINT) * 4 * m.m * d.inc)
-               // (4 * CAST(m.m AS HUGEINT) * m.m)
-         - (CAST({S} AS HUGEINT) * d.deg * d.deg)
-               // (4 * CAST(m.m AS HUGEINT) * m.m) AS q
+    SELECT c, {q_expr} AS q
     FROM md_deg d CROSS JOIN md_m m
 )
 SELECT c AS vertex_key, CAST(q AS VARCHAR) AS label FROM md_q
 UNION ALL
-SELECT '__total__', CAST(sum(q) AS VARCHAR) FROM md_q"""
+{summary}"""
     )
 
 
