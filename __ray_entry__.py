@@ -1742,19 +1742,24 @@ def q_fit_fold_weights(sf_dir: str):
     NONLINEAR depth-2 decision-tree fit over distributed feature
     histograms (the reference's per-fold RandomForest analog — exact
     integer accuracy splits, leave-one-fold-out, its own holdout
-    agreement) and the fixed-model confusion counts, one wide row per
+    agreement) and the fixed-model confusion counts + the exact
+    tie-corrected Mann-Whitney AUC (auc_fp, bounded-histogram rank-sum,
+    no per-pair or sort work), one wide row per
     fold — every per-fold table is O(k) rows, so the joins are
     driver-side merges.  Absorbs the round-3 fold_metrics entry."""
     from webgraph_ray.pipelines.classify import (
         fit_fold_trees,
         fit_fold_weights,
+        fold_auc,
         fold_metrics,
     )
 
     vf = q_vertex_features(sf_dir)
     fit = fit_fold_weights(vf)
     trees = fit_fold_trees(vf)
-    fm = fold_metrics(q_scored_vertices(sf_dir)).to_pandas()
+    scored = q_scored_vertices(sf_dir)
+    fm = fold_metrics(scored).to_pandas()
+    fm = fm.merge(fold_auc(scored), on="fold", how="inner")
     out = (
         fit.merge(fm, on="fold", how="inner")
         .merge(trees, on="fold", how="inner")
@@ -2164,7 +2169,7 @@ def _classify_sql(which: str) -> str:
         return f"""
         SELECT f.fold, f.n_train, f.w0_fp, f.w1_fp, f.w2_fp,
                f.holdout_n, f.holdout_agree,
-               m.n, m.n_pred_pos, m.n_target, m.n_agree,
+               m.n, m.n_pred_pos, m.n_target, m.n_agree, a.auc_fp,
                f.tree_root_feat, f.tree_root_thr,
                f.tree_left_feat, f.tree_left_thr,
                f.tree_ll_pred, f.tree_lh_pred,
@@ -2173,6 +2178,7 @@ def _classify_sql(which: str) -> str:
                f.tree_holdout_n, f.tree_holdout_agree
         FROM ({_clf.fit_fold_weights_sql(_CTE_MAT)}) f
         JOIN ({_clf.fold_metrics_sql(_CTE_MAT)}) m USING (fold)
+        JOIN ({_clf.fold_auc_sql(_CTE_MAT)}) a USING (fold)
         ORDER BY f.fold"""
     return _clf.feature_importance_sql(_CTE_MAT)
 

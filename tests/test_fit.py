@@ -129,3 +129,54 @@ def test_tree_fit_deterministic_and_sane():
     assert (out["tree_root_thr"] == 5).all()
     # holdout agreement should be perfect for this separable toy
     assert (out["tree_holdout_agree"] == out["tree_holdout_n"]).all()
+
+
+# ---------------------------------------------------------------------------
+# exact Mann-Whitney AUC
+# ---------------------------------------------------------------------------
+
+
+def test_fold_auc_matches_bruteforce():
+    import itertools
+
+    import ray.data
+
+    from webgraph_ray.pipelines.classify import AUC_SCALE, fold_auc
+
+    rng = np.random.default_rng(13)
+    n = 400
+    scored = pd.DataFrame(
+        {
+            "fold": (np.arange(n) % 3).astype(np.int64),
+            "z": rng.integers(-20, 20, size=n).astype(np.int64),
+            "is_target": (rng.random(n) < 0.3).astype(np.int64),
+        }
+    )
+    got = fold_auc(ray.data.from_pandas(scored).repartition(7)).set_index(
+        "fold"
+    )["auc_fp"]
+    for fold, g in scored.groupby("fold"):
+        pos = g.loc[g["is_target"] == 1, "z"].to_numpy()
+        neg = g.loc[g["is_target"] == 0, "z"].to_numpy()
+        num = sum(
+            2 if p > q else (1 if p == q else 0)
+            for p, q in itertools.product(pos, neg)
+        )
+        expect = (AUC_SCALE * num) // (2 * len(pos) * len(neg))
+        assert int(got[fold]) == expect
+
+
+def test_fold_auc_degenerate_class():
+    import ray.data
+
+    from webgraph_ray.pipelines.classify import fold_auc
+
+    scored = pd.DataFrame(
+        {
+            "fold": np.zeros(5, dtype=np.int64),
+            "z": np.arange(5, dtype=np.int64),
+            "is_target": np.ones(5, dtype=np.int64),
+        }
+    )
+    out = fold_auc(ray.data.from_pandas(scored))
+    assert int(out["auc_fp"].iloc[0]) == -1

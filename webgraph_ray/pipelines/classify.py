@@ -210,6 +210,58 @@ def scored_with_percentiles(
     return scored.map_batches(attach, batch_format="pandas")
 
 
+AUC_SCALE = 10**9
+
+
+def fold_auc(scored: ray.data.Dataset) -> pd.DataFrame:
+    """(fold, auc_fp): the exact tie-corrected Mann-Whitney AUC of the
+    fixed scorer's z against is_target within each CV fold (the standard
+    threshold-free evaluation alongside the confusion counts; reference
+    analog: per-fold metrics,
+    /root/reference/code/classification/classify.py:77-235).
+
+    Ties count half, kept integral by working in doubled units:
+
+        num    = sum_z n_pos_z * (2*cum_neg_below + n_neg_z)
+        auc_fp = (S * num) // (2 * P * N)        (-1 if a class is empty)
+
+    Distributed shape: the same bounded (fold, z) histogram reduce the
+    percentile report uses — map-side (fold, z, n, n_pos) partials, one
+    tiny driver fold with Python ints (num exceeds int64 at design
+    scale; DuckDB mirrors with HUGEINT).  No sort or per-pair work."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["fold", "z"], sort=False)["is_target"]
+            .agg(n="size", npos="sum")
+            .reset_index()
+        )
+        return g.astype(np.int64)
+
+    hist = (
+        scored.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["fold", "z"], sort=True)[["n", "npos"]]
+        .sum()
+        .reset_index()
+    )
+    rows = []
+    for fold, g in hist.groupby("fold", sort=True):
+        npos = g["npos"].to_numpy(np.int64)
+        nneg = (g["n"] - g["npos"]).to_numpy(np.int64)
+        P, N = int(npos.sum()), int(nneg.sum())
+        if P == 0 or N == 0:
+            rows.append((int(fold), -1))
+            continue
+        cum_less = np.concatenate([[0], np.cumsum(nneg)[:-1]])
+        num = sum(
+            int(p) * (2 * int(cl) + int(nn))
+            for p, cl, nn in zip(npos, cum_less, nneg)
+        )
+        rows.append((int(fold), (AUC_SCALE * num) // (2 * P * N)))
+    return pd.DataFrame(rows, columns=["fold", "auc_fp"]).astype(np.int64)
+
+
 def fold_metrics(scored: ray.data.Dataset) -> ray.data.Dataset:
     """Per-fold confusion counts: n, predicted positives, target positives,
     agreement — all exact integers."""
@@ -974,4 +1026,35 @@ SELECT fold,
        CAST(sum(is_target) AS BIGINT) AS n_target,
        CAST(sum(CASE WHEN pred = is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
 FROM clf_scored GROUP BY fold"""
+    )
+
+
+def fold_auc_sql(base_cte: str, k: int = NUM_FOLDS) -> str:
+    """DuckDB mirror of :func:`fold_auc`: window cumulative negatives
+    below each score, HUGEINT rank-sum, same -1 empty-class sentinel."""
+    return (
+        _scored_ctes(base_cte, k)
+        + f"""
+, auc_h AS (
+    SELECT fold, z, count(*) AS n, sum(is_target) AS npos,
+           count(*) - sum(is_target) AS nneg
+    FROM clf_scored GROUP BY 1, 2
+), auc_c AS (
+    SELECT fold, npos, nneg,
+           COALESCE(SUM(nneg) OVER (
+               PARTITION BY fold ORDER BY z
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+    FROM auc_h
+), auc_f AS (
+    SELECT fold,
+           sum(CAST(npos AS HUGEINT) * (2 * cum_less + nneg)) AS num,
+           sum(npos) AS p, sum(nneg) AS nn
+    FROM auc_c GROUP BY 1
+)
+SELECT fold,
+       CAST(CASE WHEN p = 0 OR nn = 0 THEN -1
+            ELSE (CAST({AUC_SCALE} AS HUGEINT) * num) // (2 * p * nn)
+            END AS BIGINT) AS auc_fp
+FROM auc_f"""
     )
